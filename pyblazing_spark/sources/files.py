@@ -1,0 +1,179 @@
+"""Input routing + file readers with reference-kwarg translation.
+
+Mirrors reference ``create_table`` routing (context.py:2079-2577) and the
+CSV/JSON/Parquet/ORC kwarg surface (context.py:884-940). Spark's readers
+subsume the reference's C++ parsers (``engine/src/io/data_parser/*``);
+Hive-partitioned folder discovery is built into Spark's FileIndex
+(reference needed ``hive.py:96-295`` + partition filtering
+``context.py:476-627``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: reference CSV kwargs (context.py:890-930) -> Spark csv reader options
+_CSV_KWARG_MAP: dict[str, str] = {
+    "delimiter": "sep",
+    "sep": "sep",
+    "header": "header",
+    "skiprows": "skipRows",
+    "skipinitialspace": "ignoreLeadingWhiteSpace",
+    "skip_blank_lines": "mode",  # handled specially below
+    "quotechar": "quote",
+    "escapechar": "escape",
+    "lineterminator": "lineSep",
+    "thousands": None,
+    "comment": "comment",
+    "true_values": None,
+    "false_values": None,
+    "na_values": "nullValue",
+    "compression": "compression",
+    "dayfirst": None,
+}
+
+
+def _spark_type(dtype: str) -> str:
+    """Translate reference/pandas dtype names to Spark SQL type names.
+
+    The reference accepts cudf dtype strings for CSV ``dtype`` kwargs; we
+    widen unsigned ints per SURVEY.md §1.2."""
+    mapping = {
+        "int8": "tinyint",
+        "int16": "smallint",
+        "int32": "int",
+        "int64": "bigint",
+        "uint8": "smallint",
+        "uint16": "int",
+        "uint32": "bigint",
+        "uint64": "decimal(20,0)",
+        "float32": "float",
+        "float64": "double",
+        "float": "double",
+        "str": "string",
+        "object": "string",
+        "bool": "boolean",
+        "date32": "date",
+        "date64": "timestamp_ntz",
+        "datetime64[s]": "timestamp_ntz",
+        "datetime64[ms]": "timestamp_ntz",
+        "datetime64[us]": "timestamp_ntz",
+        "datetime64[ns]": "timestamp_ntz",
+    }
+    return mapping.get(dtype, dtype)
+
+
+def _infer_format(path: str, kwargs: dict[str, Any]) -> str:
+    if "file_format" in kwargs:
+        return str(kwargs["file_format"]).lower()
+    lowered = path.rstrip("/*").lower()
+    for ext, fmt in (
+        (".parquet", "parquet"),
+        (".orc", "orc"),
+        (".csv", "csv"),
+        (".psv", "csv"),
+        (".tbl", "csv"),
+        (".txt", "csv"),
+        (".json", "json"),
+    ):
+        if lowered.endswith(ext):
+            return fmt
+    return "parquet"
+
+
+def read_files(
+    spark: SparkSession, paths: list[str], **kwargs: Any
+) -> tuple[DataFrame, str]:
+    fmt = _infer_format(paths[0], kwargs)
+    reader = spark.read
+    if fmt == "csv":
+        options: dict[str, Any] = {"inferSchema": "true", "header": "false"}
+        for ref_key, spark_key in _CSV_KWARG_MAP.items():
+            if ref_key in kwargs and spark_key:
+                options[spark_key] = kwargs[ref_key]
+        if ".psv" in paths[0] or ".tbl" in paths[0]:
+            options.setdefault("sep", "|")
+        names = kwargs.get("names")
+        dtypes = kwargs.get("dtype")
+        if names and dtypes:
+            schema = ", ".join(
+                f"`{n}` {_spark_type(str(t))}" for n, t in zip(names, dtypes)
+            )
+            reader = reader.schema(schema)
+            options.pop("inferSchema", None)
+        elif names:
+            options["header"] = "false"
+        df = reader.options(**options).csv(paths)
+        if names and not dtypes:
+            df = df.toDF(*names)
+        return df, "csv"
+    if fmt == "json":
+        options = {"multiLine": "false" if kwargs.get("lines", True) else "true"}
+        return reader.options(**options).json(paths), "json"
+    if fmt == "orc":
+        return reader.orc(*paths), "orc"
+    return reader.parquet(*paths), "parquet"
+
+
+def read_jdbc(spark: SparkSession, table_name: str, **kwargs: Any) -> DataFrame:
+    """``from_sql``-style kwargs (reference context.py:930-938) -> JDBC read.
+
+    Predicate pushdown + partitioned reads are built into Spark's JDBC
+    source (the reference hand-implemented both:
+    ``AbstractSQLDataProvider.cpp:42-86``, ``MySQLDataProvider.cpp:206``).
+    """
+    backend = kwargs.get("from_sql", "postgresql")
+    host = kwargs.get("hostname", "localhost")
+    port = kwargs.get("port", {"mysql": 3306, "postgresql": 5432}.get(backend, 5432))
+    database = kwargs.get("database", "")
+    if backend == "sqlite":
+        url = f"jdbc:sqlite:{database}"
+    else:
+        url = f"jdbc:{backend}://{host}:{port}/{database}"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", kwargs.get("table", table_name))
+    )
+    if "username" in kwargs:
+        reader = reader.option("user", kwargs["username"])
+    if "password" in kwargs:
+        reader = reader.option("password", kwargs["password"])
+    for opt in ("partitionColumn", "lowerBound", "upperBound", "numPartitions"):
+        if opt in kwargs:
+            reader = reader.option(opt, str(kwargs[opt]))
+    return reader.load()
+
+
+def read_source(
+    spark: SparkSession, input: Any, **kwargs: Any
+) -> tuple[DataFrame, str, list[str]]:
+    """Route ``create_table`` input to a DataFrame (reference :2079-2577)."""
+    if kwargs.get("from_sql"):
+        return read_jdbc(spark, str(input), **kwargs), "jdbc", []
+    if isinstance(input, DataFrame):
+        return input, "dataframe", []
+    if isinstance(input, str):
+        input = [input]
+    if isinstance(input, (list, tuple)) and input and isinstance(input[0], str):
+        paths = [str(p) for p in input]
+        df, fmt = read_files(spark, paths, **kwargs)
+        return df, fmt, paths
+    # pandas / pyarrow / anything createDataFrame accepts
+    try:
+        import pandas as pd
+
+        if isinstance(input, pd.DataFrame):
+            return spark.createDataFrame(input), "pandas", []
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        import pyarrow as pa
+
+        if isinstance(input, pa.Table):
+            return spark.createDataFrame(input.to_pandas()), "arrow", []
+    except ImportError:  # pragma: no cover
+        pass
+    return spark.createDataFrame(input), "rows", []

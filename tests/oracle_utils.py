@@ -1,0 +1,90 @@
+"""Spark-vs-DuckDB result comparison, mirroring the driver's protocol
+(sort columns by name, order-insensitive row compare) and the reference
+runner's tolerance semantics
+(``tests/BlazingSQLTest/Runner/runTest.py:115-148`` — sorted compare,
+ACCEPTABLE_DIFFERENCE)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def _sort_key_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return (0, "")
+    if isinstance(v, (bool, np.bool_)):
+        return (1, "", float(v))
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return (1, "", float(v))
+    if isinstance(v, (datetime.datetime, pd.Timestamp)):
+        return (2, "", v.isoformat())
+    if isinstance(v, datetime.date):
+        return (2, "", v.isoformat())
+    if isinstance(v, (list, np.ndarray, tuple)):
+        return (3, "", tuple(_sort_key_cell(x) for x in v))
+    return (4, str(v))
+
+
+def _normalize(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        rows.append(
+            tuple(None if (x is pd.NaT or (isinstance(x, float) and math.isnan(x))) else x for x in row)
+        )
+    rows.sort(key=lambda r: tuple(_sort_key_cell(x) for x in r))
+    return rows
+
+
+def _cells_match(a, b, atol: float, rtol: float) -> bool:
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    if isinstance(a, (bool, np.bool_)) or isinstance(b, (bool, np.bool_)):
+        return bool(a) == bool(b)
+    if isinstance(a, (int, float, np.integer, np.floating)) and isinstance(
+        b, (int, float, np.integer, np.floating)
+    ):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, abs_tol=atol, rel_tol=rtol)
+    if isinstance(a, (datetime.datetime, pd.Timestamp)) or isinstance(
+        b, (datetime.datetime, pd.Timestamp)
+    ):
+        return pd.Timestamp(a).tz_localize(None) == pd.Timestamp(b).tz_localize(None)
+    if isinstance(a, (list, np.ndarray, tuple)) and isinstance(b, (list, np.ndarray, tuple)):
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(
+            _cells_match(x, y, atol, rtol) for x, y in zip(la, lb)
+        )
+    return a == b
+
+
+def assert_frames_match(
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    atol: float = 1e-6,
+    rtol: float = 1e-9,
+    name: str = "",
+) -> None:
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
+        f"oracle={sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    )
+    srows, orows = _normalize(spark_pdf), _normalize(oracle_pdf)
+    cols = sorted(spark_pdf.columns)
+    for i, (sr, orow) in enumerate(zip(srows, orows)):
+        for col, sv, ov in zip(cols, sr, orow):
+            assert _cells_match(sv, ov, atol, rtol), (
+                f"{name}: row {i} col {col}: spark={sv!r} oracle={ov!r}\n"
+                f"spark row:  {sr}\noracle row: {orow}"
+            )

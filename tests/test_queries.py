@@ -1,0 +1,30 @@
+"""Run every registered query against the DuckDB oracle — the local
+equivalent of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyblazing_spark.plans as plans
+from tests.oracle_utils import assert_frames_match
+
+
+def _all_names():
+    return sorted(plans.REGISTRY)
+
+
+@pytest.mark.parametrize("name", _all_names())
+def test_query_vs_oracle(name, spark, sf_dir, oracle_con):
+    spec = plans.REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if spec.oracle is None:
+        # Non-SQL-expressible op: the driver records a rows-only check;
+        # dedicated unit tests cover semantics.
+        assert spark_pdf is not None
+        return
+    oracle_pdf = oracle_con.execute(spec.oracle).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name=name)
+    # Guard against vacuous comparisons: flag unexpectedly empty results.
+    if name not in plans.ALLOWED_EMPTY:
+        assert len(spark_pdf) > 0, f"{name}: empty result at {sf_dir}"
