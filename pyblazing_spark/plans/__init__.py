@@ -10,7 +10,13 @@ from pyblazing_spark.plans.registry import (
 )
 
 # Import for side effects: each module registers its queries.
-from pyblazing_spark.plans import tpch  # noqa: E402,F401
+from pyblazing_spark.plans import (  # noqa: E402,F401
+    aggregates,
+    joins,
+    setops,
+    tpch,
+    windows,
+)
 
 #: Queries whose result may legitimately be empty at tiny scale factors.
 ALLOWED_EMPTY: frozenset[str] = frozenset()

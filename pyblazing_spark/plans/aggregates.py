@@ -1,0 +1,336 @@
+"""Aggregation operator suite — the reference's ``AggregateKind`` set
+(``engine/src/operators/GroupBy.h:15-28``: SUM, SUM0, MEAN, MIN, MAX,
+COUNT_VALID, COUNT_ALL, COUNT_DISTINCT) with and without keys
+(``GroupBy.cpp:227-270``), plus the Spark-native superset the reference
+lacks (grouping sets / cube / rollup — SURVEY.md §2.3 "No grouping sets",
+statistical aggs, approximate aggs).
+
+E2E model: ``groupBySuite.yaml``, ``countDistinctSuite.yaml``,
+``aggregationsWithoutGroupBySuite.yaml``, ``countWithoutGroupBySuite.yaml``.
+
+Scale: every query here is scan -> partial agg -> exchange on group key ->
+final agg; Spark inserts the partial/final split that the reference
+hand-built as ComputeAggregate/DistributeAggregate/MergeAggregate
+(``BatchAggregationProcessing.h:15-56``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.plans.tpch import money, ratio
+from pyblazing_spark.sources.tables import load_table as T, register_views
+
+
+@register(
+    "agg_groupby",
+    tags=("aggregate",),
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_quantity), 2)  AS sum_qty,
+       round(min(l_quantity), 2)  AS min_qty,
+       round(max(l_quantity), 2)  AS max_qty,
+       round(avg(l_quantity), 4)  AS avg_qty,
+       count(l_quantity)          AS cnt_valid,
+       count(*)                   AS cnt_all
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed hash aggregation over the full AggregateKind set."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            money(F.min("l_quantity")).alias("min_qty"),
+            money(F.max("l_quantity")).alias("max_qty"),
+            ratio(F.avg("l_quantity")).alias("avg_qty"),
+            F.count("l_quantity").alias("cnt_valid"),
+            F.count(F.lit(1)).alias("cnt_all"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_no_group",
+    tags=("aggregate", "reduction"),
+    oracle="""
+SELECT round(sum(o_totalprice), 2) AS total,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       count(*) AS n
+FROM orders
+""",
+)
+def agg_no_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless reductions (reference ``GroupBy.cpp:227-270``)."""
+    od = T(spark, sf_dir, "orders")
+    return od.agg(
+        money(F.sum("o_totalprice")).alias("total"),
+        ratio(F.avg("o_totalprice")).alias("avg_price"),
+        money(F.min("o_totalprice")).alias("min_price"),
+        money(F.max("o_totalprice")).alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    tags=("aggregate", "distinct"),
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_orderpriority)            AS n_prio,
+       count(DISTINCT o_custkey)                  AS n_cust,
+       CAST(sum(DISTINCT CAST(o_custkey % 10 AS BIGINT)) AS BIGINT) AS sum_d,
+       count(*)                                   AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one group-by — Calcite expanded
+    these into join trees for the reference
+    (``AggregateExpandDistinctAggregatesRule.JOIN``,
+    ``RelationalAlgebraGenerator.java:190``); Catalyst's
+    RewriteDistinctAggregates handles it in one expand."""
+    od = T(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_prio"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.sum_distinct((F.col("o_custkey") % 10).cast("long")).alias("sum_d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_sum0_empty",
+    tags=("aggregate", "nulls"),
+    oracle="""
+SELECT CAST(coalesce(sum(c_acctbal), 0) AS DOUBLE) AS sum0_bal,
+       sum(c_acctbal) AS sum_bal,
+       count(*) AS n
+FROM customer WHERE c_acctbal > 1e18
+""",
+)
+def agg_sum0_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM0 vs SUM over an empty input: SUM0 -> 0, SUM -> NULL
+    (reference ``GroupBy.cpp:262-268``; Calcite rewrites AVG through
+    SUM0)."""
+    cu = T(spark, sf_dir, "customer").where(F.col("c_acctbal") > 1e18)
+    return cu.agg(
+        F.coalesce(F.sum("c_acctbal"), F.lit(0.0)).alias("sum0_bal"),
+        F.sum("c_acctbal").alias("sum_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_having",
+    tags=("aggregate", "having"),
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12 AND sum(o_totalprice) > 1000000
+ORDER BY o_custkey
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    od = T(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("raw_spend"),
+        )
+        .where((F.col("n_orders") >= 12) & (F.col("raw_spend") > 1000000))
+        .select("o_custkey", "n_orders", money(F.col("raw_spend")).alias("spend"))
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_rollup",
+    tags=("aggregate", "rollup"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — capability the reference lacks entirely (SURVEY.md §2.3)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(money(F.sum("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    tags=("aggregate", "cube"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total, count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys."""
+    od = T(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(money(F.sum("o_totalprice")).alias("total"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("aggregate", "grouping-sets", "sql"),
+    oracle="""
+SELECT c_mktsegment, c_nationkey, count(*) AS n,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS, expressed through the SQL entry point
+    (exercises ``spark.sql`` over registered views)."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, count(*) AS n,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "agg_stats",
+    tags=("aggregate", "stats"),
+    oracle="""
+SELECT c_mktsegment,
+       round(stddev_samp(c_acctbal), 2) AS sd_samp,
+       round(stddev_pop(c_acctbal), 2)  AS sd_pop,
+       round(var_samp(c_acctbal) / 1e6, 2)  AS var_samp_m,
+       round(var_pop(c_acctbal) / 1e6, 2)   AS var_pop_m,
+       round(median(c_acctbal), 2)      AS med
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — absent from the reference's AggregateKind
+    enum; Spark superset."""
+    cu = T(spark, sf_dir, "customer")
+    return (
+        cu.groupBy("c_mktsegment")
+        .agg(
+            money(F.stddev_samp("c_acctbal")).alias("sd_samp"),
+            money(F.stddev_pop("c_acctbal")).alias("sd_pop"),
+            money(F.var_samp("c_acctbal") / 1e6).alias("var_samp_m"),
+            money(F.var_pop("c_acctbal") / 1e6).alias("var_pop_m"),
+            money(F.median("c_acctbal")).alias("med"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    tags=("aggregate", "approx"),
+    oracle=None,  # approximate by construction — rows-only check; the
+    # dedicated unit test bounds the error vs exact counts.
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the scale path for COUNT(DISTINCT)
+    at 100 TB (no exact distinct shuffle). No reference equivalent
+    (SURVEY.md §2.3 'No approximate aggregates')."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    tags=("aggregate", "distinct"),
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT = group-by-all-columns (the reference's UNION-dedup
+    idiom, ``PhysicalPlanGenerator.h:252-296``)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_pivot",
+    tags=("aggregate", "pivot"),
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (Spark-native; reference users hand-wrote CASE sums)."""
+    li = T(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        money(F.col("F")).alias("F"),
+        money(F.col("O")).alias("O"),
+    ).orderBy("l_returnflag")

@@ -1,0 +1,337 @@
+"""Window-function suite — reference support (SURVEY.md §2.4):
+ROW_NUMBER, LAG, LEAD, FIRST_VALUE, LAST_VALUE, MIN, MAX, COUNT, SUM, AVG
+over ``PARTITION BY .. ORDER BY ..`` with ROWS frames
+(``BatchWindowFunctionProcessing.cpp:33-400``), plus everything the
+reference explicitly throws on and Spark gives free: RANK/DENSE_RANK
+(TODO at ``BatchWindowFunctionProcessing.cpp:60``), RANGE frames
+(``PhysicalPlanGenerator.h:304-306``), multiple different OVER clauses in
+one SELECT (``:300-302``), NTILE/PERCENT_RANK/CUME_DIST.
+
+E2E model: ``windowFunctionSuite.yaml``, ``windowNoPartitionSuite.yaml``.
+
+Scale: partitioned windows shuffle once on the partition key then sort
+within partitions. The unpartitioned variants collapse to a single
+partition — correct but serial (same semantics the reference implemented
+via overlap kernels); at 100 TB you restructure to a partitioned window or
+a global agg join instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.plans.tpch import money, ratio
+from pyblazing_spark.sources.tables import load_table as T
+
+
+@register(
+    "win_row_number_topk",
+    tags=("window", "topk"),
+    oracle="""
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer)
+WHERE rn <= 3
+ORDER BY c_mktsegment, rn
+""",
+)
+def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via ROW_NUMBER — the canonical top-k-per-key plan
+    (rank inside each hash partition; no global sort)."""
+    cu = T(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        cu.select(
+            "c_mktsegment",
+            "c_custkey",
+            money(F.col("c_acctbal")).alias("bal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "win_rank_dense",
+    tags=("window", "rank"),
+    oracle="""
+SELECT p_brand, p_partkey,
+       rank()         OVER (PARTITION BY p_brand ORDER BY p_size)       AS rnk,
+       dense_rank()   OVER (PARTITION BY p_brand ORDER BY p_size)       AS drnk,
+       CAST(ntile(4)  OVER (PARTITION BY p_brand
+                            ORDER BY p_size, p_partkey) AS INTEGER)     AS quartile,
+       round(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_size), 4) AS prnk
+FROM part
+ORDER BY p_brand, p_partkey
+""",
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE / PERCENT_RANK — all unsupported in the
+    reference (throws, ``BatchWindowFunctionProcessing.cpp:60``); Spark
+    superset. Ties on p_size exercise rank-vs-dense-rank divergence."""
+    pa = T(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_size")
+    wt = W.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    return pa.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+        ratio(F.percent_rank().over(w)).alias("prnk"),
+    ).orderBy("p_brand", "p_partkey")
+
+
+@register(
+    "win_lag_lead",
+    tags=("window", "lag"),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       lag(o_orderkey)     OVER w AS prev_order,
+       lead(o_orderkey)    OVER w AS next_order,
+       lag(o_orderkey, 2)  OVER w AS prev2_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+LIMIT 500
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD with offsets (reference window aggs
+    ``expression_utils.hpp:204-214``)."""
+    od = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        od.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.lag("o_orderkey", 2).over(w).alias("prev2_order"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .limit(500)
+    )
+
+
+@register(
+    "win_running_sum",
+    tags=("window", "frame"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 2) AS running_spend,
+       CAST(count(*) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS nth_order
+FROM orders
+ORDER BY o_custkey, nth_order
+LIMIT 500
+""",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative SUM/COUNT over a ROWS frame (reference
+    ``cudf::grouped_rolling_window``,
+    ``BatchWindowFunctionProcessing.cpp:136-143``)."""
+    od = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        od.select(
+            "o_custkey",
+            "o_orderkey",
+            money(F.sum("o_totalprice").over(w)).alias("running_spend"),
+            F.count(F.lit(1)).over(w).alias("nth_order"),
+        )
+        .orderBy("o_custkey", "nth_order")
+        .limit(500)
+    )
+
+
+@register(
+    "win_sliding_frame",
+    tags=("window", "frame"),
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           AS avg_qty_3,
+       round(min(l_quantity) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2)
+           AS min_neighbor,
+       round(max(l_quantity) OVER (PARTITION BY l_suppkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2)
+           AS max_neighbor
+FROM lineitem
+WHERE l_suppkey <= 3
+ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+LIMIT 500
+""",
+)
+def win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding ROWS frames, preceding and following (reference
+    frame-bound parser ``expression_utils.cpp:773-822``)."""
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 3)
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w3 = W.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-2, 0)
+    wn = W.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-1, 1)
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            ratio(F.avg("l_quantity").over(w3)).alias("avg_qty_3"),
+            money(F.min("l_quantity").over(wn)).alias("min_neighbor"),
+            money(F.max("l_quantity").over(wn)).alias("max_neighbor"),
+        )
+        .orderBy("l_suppkey", *order)
+        .limit(500)
+    )
+
+
+@register(
+    "win_first_last",
+    tags=("window", "frame"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS first_order,
+       last_value(o_orderkey)  OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+ORDER BY o_custkey, o_orderkey
+LIMIT 500
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE over the whole partition (the reference
+    computed these via a groupby + join,
+    ``BatchWindowFunctionProcessing.cpp:79-135``)."""
+    od = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        od.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(500)
+    )
+
+
+@register(
+    "win_range_frame",
+    tags=("window", "range"),
+    oracle="""
+SELECT s_suppkey, round(s_acctbal, 2) AS bal,
+       CAST(count(*) OVER (ORDER BY s_acctbal
+                           RANGE BETWEEN 500 PRECEDING
+                                AND 500 FOLLOWING) AS BIGINT) AS n_near
+FROM supplier
+ORDER BY s_suppkey
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering — the reference throws on RANGE
+    (``PhysicalPlanGenerator.h:304-306``); Spark supports value ranges."""
+    su = T(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal").rangeBetween(-500, 500)
+    return su.select(
+        "s_suppkey",
+        money(F.col("s_acctbal")).alias("bal"),
+        F.count(F.lit(1)).over(w).alias("n_near"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "win_no_partition",
+    tags=("window", "unpartitioned"),
+    oracle="""
+SELECT event_id,
+       row_number() OVER (ORDER BY ts, event_id) AS seq,
+       round(sum(value) OVER (ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW), 2) AS running_value
+FROM events
+ORDER BY seq
+LIMIT 300
+""",
+)
+def win_no_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-less window — the case the reference built dedicated
+    overlap kernels for (``LogicalGenerateOverlaps``,
+    ``BatchWindowFunctionProcessing.h:81-141``). Spark runs it in a single
+    partition: identical semantics; at scale, prefer a partitioned window.
+    """
+    ev = T(spark, sf_dir, "events")
+    w = W.orderBy("ts", "event_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.select(
+            "event_id",
+            F.row_number().over(w).alias("seq"),
+            money(F.sum("value").over(wsum)).alias("running_value"),
+        )
+        .orderBy("seq")
+        .limit(300)
+    )
+
+
+@register(
+    "win_multi_over",
+    tags=("window", "multi"),
+    oracle="""
+SELECT c_custkey,
+       row_number() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS seg_rank,
+       row_number() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS nat_rank,
+       round(avg(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS seg_avg
+FROM customer
+ORDER BY c_custkey
+LIMIT 300
+""",
+)
+def win_multi_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DIFFERENT window specs in one SELECT — the reference
+    throws on this (``PhysicalPlanGenerator.h:300-302``); Spark plans one
+    Window node per spec."""
+    cu = T(spark, sf_dir, "customer")
+    w_seg = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    w_nat = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    w_avg = W.partitionBy("c_mktsegment")
+    return (
+        cu.select(
+            "c_custkey",
+            F.row_number().over(w_seg).alias("seg_rank"),
+            F.row_number().over(w_nat).alias("nat_rank"),
+            ratio(F.avg("c_acctbal").over(w_avg)).alias("seg_avg"),
+        )
+        .orderBy("c_custkey")
+        .limit(300)
+    )

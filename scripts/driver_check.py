@@ -1,0 +1,67 @@
+"""Driver-style verification: plain SparkSession + side-by-side DuckDB
+compare of every queries()/oracle_sql() entry at a given SF.
+
+Usage: python scripts/driver_check.py [sf_dir]
+Mirrors the correctness gate (CORRECTNESS_r{N}.json): row count, column
+names, order-insensitive value compare.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from tests.oracle_utils import assert_frames_match
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, osql = E.queries(), E.oracle_sql()
+    n_ok = n_bad = 0
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            spdf = qs[name](spark, sf_dir).toPandas()
+            if name not in osql:
+                print(f"  {name:28s} rows-only rows={len(spdf)} ({time.time()-t0:.1f}s)")
+                n_ok += 1
+                continue
+            ddf = con.execute(osql[name]).df()
+            assert_frames_match(spdf, ddf, name=name)
+            print(f"  {name:28s} OK rows={len(spdf)} ({time.time()-t0:.1f}s)")
+            n_ok += 1
+        except Exception as exc:
+            n_bad += 1
+            print(f"  {name:28s} FAIL: {str(exc).splitlines()[0][:150]}")
+    print(f"{n_ok} ok, {n_bad} failed @ {sf_dir}")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
