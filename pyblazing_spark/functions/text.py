@@ -1,0 +1,155 @@
+"""Text-analysis column functions for LLM-data pipelines: tokenization,
+quality scoring, language ID, fingerprinting, shingling.
+
+Everything is a JVM-side expression (no UDFs) and — deliberately —
+expressible in ANSI SQL, so every operator built on these has a DuckDB
+oracle. The occurrence counter uses the length/replace identity instead of
+regexp_count (portable across engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small: the heuristic must be cheap at 100 TB
+#: (pure string ops, no model).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punctuation boundaries, approximating a BPE tokenizer's
+    granularity without a vocab (cheap, deterministic)."""
+    pieces = F.split(
+        F.trim(text), r"(\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])|(?<=[^\w\s]))"
+    )
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def occurrences(text: Column, word: str) -> Column:
+    """Count of ``' word '`` occurrences via the length/replace identity
+    (portable: no regexp_count)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non [a-z0-9 ],
+    collapse whitespace, trim."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (the rolling-hash use case — identical in DuckDB, so oracle-checkable).
+    """
+    return F.md5(normalize(text))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Total stopword occurrences for one language."""
+    lowered = F.lower(text)
+    total = F.lit(0)
+    for word in LANG_STOPWORDS[lang]:
+        total = total + occurrences(lowered, word)
+    return total
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-scoring language ID -> 'en'/'es'/'fr'/'de'/'und'.
+
+    Ties break in a fixed order (en > es > fr > de) so the result is
+    deterministic and mirrors the SQL oracle exactly."""
+    s = {lang: stopword_hits(text, lang) for lang in LANG_STOPWORDS}
+    return (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] > 0), "es")
+        .when((s["fr"] >= s["de"]) & (s["fr"] > 0), "fr")
+        .when(s["de"] > 0, "de")
+        .otherwise("und")
+    )
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Share of [a-z] characters (lowercased)."""
+    lowered = F.lower(text)
+    return F.length(F.regexp_replace(lowered, "[^a-z]", "")) / F.length(lowered)
+
+
+def digit_ratio(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, "[^0-9]", "")) / F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of characters that are neither alphanumeric nor whitespace."""
+    return F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")) / F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    return F.length(F.replace(F.trim(text), F.lit(" "), F.lit(""))) / token_count(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length saturation + alphabetic
+    share + stopword presence − digit noise. The exact blend mirrors the
+    SQL oracle; tune freely, keep both sides in sync."""
+    length_part = F.least(F.lit(1.0), token_count(text) / F.lit(100.0))
+    stop_part = F.least(F.lit(1.0), stopword_hits(text, "en") / F.lit(5.0))
+    return F.round(
+        length_part * 0.3 + alpha_ratio(text) * 0.4 + stop_part * 0.3 - digit_ratio(text) * 0.2,
+        4,
+    )
+
+
+def char_shingles(text: Column, n: int = 8) -> Column:
+    """Distinct character n-grams -> array<string> (for Jaccard/MinHash).
+
+    Uses sequence+transform: stays JVM-side; ~len(text) array elements per
+    row, so project only when needed."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(text) - F.lit(n - 1))),
+            lambda i: F.substring(text, i, F.lit(n)),
+        )
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles -> array<string>."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.lit(0), n - F.lit(k))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )

@@ -12,7 +12,10 @@ from pyblazing_spark.plans.registry import (
 # Import for side effects: each module registers its queries.
 from pyblazing_spark.plans import (  # noqa: E402,F401
     aggregates,
+    events,
+    expressions,
     joins,
+    llm,
     setops,
     tpch,
     windows,

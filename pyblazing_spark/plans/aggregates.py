@@ -245,7 +245,7 @@ SELECT c_mktsegment,
        round(stddev_pop(c_acctbal), 2)  AS sd_pop,
        round(var_samp(c_acctbal) / 1e6, 2)  AS var_samp_m,
        round(var_pop(c_acctbal) / 1e6, 2)   AS var_pop_m,
-       round(median(c_acctbal), 2)      AS med
+       round(median(c_acctbal), 4)      AS med
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -262,7 +262,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.stddev_pop("c_acctbal")).alias("sd_pop"),
             money(F.var_samp("c_acctbal") / 1e6).alias("var_samp_m"),
             money(F.var_pop("c_acctbal") / 1e6).alias("var_pop_m"),
-            money(F.median("c_acctbal")).alias("med"),
+            ratio(F.median("c_acctbal")).alias("med"),
         )
         .orderBy("c_mktsegment")
     )

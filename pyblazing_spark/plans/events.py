@@ -1,0 +1,169 @@
+"""Event-stream analytics over the ``events`` table (driver extension —
+the reference has NO streaming or event-time operators, SURVEY.md §2.9;
+these are the Spark-native batch equivalents; the true streaming versions
+live in :mod:`pyblazing_spark.streaming`).
+
+Scale: time-bucketed aggregation groups on (bucket, type) — partial aggs
+collapse each executor's slice before the shuffle; sessionization is a
+windowed gap-and-island computation partitioned by user_id, the standard
+distributed formulation (shuffle once on user_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.plans.tpch import money, ratio
+from pyblazing_spark.sources.tables import load_table as T
+
+
+@register(
+    "events_time_bucket",
+    tags=("events", "datetime", "aggregate"),
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_bucket, event_type
+LIMIT 500
+""",
+)
+def events_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregation (batch form of a streaming
+    windowed count)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_bucket"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), money(F.sum("value")).alias("total_value"))
+        .orderBy("hour_bucket", "event_type")
+        .limit(500)
+    )
+
+
+@register(
+    "events_sessionize",
+    tags=("events", "window", "sessionize"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+ s AS (
+  SELECT user_id,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+FROM s
+GROUP BY user_id
+ORDER BY user_id
+LIMIT 300
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap -> session ids via
+    lag + running sum (gaps-and-islands). The standard scale-out pattern:
+    one shuffle on user_id, all window math within partitions."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "ts",
+        new_session.alias("new_session"),
+    ).select(
+        "user_id", F.sum("new_session").over(wrun).cast("long").alias("session_id")
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+        .limit(300)
+    )
+
+
+@register(
+    "events_funnel",
+    tags=("events", "aggregate", "case"),
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)     AS views,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)    AS clicks,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)   AS purchase_value
+FROM events
+GROUP BY user_id
+HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+LIMIT 300
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel counts (conditional aggregation) with HAVING."""
+    ev = T(spark, sf_dir, "events")
+
+    def n_of(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n_of("view").alias("views"),
+            n_of("click").alias("clicks"),
+            n_of("purchase").alias("purchases"),
+            money(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))
+            ).alias("purchase_value"),
+        )
+        .where(F.col("purchases") > 0)
+        .orderBy("user_id")
+        .limit(300)
+    )
+
+
+@register(
+    "events_daily_active",
+    tags=("events", "distinct", "datetime"),
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(DISTINCT user_id) AS dau,
+       count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY day
+LIMIT 400
+""",
+)
+def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users (distinct count per time bucket)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+            ratio(F.avg("value")).alias("avg_value"),
+        )
+        .orderBy("day")
+        .limit(400)
+    )

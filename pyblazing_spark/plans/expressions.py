@@ -1,0 +1,504 @@
+"""Scalar-expression parity suite — the reference's full expression
+language (SURVEY.md §2.7; operator enum
+``engine/src/parser/expression_utils.hpp:12-92``, execution
+``LogicalProject.cpp:103-972`` + interops ``interpreter_cpp.cu``).
+
+E2E model: ``simpleStringSuite``, ``substringSuite``, ``likeSuite``,
+``stringCaseSuite``, ``castSuite``, ``roundSuite``, ``caseSuite``,
+``coalesceSuite``, ``dateSuite``, ``timestampSuite``, ``intervalSuite``,
+``timestampaddSuite``, ``timestampdiffSuite``, ``dayOfWeekSuite``,
+``predicatesWithNulls``, ``jsonSuite``.
+
+Dialect notes encoded in the oracles (dual-run on DuckDB):
+
+- double -> int CAST truncates in Spark and in the reference (cuDF cast);
+  DuckDB rounds — oracles spell ``trunc()`` explicitly.
+- Spark ``dayofweek`` is 1=Sunday..7 (Calcite convention, what
+  ``dayOfWeekSuite`` tests); DuckDB's is 0=Sunday..6 — oracle adds 1.
+- ``to_date/to_timestamp`` format strings: Spark datetime patterns vs
+  DuckDB strptime ``%`` codes.
+
+Everything here is JVM-side / whole-stage-codegen — no Python UDFs —
+matching the reference's fused interops interpreter in spirit but letting
+Catalyst do the fusion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.plans.tpch import money
+from pyblazing_spark.sources.tables import load_table as T
+
+
+@register(
+    "expr_strings",
+    tags=("expression", "string"),
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                                   AS up,
+       lower(p_brand)                                  AS lo,
+       substring(p_name, 3, 5)                         AS sub,
+       concat(p_brand, '/', p_type)                    AS joined,
+       replace(p_name, 'a', '@')                       AS repl,
+       trim('  ' || p_name || ' ')                     AS trimmed,
+       reverse(p_brand)                                AS rev,
+       left(p_name, 4)                                 AS l4,
+       right(p_name, 4)                                AS r4,
+       CAST(length(p_name) AS INTEGER)                 AS len
+FROM part
+ORDER BY p_partkey
+LIMIT 300
+""",
+)
+def expr_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (reference exec
+    ``LogicalProject.cpp:112-355``)."""
+    pa = T(spark, sf_dir, "part")
+    return (
+        pa.select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.lower("p_brand").alias("lo"),
+            F.substring("p_name", 3, 5).alias("sub"),
+            F.concat_ws("/", "p_brand", "p_type").alias("joined"),
+            F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("repl"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+            F.reverse("p_brand").alias("rev"),
+            F.substring("p_name", 1, 4).alias("l4"),
+            F.col("p_name").substr(F.length("p_name") - 3, F.lit(4)).alias("r4"),
+            F.length("p_name").alias("len"),
+        )
+        .orderBy("p_partkey")
+        .limit(300)
+    )
+
+
+@register(
+    "expr_initcap_like",
+    tags=("expression", "string", "like"),
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN lower(c_name) LIKE 'customer#%0' THEN 'ends0'
+            WHEN lower(c_name) LIKE '%9'          THEN 'ends9'
+            ELSE 'other' END AS bucket,
+       c_name LIKE 'Customer#00000000_' AS is_tiny,
+       c_mktsegment SIMILAR TO '[A-Z]+' AS seg_alpha
+FROM customer
+ORDER BY c_custkey
+LIMIT 300
+""",
+)
+def expr_initcap_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE patterns (incl. ``_`` wildcard) and regexp match (reference
+    LIKE via cuDF strings; regexp via ``REGEXP_REPLACE`` family)."""
+    cu = T(spark, sf_dir, "customer")
+    lname = F.lower(F.col("c_name"))
+    return (
+        cu.select(
+            "c_custkey",
+            F.when(lname.like("customer#%0"), "ends0")
+            .when(lname.like("%9"), "ends9")
+            .otherwise("other")
+            .alias("bucket"),
+            F.col("c_name").like("Customer#00000000_").alias("is_tiny"),
+            F.col("c_mktsegment").rlike("^[A-Z]+$").alias("seg_alpha"),
+        )
+        .orderBy("c_custkey")
+        .limit(300)
+    )
+
+
+@register(
+    "expr_regexp",
+    tags=("expression", "regexp"),
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(p_name, '[aeiou]', '*', 'g')      AS starred,
+       regexp_extract(p_name, '([0-9]+)', 1)            AS first_num,
+       regexp_matches(p_name, '[0-9]')                  AS has_digit
+FROM part
+ORDER BY p_partkey
+LIMIT 300
+""",
+)
+def expr_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEXP_REPLACE (reference ``expression_utils.hpp:86``) + extract."""
+    pa = T(spark, sf_dir, "part")
+    return (
+        pa.select(
+            "p_partkey",
+            F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
+            F.regexp_extract("p_name", "([0-9]+)", 1).alias("first_num"),
+            F.col("p_name").rlike("[0-9]").alias("has_digit"),
+        )
+        .orderBy("p_partkey")
+        .limit(300)
+    )
+
+
+@register(
+    "expr_casts",
+    tags=("expression", "cast"),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(trunc(l_extendedprice) AS BIGINT)    AS price_int,
+       CAST(trunc(l_quantity) AS TINYINT)        AS qty_i8,
+       CAST(l_linenumber AS SMALLINT)            AS ln_i16,
+       CAST(l_quantity AS DOUBLE)                AS qty_f64,
+       CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS qty_f32,
+       CAST(l_orderkey AS VARCHAR)               AS key_str,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
+       CAST('123' AS INTEGER)                    AS s2i,
+       CAST('3.5' AS DOUBLE)                     AS s2d
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 300
+""",
+)
+def expr_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAST matrix (reference ``CAST_*`` ops
+    ``expression_utils.hpp:43-54``, exec ``LogicalProject.cpp:356-509``).
+    Spark's double->int truncation matches cuDF; DuckDB oracle spells
+    trunc()."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("long").alias("price_int"),
+            F.col("l_quantity").cast("tinyint").alias("qty_i8"),
+            F.col("l_linenumber").cast("smallint").alias("ln_i16"),
+            F.col("l_quantity").cast("double").alias("qty_f64"),
+            F.col("l_quantity").cast("float").cast("double").alias("qty_f32"),
+            F.col("l_orderkey").cast("string").alias("key_str"),
+            F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+            F.lit("123").cast("int").alias("s2i"),
+            F.lit("3.5").cast("double").alias("s2d"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(300)
+    )
+
+
+@register(
+    "expr_math",
+    tags=("expression", "math"),
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice, 1)                          AS r1,
+       round(abs(-o_totalprice), 2)                    AS ab,
+       floor(o_totalprice)                             AS fl,
+       ceil(o_totalprice)                              AS ce,
+       round(sqrt(o_totalprice), 6)                    AS sq,
+       round(ln(o_totalprice), 6)                      AS lg,
+       round(log10(o_totalprice), 6)                   AS l10,
+       round(power(o_totalprice / 100000, 2), 6)       AS pw,
+       round(sin(o_totalprice / 100000), 6)            AS sn,
+       round(cos(o_totalprice / 100000), 6)            AS cs,
+       round(atan(o_totalprice / 100000), 6)           AS at,
+       CAST(o_orderkey % 7 AS BIGINT)                  AS md
+FROM orders
+ORDER BY o_orderkey
+LIMIT 300
+""",
+)
+def expr_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery (reference ``expression_utils.hpp:15-30,62-68``:
+    FLOOR CEIL SIN COS TAN ATAN LN LOG10 POWER ROUND ABS MOD)."""
+    od = T(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return (
+        od.select(
+            "o_orderkey",
+            F.round(p, 1).alias("r1"),
+            F.round(F.abs(-p), 2).alias("ab"),
+            F.floor(p).alias("fl"),
+            F.ceil(p).alias("ce"),
+            F.round(F.sqrt(p), 6).alias("sq"),
+            F.round(F.log(p), 6).alias("lg"),
+            F.round(F.log10(p), 6).alias("l10"),
+            F.round(F.pow(p / 100000, 2), 6).alias("pw"),
+            F.round(F.sin(p / 100000), 6).alias("sn"),
+            F.round(F.cos(p / 100000), 6).alias("cs"),
+            F.round(F.atan(p / 100000), 6).alias("at"),
+            (F.col("o_orderkey") % 7).alias("md"),
+        )
+        .orderBy("o_orderkey")
+        .limit(300)
+    )
+
+
+@register(
+    "expr_datetime_extract",
+    tags=("expression", "datetime"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER)            AS yr,
+       CAST(month(o_orderdate) AS INTEGER)           AS mo,
+       CAST(day(o_orderdate) AS INTEGER)             AS dy,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER)   AS dow,
+       CAST(hour(o_orderdate) AS INTEGER)            AS hr,
+       CAST(minute(o_orderdate) AS INTEGER)          AS mi,
+       CAST(second(o_orderdate) AS INTEGER)          AS se,
+       CAST(quarter(o_orderdate) AS INTEGER)         AS qt,
+       CAST(dayofyear(o_orderdate) AS INTEGER)       AS doy,
+       CAST(week(o_orderdate) AS INTEGER)            AS wk
+FROM orders
+ORDER BY o_orderkey
+LIMIT 300
+""",
+)
+def expr_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime extraction (reference ``BL_YEAR..BL_SECOND``
+    ``expression_utils.hpp:31-37``). DOW: Spark/Calcite 1=Sunday vs
+    DuckDB 0=Sunday (``dayOfWeekSuite`` is the reference's coverage)."""
+    od = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        od.select(
+            "o_orderkey",
+            F.year(d).alias("yr"),
+            F.month(d).alias("mo"),
+            F.dayofmonth(d).alias("dy"),
+            F.dayofweek(d).alias("dow"),
+            F.hour(d).alias("hr"),
+            F.minute(d).alias("mi"),
+            F.second(d).alias("se"),
+            F.quarter(d).alias("qt"),
+            F.dayofyear(d).alias("doy"),
+            F.weekofyear(d).alias("wk"),
+        )
+        .orderBy("o_orderkey")
+        .limit(300)
+    )
+
+
+@register(
+    "expr_date_arith",
+    tags=("expression", "interval"),
+    oracle="""
+SELECT o_orderkey, o_orderdate,
+       o_orderdate + INTERVAL 90 DAY                      AS due,
+       o_orderdate - INTERVAL 3 MONTH                     AS back3m,
+       o_orderdate + INTERVAL 36 HOUR                     AS plus36h,
+       date_trunc('month', o_orderdate)                   AS mon,
+       CAST(date_diff('day', o_orderdate,
+                      TIMESTAMP '2000-01-01') AS INTEGER) AS days_to_y2k,
+       CAST((2000 - year(o_orderdate)) * 12
+            + (1 - month(o_orderdate)) AS BIGINT)         AS months_to_y2k
+FROM orders
+ORDER BY o_orderkey
+LIMIT 300
+""",
+)
+def expr_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + truncation + diffs (reference interval units
+    ``expression_utils.cpp:1341-1455``; ``timestampadd/timestampdiff``
+    suites)."""
+    od = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    y2k = F.lit("2000-01-01").cast("timestamp_ntz")
+    return (
+        od.select(
+            "o_orderkey",
+            "o_orderdate",
+            (d + F.expr("INTERVAL 90 DAY")).alias("due"),
+            (d - F.expr("INTERVAL 3 MONTH")).alias("back3m"),
+            (d + F.expr("INTERVAL 36 HOUR")).alias("plus36h"),
+            F.date_trunc("month", d).alias("mon"),
+            F.datediff(y2k.cast("date"), d.cast("date")).alias("days_to_y2k"),
+            # month-boundary crossings (DuckDB date_diff semantics; Spark's
+            # timestampdiff counts *full* months, a dialect delta worth pinning)
+            ((F.lit(2000) - F.year(d)) * 12 + (F.lit(1) - F.month(d)))
+            .cast("long")
+            .alias("months_to_y2k"),
+        )
+        .orderBy("o_orderkey")
+        .limit(300)
+    )
+
+
+@register(
+    "expr_to_date",
+    tags=("expression", "datetime", "parse"),
+    oracle="""
+SELECT n_nationkey,
+       CAST(strptime('2024-03-0' || CAST(n_nationkey % 9 + 1 AS VARCHAR),
+                     '%Y-%m-%d') AS DATE)                      AS parsed_date,
+       strptime('2024/03/15 12:34:56', '%Y/%m/%d %H:%M:%S')    AS parsed_ts,
+       strftime(TIMESTAMP '1998-09-02 10:20:30', '%Y|%m|%d')   AS formatted
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+def expr_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TO_DATE / TO_TIMESTAMP with format strings (reference
+    ``expression_utils.hpp:89-90``, exec ``LogicalProject.cpp:510-533``).
+    Spark patterns vs DuckDB strptime codes — the dialect shim SURVEY.md
+    §7.1 calls out."""
+    na = T(spark, sf_dir, "nation")
+    daystr = F.concat(
+        F.lit("2024-03-0"), ((F.col("n_nationkey") % 9) + 1).cast("string")
+    )
+    return na.select(
+        "n_nationkey",
+        F.to_date(daystr, "yyyy-MM-dd").alias("parsed_date"),
+        F.to_timestamp_ntz(
+            F.lit("2024/03/15 12:34:56"), F.lit("yyyy/MM/dd HH:mm:ss")
+        ).alias("parsed_ts"),
+        F.date_format(
+            F.lit("1998-09-02 10:20:30").cast("timestamp_ntz"), "yyyy|MM|dd"
+        ).alias("formatted"),
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "expr_case_coalesce",
+    tags=("expression", "conditional"),
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 400000 THEN 'high'
+            WHEN o_totalprice > 200000 THEN 'mid'
+            ELSE 'low' END                                   AS bucket,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING')       AS status_or,
+       nullif(o_orderpriority, '4-NOT SPECIFIED')            AS prio_or_null,
+       CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2
+            ELSE 0 END                                       AS status_code,
+       if(o_totalprice > 250000, 'big', 'small')             AS size_tag
+FROM orders
+ORDER BY o_orderkey
+LIMIT 400
+""",
+)
+def expr_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / COALESCE / NULLIF / IF (reference rewrites CASE into the
+    MAGIC_IF_NOT mask-scatter idiom, ``expression_tree.hpp:181-227``;
+    suites ``caseSuite``, ``coalesceSuite``)."""
+    od = T(spark, sf_dir, "orders")
+    p, st = F.col("o_totalprice"), F.col("o_orderstatus")
+    return (
+        od.select(
+            "o_orderkey",
+            F.when(p > 400000, "high").when(p > 200000, "mid").otherwise("low").alias("bucket"),
+            F.coalesce(F.nullif(st, F.lit("P")), F.lit("PENDING")).alias("status_or"),
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias(
+                "prio_or_null"
+            ),
+            F.when(st == "O", 1).when(st == "F", 2).otherwise(0).alias("status_code"),
+            F.when(p > 250000, "big").otherwise("small").alias("size_tag"),
+        )
+        .orderBy("o_orderkey")
+        .limit(400)
+    )
+
+
+@register(
+    "expr_null_predicates",
+    tags=("expression", "nulls"),
+    oracle="""
+WITH t AS (
+  SELECT c_custkey,
+         nullif(c_mktsegment, 'MACHINERY') AS seg,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer)
+SELECT c_custkey,
+       seg IS NULL                        AS seg_null,
+       seg IS NOT NULL                    AS seg_set,
+       bal IS NOT DISTINCT FROM NULL      AS bal_nd_null,
+       coalesce(bal >= 0, FALSE)          AS bal_nonneg_true,
+       (bal >= 0) IS NULL                 AS bal_cmp_unknown
+FROM t
+ORDER BY c_custkey
+LIMIT 400
+""",
+)
+def expr_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL predicate set (reference ``IS_NULL/IS_NOT_NULL``
+    ``expression_utils.hpp:69-74``, IS TRUE family :38-42; suite
+    ``predicatesWithNulls``)."""
+    cu = T(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    bal = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    return (
+        cu.select(
+            "c_custkey",
+            seg.isNull().alias("seg_null"),
+            seg.isNotNull().alias("seg_set"),
+            bal.eqNullSafe(F.lit(None).cast("double")).alias("bal_nd_null"),
+            F.coalesce(bal >= 0, F.lit(False)).alias("bal_nonneg_true"),
+            (bal >= 0).isNull().alias("bal_cmp_unknown"),
+        )
+        .orderBy("c_custkey")
+        .limit(400)
+    )
+
+
+@register(
+    "expr_json",
+    tags=("expression", "json"),
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')                    AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k_int
+FROM events
+ORDER BY event_id
+LIMIT 400
+""",
+)
+def expr_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction — the reference only *scans* JSON files
+    (``JSONParser.cpp``; ``jsonSuite`` tests scans, not functions); this is
+    new surface via ``get_json_object``."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        )
+        .orderBy("event_id")
+        .limit(400)
+    )
+
+
+@register(
+    "expr_arith_division",
+    tags=("expression", "arithmetic"),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / l_quantity, 4)     AS unit_price,
+       CAST(l_orderkey // 4 AS BIGINT)            AS int_div,
+       round(l_extendedprice * l_tax, 4)          AS tax_amt,
+       round(l_extendedprice - l_discount * l_extendedprice, 4) AS net,
+       -l_linenumber                              AS neg
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 400
+""",
+)
+def expr_arith_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic incl. the integer-division dialect delta (Spark ``div``
+    = DuckDB ``//``; plain ``/`` on ints is float division in both —
+    SURVEY.md §7.1 risk list)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias(
+                "unit_price"
+            ),
+            F.expr("l_orderkey div 4").alias("int_div"),
+            F.round(F.col("l_extendedprice") * F.col("l_tax"), 4).alias("tax_amt"),
+            F.round(
+                F.col("l_extendedprice") - F.col("l_discount") * F.col("l_extendedprice"),
+                4,
+            ).alias("net"),
+            (-F.col("l_linenumber")).alias("neg"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(400)
+    )

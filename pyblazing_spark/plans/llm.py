@@ -1,0 +1,331 @@
+"""LLM-data-pipeline queries over ``documents`` / ``embeddings`` (driver
+extensions; BASELINE.json north-star: dedup, similarity search, text
+analysis — no reference equivalent).
+
+Oracle policy: text analysis, fingerprinting, exact dedup, exact n-gram
+Jaccard, embedding cosine, and brute-force ANN are expressed in ANSI SQL
+and verified against DuckDB. MinHash/SimHash/LSH depend on xxhash64 (no
+DuckDB equivalent) -> rows-only for the driver, with dedicated unit tests
+asserting recall/precision against the exact operators
+(``tests/test_llm_ops.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyblazing_spark.functions import text as TXT
+from pyblazing_spark.operators import dedup as DD
+from pyblazing_spark.operators import similarity as SIM
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.plans.tpch import ratio
+from pyblazing_spark.sources.tables import load_table as T
+
+# Shared SQL fragments mirroring functions/text.py (kept in lockstep).
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_SQL_TOKN = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+def _sql_occ(expr: str, word: str) -> str:
+    padded = f"(' ' || {expr} || ' ')"
+    needle = f" {word} "
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+        f" / {len(needle)} AS INTEGER)"
+    )
+
+
+def _sql_stop(lang: str) -> str:
+    return " + ".join(_sql_occ("lower(text)", w) for w in TXT.LANG_STOPWORDS[lang])
+
+
+@register(
+    "text_stats",
+    tags=("llm", "text"),
+    oracle=f"""
+SELECT source,
+       count(*)                                             AS n_docs,
+       CAST(sum({_SQL_TOKN}) AS BIGINT)                     AS total_tokens,
+       round(avg({_SQL_TOKN}) + 1e-9, 4)                    AS avg_tokens,
+       round(avg(length(text)) + 1e-9, 4)                   AS avg_chars,
+       round(avg(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 * 1.0 / length(text)) + 1e-9, 4)           AS alpha_ratio
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token/char statistics — pure JVM expressions; the
+    shuffle carries only (source, partial sums)."""
+    docs = T(spark, sf_dir, "documents")
+    tok = TXT.token_count(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok).cast("long").alias("total_tokens"),
+            F.round(F.avg(tok) + 1e-9, 4).alias("avg_tokens"),
+            F.round(F.avg(F.length("text")) + 1e-9, 4).alias("avg_chars"),
+            F.round(F.avg(TXT.alpha_ratio(F.col("text"))) + 1e-9, 4).alias("alpha_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_langid",
+    tags=("llm", "text", "langid"),
+    oracle=f"""
+WITH scored AS (
+  SELECT lang AS tagged_lang,
+         {_sql_stop('en')} AS s_en, {_sql_stop('es')} AS s_es,
+         {_sql_stop('fr')} AS s_fr, {_sql_stop('de')} AS s_de
+  FROM documents),
+ pred AS (
+  SELECT tagged_lang,
+         CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+              WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+              WHEN s_de > 0 THEN 'de'
+              ELSE 'und' END AS predicted_lang
+  FROM scored)
+SELECT tagged_lang, predicted_lang, count(*) AS n
+FROM pred
+GROUP BY tagged_lang, predicted_lang
+ORDER BY tagged_lang, predicted_lang
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID, confusion-matrix style against the
+    tagged ``lang`` column."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("tagged_lang"),
+            TXT.lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("tagged_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tagged_lang", "predicted_lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("llm", "text", "dedup"),
+    oracle=f"""
+SELECT lang,
+       count(*)                       AS n_docs,
+       count(DISTINCT md5({_SQL_NORM})) AS n_unique,
+       count(*) - count(DISTINCT md5({_SQL_NORM})) AS n_dups
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-md5 document fingerprinting (the exact-dedup key)."""
+    docs = T(spark, sf_dir, "documents")
+    fp = TXT.fingerprint(F.col("text"))
+    return (
+        docs.select("lang", fp.alias("fp"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dups"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_quality_filter",
+    tags=("llm", "text", "quality"),
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source,
+         round(least(1.0, {_SQL_TOKN} / 100.0) * 0.3
+               + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  * 1.0 / length(lower(text))) * 0.4
+               + least(1.0, ({_sql_stop('en')}) / 5.0) * 0.3
+               - (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  * 1.0 / length(text)) * 0.2, 4) AS score
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(avg(score) + 1e-9, 4) AS avg_score
+FROM q
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + keep-rate per source (the filter stage of a
+    training-data pipeline)."""
+    docs = T(spark, sf_dir, "documents")
+    score = TXT.quality_score(F.col("text"))
+    return (
+        docs.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0)).cast("long").alias("n_keep"),
+            F.round(F.avg("score") + 1e-9, 4).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_exact",
+    tags=("llm", "dedup"),
+    oracle=f"""
+WITH fp AS (SELECT md5({_SQL_NORM}) AS f, doc_id FROM documents),
+ g AS (SELECT f, count(*) AS n_docs, min(doc_id) AS keep_id FROM fp GROUP BY f)
+SELECT count(*)                        AS n_groups,
+       CAST(sum(n_docs) AS BIGINT)     AS n_docs,
+       CAST(sum(n_docs) - count(*) AS BIGINT) AS n_removed,
+       CAST(min(keep_id) AS BIGINT)    AS first_keep
+FROM g
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary via normalized-hash clusters
+    (:func:`pyblazing_spark.operators.dedup.duplicate_clusters`)."""
+    docs = T(spark, sf_dir, "documents")
+    clusters = DD.duplicate_clusters(docs)
+    return clusters.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (F.sum("n_docs") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+        F.min("keep_id").alias("first_keep"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("llm", "dedup", "jaccard"),
+    oracle="""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+ idx AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-7)) AS i
+         FROM docs),
+ sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS s
+        FROM idx),
+ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-gram Jaccard near-duplicate pairs (inverted-index join),
+    bounded to doc_id < 500 — the exact-verification baseline the MinHash
+    unit tests measure recall against."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return DD.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("llm", "dedup", "minhash"),
+    oracle=None,  # xxhash64-based — not expressible in DuckDB; recall vs
+    # the exact Jaccard baseline is unit-tested in tests/test_llm_ops.py.
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands) near-dup pairs with exact-Jaccard
+    verification — the 100 TB dedup path."""
+    docs = T(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    tags=("llm", "dedup", "simhash"),
+    oracle=None,  # xxhash64-based; unit-tested (hamming symmetry, self-0).
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 near-dup pairs at hamming <= 3 via banded pigeonhole."""
+    docs = T(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding",
+    tags=("llm", "dedup", "embedding"),
+    oracle="""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (bounded brute force; LSH-bucketed
+    variant is the scale path)."""
+    emb = T(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    return DD.embedding_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@register(
+    "ann_cosine_topk",
+    tags=("llm", "ann"),
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+ c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+       WHERE vec_id >= 5),
+ scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 4) AS cos
+  FROM q CROSS JOIN c),
+ ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors — the exact baseline
+    for similarity search (queries broadcast, corpus streams)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return SIM.cosine_topk(corpus, queries, k=5, query_id_col="query_id")
+
+
+@register(
+    "ann_lsh",
+    tags=("llm", "ann", "lsh"),
+    oracle=None,  # approximate by construction; recall vs ann_cosine_topk
+    # asserted in tests/test_llm_ops.py.
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5 (banded buckets + exact re-rank) — the
+    scale path for similarity search."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return SIM.lsh_ann_topk(corpus, queries, k=5, query_id_col="query_id")

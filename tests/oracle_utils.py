@@ -69,10 +69,14 @@ def _cells_match(a, b, atol: float, rtol: float) -> bool:
 def assert_frames_match(
     spark_pdf: pd.DataFrame,
     oracle_pdf: pd.DataFrame,
-    atol: float = 1e-6,
+    atol: float = 5e-4,
     rtol: float = 1e-9,
     name: str = "",
 ) -> None:
+    """Tolerance follows the reference runner's ACCEPTABLE_DIFFERENCE
+    (0.001) — both-side rounding makes most values exactly equal, but an
+    average can land exactly on a rounding boundary (e.g. avg=42.55825 ->
+    4 dp) where last-ulp partial-sum order flips the rounded digit."""
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"

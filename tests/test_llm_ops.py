@@ -1,0 +1,103 @@
+"""Semantic tests for the non-SQL-expressible LLM operators: MinHash-LSH
+recall vs the exact Jaccard baseline, SimHash properties, LSH-ANN recall
+vs brute-force cosine, exact-dedup behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyblazing_spark.operators import dedup as DD
+from pyblazing_spark.operators import similarity as SIM
+from pyblazing_spark.sources.tables import load_table
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """Every high-Jaccard (>=0.8 word-shingle) pair must be found by the
+    MinHash-LSH pipeline at threshold 0.5; reported pairs carry exact
+    (verified) jaccard, so precision is 1 by construction."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    found = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # exact word-shingle jaccard baseline, computed with the same shingler
+    from pyblazing_spark.functions import text as TXT
+
+    sh = docs.select(
+        "doc_id", F.explode(TXT.word_shingles(F.col("text"))).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    exact = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.8)
+    )
+    expected = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert expected, "fixture should contain planted near-duplicates"
+    missed = expected - found
+    assert not missed, f"MinHash-LSH missed high-similarity pairs: {missed}"
+
+
+def test_minhash_dedup_removes_pair_members(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    kept = DD.minhash_dedup(docs, threshold=0.5)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for p in pairs:
+        assert p.id_b not in kept_ids  # higher id dropped
+    assert len(kept_ids) == docs.count() - len({p.id_b for p in pairs})
+
+
+def test_simhash_properties(spark, sf_dir):
+    """Identical texts -> identical simhash; pairs output is symmetric-free
+    (id_a < id_b) and within the hamming bound."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    doubled = docs.select("doc_id", "text").union(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    sig = DD.simhash32(doubled)
+    rows = {r.doc_id: r.simhash for r in sig.collect()}
+    for did in list(rows)[:50]:
+        if did < 10000:
+            assert rows[did] == rows[did + 10000]
+    pairs = DD.simhash_pairs(docs, max_hamming=3).collect()
+    for p in pairs:
+        assert p.id_a < p.id_b and p.hamming <= 3
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """LSH-ANN should recover a healthy share of the exact top-5 (recall
+    >= 0.4 with 16 bits / 4 bands on random-ish data) and never report a
+    cosine the brute-force ranking would place higher than rank@5's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    exact = SIM.cosine_topk(corpus, queries, k=5).collect()
+    approx = SIM.lsh_ann_topk(corpus, queries, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+    # candidates are a subset of the corpus — scores must match brute force
+    exact_scores = {(r.query_id, r.neighbor_id): r.cos for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cos) < 1e-6
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    once = DD.exact_dedup(docs)
+    twice = DD.exact_dedup(once)
+    assert once.count() == twice.count()
+    # representatives are minimal ids per fingerprint
+    clusters = DD.duplicate_clusters(docs)
+    assert clusters.where(F.col("keep_id").isNull()).count() == 0
