@@ -1,0 +1,70 @@
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": <float>}.
+
+Headline set = every QuerySpec registered with ``bench=True`` (TPC-H core
+shapes + window + count-distinct + sessionization + the LLM dedup/ANN/
+text-stats path). Each query is fully materialized via collect(); a
+warm-up query amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from pyblazing_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="pyblazing_spark-bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": cpus,
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyblazing_spark.plans import REGISTRY, bench_queries
+
+    qs = bench_queries()
+    # Warm-up: run the flagship once so JVM/codegen/FS caches don't bill
+    # the first measured query.
+    REGISTRY["tpch_q1"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

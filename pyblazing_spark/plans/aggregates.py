@@ -83,6 +83,7 @@ def agg_no_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_count_distinct",
+    bench=True,
     tags=("aggregate", "distinct"),
     oracle="""
 SELECT o_orderstatus,

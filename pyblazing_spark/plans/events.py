@@ -47,6 +47,7 @@ def events_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionize",
+    bench=True,
     tags=("events", "window", "sessionize"),
     oracle="""
 WITH g AS (

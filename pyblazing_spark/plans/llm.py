@@ -45,6 +45,7 @@ def _sql_stop(lang: str) -> str:
 
 @register(
     "text_stats",
+    bench=True,
     tags=("llm", "text"),
     oracle=f"""
 SELECT source,
@@ -240,6 +241,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
+    bench=True,
     tags=("llm", "dedup", "minhash"),
     oracle=None,  # xxhash64-based — not expressible in DuckDB; recall vs
     # the exact Jaccard baseline is unit-tested in tests/test_llm_ops.py.
@@ -283,6 +285,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_topk",
+    bench=True,
     tags=("llm", "ann"),
     oracle="""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -122,6 +122,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "win_running_sum",
+    bench=True,
     tags=("window", "frame"),
     oracle="""
 SELECT o_custkey, o_orderkey,
