@@ -62,33 +62,88 @@ def duplicate_clusters(
 
 
 # ------------------------------------------------------------- minhash
+def hashed_shingles(text_col: Column, shingle_words: int = 3) -> Column:
+    """array<bigint>: xxhash64 of each distinct word shingle.
+
+    Hashing shingles to 8-byte ints ONCE up front is the whole perf
+    story: every downstream op (minhash family, Jaccard verify) runs on
+    longs, never re-touching the text."""
+    return F.transform(TXT.word_shingles(text_col, shingle_words), lambda sh: F.xxhash64(sh))
+
+
 def minhash_signature(
     text_col: Column, num_hashes: int = 32, shingle_words: int = 3
 ) -> Column:
     """array<bigint> of ``num_hashes`` minhashes over word shingles.
 
-    Hash family: xxhash64(shingle || '#' || seed_index) — deterministic,
+    Hash family: xxhash64(shingle_hash, seed_index) — one string hash per
+    shingle, then cheap long-arg rehashes per seed. Deterministic,
     JVM-side, no Python."""
-    shingles = TXT.word_shingles(text_col, shingle_words)
+    return _signature_from_hashes(hashed_shingles(text_col, shingle_words), num_hashes)
+
+
+def _signature_from_hashes(sh_hashes: Column, num_hashes: int) -> Column:
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                shingles, lambda sh: F.xxhash64(F.concat(sh, F.lit("#"), s.cast("string")))
-            )
-        ),
+        lambda s: F.array_min(F.transform(sh_hashes, lambda h: F.xxhash64(h, s))),
     )
 
 
 def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
-    """Hash each band (slice of the signature) to a single bigint."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(
-                ",", F.transform(F.slice(sig, b * rows + 1, rows), lambda v: v.cast("string"))
+    """Hash each band (slice of the signature) to a single bigint —
+    multi-arg xxhash64 over the band's longs, no string round-trip."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.element_at(sig, b * rows + j + 1) for j in range(rows)]
             )
-        ),
+            for b in range(bands)
+        ]
+    )
+
+
+def _bucket_pairs(ids: Column) -> Column:
+    """All (id_a < id_b) pairs from a sorted id array, as structs."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _hashed_shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int = 3
+) -> DataFrame:
+    """(id, __h): one row per k-token shingle window, __h = xxhash64 of
+    the window's tokens (multi-arg — no string concat).
+
+    Deliberately row-wise, not array-valued: array-building
+    higher-order functions evaluate interpreted (outside whole-stage
+    codegen), and Catalyst's InferFiltersFromGenerate + pushdown can
+    clone the whole array expression into a per-row Filter — measured
+    ~100x slower than this explode + scalar-hash shape."""
+    toks = df.select(F.col(id_col), TXT.tokens(F.col(text_col)).alias("__toks"))
+    win = toks.select(
+        id_col,
+        "__toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.lit(0), F.size("__toks") - F.lit(shingle_words))
+            )
+        ).alias("__i"),
+    )
+    return win.select(
+        id_col,
+        F.xxhash64(
+            *[
+                F.element_at(F.col("__toks"), (F.col("__i") + F.lit(j + 1)).cast("int"))
+                for j in range(shingle_words)
+            ]
+        ).alias("__h"),
     )
 
 
@@ -102,35 +157,41 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Plan shape: signature projection (no shuffle) -> explode bands ->
-    shuffle on (band, bucket) -> same-bucket pairs -> distinct ->
-    exact-Jaccard verify via the shingle arrays. With b=8, r=4 the LSH
-    S-curve crosses ~0.6; candidates are verified exactly, so the
+    Plan shape: explode k-token windows, hash each to a long (pure
+    codegen, no arrays) -> 32 map-side-partial MIN aggregates = the
+    signature (shuffle: one 32-long row per doc) -> explode band hashes
+    -> shuffle on bucket -> collect ids per bucket -> expand in-bucket
+    pairs -> distinct -> exact-Jaccard verify on collect_set'd shingle
+    hashes. Collect-per-bucket instead of a bucket self-join matters at
+    scale: the self-join re-evaluates the signature on both inputs, and
+    its join explosion is the same O(bucket^2) anyway. With b=8, r=4 the
+    LSH S-curve crosses ~0.6; candidates are verified exactly, so the
     threshold is honest — LSH only bounds recall, never precision.
     """
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col),
-        TXT.word_shingles(F.col(text_col)).alias("__sh"),
-        minhash_signature(F.col(text_col), num_hashes).alias("__sig"),
+    hashed = _hashed_shingle_rows(df, text_col, id_col)
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(s))).alias(f"__m{s}")
+            for s in range(num_hashes)
+        ]
     )
-    banded = base.select(
-        id_col,
-        F.posexplode(_band_hashes(F.col("__sig"), bands, rows)).alias("__band", "__bucket"),
+    bucket_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"__m{b * rows + j}") for j in range(rows)])
+            for b in range(bands)
+        ]
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    buckets = sig.select(id_col, F.explode(bucket_arr).alias("__bucket"))
     cand = (
-        left.join(
-            right,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__bucket") == F.col("b.__bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.groupBy("__bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+        .select(F.explode(_bucket_pairs(F.col("__ids"))).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .distinct()
     )
-    sh = base.select(id_col, "__sh")
+    sh = hashed.groupBy(id_col).agg(F.collect_set("__h").alias("__sh"))
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
