@@ -16,6 +16,7 @@ from pyblazing_spark.plans import (  # noqa: E402,F401
     expressions,
     joins,
     llm,
+    multimodal,
     setops,
     tpch,
     windows,
