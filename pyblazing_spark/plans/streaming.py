@@ -1,0 +1,103 @@
+"""Streaming queries, drained to completion for the batch-oriented
+correctness harness (Trigger.AvailableNow -> memory sink -> DataFrame).
+
+The reference has no streaming surface at all (SURVEY.md §2.9); these
+register Spark Structured Streaming capabilities — tumbling event-time
+windows with watermarks, session windows, arbitrary stateful
+processing — with DuckDB oracles over the same events table, so the
+driver's gate checks streaming results value-for-value like any batch
+query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    session_counts_stream,
+    stateful_user_totals,
+    windowed_counts_stream,
+)
+
+
+@register(
+    "stream_window_counts",
+    tags=("streaming", "window", "watermark"),
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_bucket, event_type
+""",
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows over the event stream; on a
+    bounded input the drained result must equal the batch group-by."""
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(windowed_counts_stream(stream), output_mode="complete")
+    return out.withColumn(
+        "hour_bucket", F.col("hour_bucket").cast("timestamp_ntz")
+    ).orderBy("hour_bucket", "event_type")
+
+
+@register(
+    "stream_sessionize",
+    tags=("streaming", "session_window", "watermark"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS sid
+  FROM g)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` gap sessionization (30 min). Note the
+    boundary semantics: a gap of exactly 30:00 starts a NEW session
+    (session extends to last_ts + gap, exclusive) — the oracle uses
+    ``>=`` to mirror that."""
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(session_counts_stream(stream), output_mode="complete")
+    return out.withColumn(
+        "session_start", F.col("session_start").cast("timestamp_ntz")
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_stateful_totals",
+    tags=("streaming", "applyInPandasWithState"),
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals. Update mode emits one row per key per micro-batch; the final
+    state per key is the row with the highest n_events."""
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(stateful_user_totals(stream), output_mode="update")
+    final = out.groupBy("user_id").agg(
+        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max("n_events").alias("n_events"),
+    )
+    return final.select("user_id", "n_events", "total_value").orderBy("user_id")

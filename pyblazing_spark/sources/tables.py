@@ -47,11 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer `div`, NOT floor(x/1000): ns epoch values (~1.7e18)
+        # exceed double's 2^53 integer range, so float division is off
+        # by up to a few microseconds.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 

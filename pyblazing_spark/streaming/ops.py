@@ -1,0 +1,178 @@
+"""Structured Streaming operators over the ``events`` table.
+
+The reference engine has no event-time semantics at all (SURVEY.md
+§2.9); Spark gives us watermarks, tumbling windows, session windows and
+arbitrary stateful processing natively, so these are thin, idiomatic
+compositions:
+
+- file-source ``readStream`` (each micro-batch is a slice of files — at
+  100 TB the same code points at a landing directory or Kafka),
+- watermark + ``window()`` tumbling aggregation,
+- watermark + ``session_window()`` gap sessionization,
+- ``applyInPandasWithState`` for custom per-key running state.
+
+For the driver's batch-oriented correctness harness, each streaming
+query can be drained to completion with ``Trigger.AvailableNow`` into a
+memory sink (:func:`run_available_now`) — the result is then an ordinary
+DataFrame whose values DuckDB can oracle-check.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterable, Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pyblazing_spark.session import ensure_runtime_confs
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: events.parquet physical schema under nanosAsLong (ts: int64 nanos).
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_sink_counter = itertools.count()
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over the events parquet with the same ns->us
+    timestamp normalization as the batch loader
+    (:func:`pyblazing_spark.sources.tables.load_table`)."""
+    ensure_runtime_confs(spark)
+    # The file stream source needs a directory base path; bracketing the
+    # last character makes the path a glob whose base is the containing
+    # dir (production would watch a landing directory instead).
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(f"{sf_dir}/events.parque[t]")
+    # Watermarks require TIMESTAMP (not NTZ); with the session timezone
+    # pinned to UTC the instant<->naive mapping is value-preserving, so
+    # results cast back to NTZ compare exactly against the batch loader.
+    # Integer `div` (see sources/tables.py): float division loses μs
+    # precision on ns epoch values.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts_stream(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data handling.
+
+    The watermark bounds state: windows older than (max event time -
+    watermark) are finalized and evicted — the knob that keeps a 100 TB/
+    day stream's state finite."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("hour_bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session aggregation via ``session_window`` (native gap
+    sessionization — merges events closer than ``gap``)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value) across micro-batches — the Spark
+    equivalent of a hand-rolled stateful kernel (the reference has no
+    such surface at all)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterable["pd.DataFrame"]:
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    result: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
+) -> DataFrame:
+    """Drain a streaming DataFrame to completion (``Trigger.AvailableNow``)
+    into a memory sink and return the materialized result as a batch
+    DataFrame. Test/driver harness plumbing — production sinks are
+    ``writeStream.format("parquet"/"kafka"/...)``."""
+    name = f"__stream_sink_{next(_sink_counter)}"
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        query.stop()
+    return result.sparkSession.table(name)
