@@ -17,6 +17,7 @@ from pyblazing_spark.plans import (  # noqa: E402,F401
     joins,
     llm,
     multimodal,
+    nested,
     setops,
     streaming,
     tpch,

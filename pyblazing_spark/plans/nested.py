@@ -1,0 +1,227 @@
+"""Nested-query and CTE parity suite, mirroring the reference's
+``nestedQueriesSuite.yaml`` and ``commonTableExpressionsSuite.yaml``
+(SURVEY.md §5). The reference relies on Calcite to decorrelate every
+subquery into joins before its engine sees the plan (SURVEY.md §2.2);
+Spark's Catalyst does the same (RewriteCorrelatedScalarSubquery,
+RewritePredicateSubquery), so the DataFrame forms below spell out the
+decorrelated plan explicitly while the oracle states the subquery form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.plans.tpch import money, ratio, ts
+from pyblazing_spark.sources.tables import load_table as T
+
+
+@register(
+    "nested_in",
+    tags=("nested", "in", "semi"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) -> left_semi join (null-free key, so semantics are
+    exactly semi-join)."""
+    od = T(spark, sf_dir, "orders").where(F.col("o_orderdate") >= ts("1997-01-01"))
+    cu = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        od.join(cu, od.o_custkey == cu.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), money(F.sum("o_totalprice")).alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "nested_not_in",
+    tags=("nested", "in", "anti"),
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 300000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def nested_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) -> left_anti join. NOTE: o_custkey is non-null
+    in this schema, so anti-join equals NOT IN; with nullable keys SQL
+    NOT IN would need the null-aware variant (Spark plans
+    NullAwareAntiJoin automatically for the SQL form)."""
+    cu = T(spark, sf_dir, "customer")
+    big = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        cu.join(big, cu.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "nested_scalar_select",
+    tags=("nested", "scalar-subquery"),
+    oracle="""
+SELECT c_mktsegment,
+       round(avg(c_acctbal), 4) AS seg_avg,
+       round(avg(c_acctbal) - (SELECT avg(c_acctbal) FROM customer), 4)
+           AS delta_vs_global
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def nested_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in the SELECT list -> one-row
+    broadcast cross join."""
+    cu = T(spark, sf_dir, "customer")
+    glob = cu.agg(F.avg("c_acctbal").alias("g"))
+    return (
+        cu.groupBy("c_mktsegment")
+        .agg(F.avg("c_acctbal").alias("a"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "c_mktsegment",
+            ratio(F.col("a")).alias("seg_avg"),
+            ratio(F.col("a") - F.col("g")).alias("delta_vs_global"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "nested_correlated_scalar",
+    tags=("nested", "scalar-subquery", "correlated"),
+    oracle="""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = customer.c_nationkey)
+ORDER BY c_custkey
+""",
+)
+def nested_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above-nation-average customers) ->
+    decorrelated per-key aggregate joined back on the correlation key."""
+    cu = T(spark, sf_dir, "customer")
+    per_nation = cu.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.avg("c_acctbal").alias("nation_avg")
+    )
+    return (
+        cu.join(F.broadcast(per_nation), cu.c_nationkey == F.col("nk"))
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", money(F.col("c_acctbal")).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "nested_derived_table",
+    tags=("nested", "from-subquery"),
+    oracle="""
+SELECT band, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+FROM (SELECT o_totalprice,
+             CASE WHEN o_totalprice < 50000 THEN 'low'
+                  WHEN o_totalprice < 200000 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01') t
+GROUP BY band
+ORDER BY band
+""",
+)
+def nested_derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a derived table (inline FROM subquery)."""
+    od = T(spark, sf_dir, "orders").where(F.col("o_orderdate") >= ts("1996-01-01"))
+    banded = od.select(
+        "o_totalprice",
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), ratio(F.avg("o_totalprice")).alias("avg_price"))
+        .orderBy("band")
+    )
+
+
+@register(
+    "nested_cte_chain",
+    tags=("nested", "cte"),
+    oracle="""
+WITH seg AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0),
+ big AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000),
+ joined AS (
+  SELECT c_mktsegment, o_totalprice FROM seg JOIN big ON c_custkey = o_custkey)
+SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM joined
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def nested_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three chained CTEs (commonTableExpressionsSuite shape) — in the
+    DataFrame API a CTE is simply a named intermediate DataFrame; Catalyst
+    inlines and optimizes across the chain exactly like WITH."""
+    seg = T(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    big = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000).select(
+        "o_custkey", "o_totalprice"
+    )
+    joined = seg.join(big, seg.c_custkey == big.o_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), money(F.sum("o_totalprice")).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "nested_sql_form",
+    tags=("nested", "sql", "correlated"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def nested_sql_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same correlated EXISTS, but via ``spark.sql`` on registered
+    views — proving the SQL entry point (BlazingContext.sql path) plans
+    subqueries natively (RewritePredicateSubquery -> left semi)."""
+    from pyblazing_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+          AND o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

@@ -471,3 +471,299 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "tpch_q7",
+    tags=("join", "broadcast", "aggregate", "datetime"),
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name IN ('NATION_1','NATION_2','NATION_3')
+        AND n2.n_name IN ('NATION_4','NATION_5','NATION_6'))
+       OR (n1.n_name IN ('NATION_4','NATION_5','NATION_6')
+        AND n2.n_name IN ('NATION_1','NATION_2','NATION_3')))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (TPCHSuite Q7 shape; the
+    disjunctive two-nation predicate exercises join-condition pushdown).
+
+    Scale: both nation copies broadcast; the disjunction filters AFTER the
+    two cheap dimension joins, so the fact shuffles are only
+    lineitem x orders (orderkey) and orders x customer (custkey).
+    """
+    su = F.broadcast(T(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") <= ts("1997-12-31"))
+    )
+    od = T(spark, sf_dir, "orders")
+    cu = T(spark, sf_dir, "customer")
+    grp_a = ("NATION_1", "NATION_2", "NATION_3")
+    grp_b = ("NATION_4", "NATION_5", "NATION_6")
+    pair = (
+        F.col("supp_nation").isin(*grp_a) & F.col("cust_nation").isin(*grp_b)
+    ) | (F.col("supp_nation").isin(*grp_b) & F.col("cust_nation").isin(*grp_a))
+    return (
+        li.join(su, F.col("l_suppkey") == su.s_suppkey)
+        .join(od, F.col("l_orderkey") == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(n1, su.s_nationkey == F.col("n1_key"))
+        .join(n2, cu.c_nationkey == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(money(F.sum(_revenue())).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8",
+    tags=("join", "broadcast", "aggregate", "case"),
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1
+ORDER BY o_year
+""",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (Q8 shape): conditional aggregation ratio
+    over an 8-table join.
+
+    Scale: part is filtered on p_type before the join (pushdown), then the
+    join order runs fact-to-fact on orderkey/custkey with every dimension
+    broadcast; the CASE ratio is a single pass of partial aggregation.
+    """
+    pa = T(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    su = F.broadcast(T(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")))
+    n2 = F.broadcast(T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")))
+    re = F.broadcast(T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") <= ts("1997-12-31"))
+    )
+    cu = T(spark, sf_dir, "customer")
+    vol = _revenue()
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        .join(su, F.col("l_suppkey") == su.s_suppkey)
+        .join(od, F.col("l_orderkey") == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(n1, cu.c_nationkey == F.col("n1_key"))
+        .join(re, F.col("n1_region") == re.r_regionkey)
+        .join(n2, su.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            ratio(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q13",
+    tags=("join", "outer", "aggregate"),
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (Q13 shape; the reference filters
+    o_comment, which TESTDATA drops — o_orderpriority stands in).
+
+    Scale: LEFT join keeps zero-order customers; count(o_orderkey) counts
+    only matches. Two aggregations, the second on a tiny domain.
+    """
+    cu = T(spark, sf_dir, "customer")
+    od = T(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q15",
+    tags=("join", "subquery", "aggregate"),
+    oracle="""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (Q15 shape): CTE revenue view + scalar-max subquery.
+
+    Scale: the revenue aggregate shuffles once on suppkey; the scalar max
+    is a one-row broadcast, so the final filter is map-side.
+    """
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1996-04-01"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(money(F.sum(_revenue())).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    su = T(spark, sf_dir, "supplier")
+    return (
+        su.join(rev, su.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17",
+    tags=("join", "subquery", "correlated", "aggregate"),
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_size = 5
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17): correlated scalar subquery,
+    decorrelated into a per-part average joined back.
+
+    Scale: this is the textbook decorrelation — the same rewrite Calcite
+    did for the reference (SURVEY.md §2.2). The per-part avg aggregates
+    lineitem once on partkey; both sides then co-shuffle on partkey.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    pa = F.broadcast(
+        T(spark, sf_dir, "part").where((F.col("p_brand") == "Brand#3") & (F.col("p_size") == 5))
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        li.join(pa, F.col("l_partkey") == pa.p_partkey)
+        .join(per_part, F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(money(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q21",
+    tags=("join", "exists", "anti", "aggregate", "topk"),
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (Q21 shape; l_returnflag='R'
+    stands in for the receipt>commit lateness test — TESTDATA has no
+    commit/receipt dates).
+
+    Scale: the EXISTS/NOT EXISTS pair becomes left_semi + left_anti joins
+    on l_orderkey with non-equi side conditions — three co-partitioned
+    shuffles of lineitem on orderkey, no cross products.
+    """
+    su = F.broadcast(T(spark, sf_dir, "supplier"))
+    od = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = T(spark, sf_dir, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(od, F.col("l1.l_orderkey") == od.o_orderkey)
+        .join(su, F.col("l1.l_suppkey") == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
