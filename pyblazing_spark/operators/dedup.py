@@ -221,11 +221,15 @@ def minhash_dedup(
 
 
 # ------------------------------------------------------------- simhash
-def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash int) — 32-bit SimHash from per-token xxhash64 bits.
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash int) — ``bits``-wide SimHash from per-token xxhash64
+    bits (64 default: on corpora with heavy shared vocabulary, 32 bits
+    saturate — hamming<=3 then matches ~10% of all pairs).
 
-    Explode distinct tokens, one row per token; 32 conditional sums in a
-    single aggregation (bit-majority); reassemble the signature. One
+    Explode distinct tokens, one row per token; ``bits`` conditional sums
+    in a single aggregation (bit-majority); reassemble the signature. One
     shuffle on id."""
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(TXT.tokens(F.col(text_col)))).alias("__t")
@@ -234,13 +238,21 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.sum(
             F.when(F.shiftrightunsigned(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"__b{j}")
-        for j in range(32)
+        for j in range(bits)
     ]
     maj = tok.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
-    for j in range(32):
-        sig = sig + F.when(F.col(f"__b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    for j in range(bits):
+        # 1 << 63 overflows signed long in Python-literal form; build the
+        # sign bit via a shift expression instead.
+        bit = F.shiftleft(F.lit(1).cast("long"), j)
+        sig = sig + F.when(F.col(f"__b{j}") > 0, bit).otherwise(F.lit(0).cast("long"))
     return maj.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit variant (kept for API parity; prefer 64-bit :func:`simhash`)."""
+    return simhash(df, text_col, id_col, bits=32)
 
 
 def simhash_pairs(
@@ -248,15 +260,16 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Pigeonhole: split 32 bits into max_hamming+1 chunks; any pair within
+    Pigeonhole: split the bits into max_hamming+1 chunks; any pair within
     distance d agrees on >=1 chunk — join only on chunk equality, then
     verify with xor bit_count (exact)."""
     chunks = max_hamming + 1
-    width = 32 // chunks
-    sig = simhash32(df, text_col, id_col)
+    width = bits // chunks
+    sig = simhash(df, text_col, id_col, bits=bits)
     exploded = sig.select(
         id_col,
         "simhash",
@@ -352,7 +365,7 @@ def embedding_pairs(
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", VEC.cosine(F.col("__va"), F.col("__vb")))
+        .withColumn("cos", VEC.cosine_udf(F.col("__va"), F.col("__vb")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )

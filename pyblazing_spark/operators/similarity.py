@@ -2,24 +2,35 @@
 
 Two paths (BASELINE.json north-star):
 
-- **Brute-force cosine top-k** — exact baseline. Queries broadcast
-  (they're small by construction); the corpus streams through one
-  projection + per-partition top-k (window over a bounded key set).
-- **Random-hyperplane LSH ANN** — the scale path. A fixed, seeded set of
-  hyperplanes (driver-side numpy, shipped as literals — a few KB) maps
-  each vector to a bit signature; banded buckets prune the candidate set,
-  exact cosine re-ranks. Recall is tunable via bits/bands (unit-tested
+- **Brute-force cosine top-k** — exact baseline. The (small, by
+  contract) query set is collected to a numpy matrix and shipped in the
+  kernel closure; the corpus streams through ``mapInPandas``, each Arrow
+  batch scoring ALL queries with one matrix multiply and emitting only
+  its per-batch top-k — so the shuffle carries k rows per (query,
+  batch), never the full score matrix. A final window picks the global
+  top-k. This is the standard distributed brute-force ANN shape.
+- **Random-hyperplane LSH ANN** — the scale path. A fixed, seeded set
+  of hyperplanes maps each vector to banded bucket ints (one numpy
+  matmul per batch); bucket-equality joins prune candidates; exact
+  cosine re-ranks. Recall is tunable via bits/bands (unit-tested
   against the brute-force baseline).
 
-At 100 TB: hyperplane_buckets is a map-only projection; the join is
-bucket-equality (shuffle on small ints); only candidates pay the exact
-cosine. An IVF variant would replace the hyperplanes with k-means
-centroids — same plan shape.
+At 100 TB: both corpus passes are map-only projections; joins shuffle
+only small ints + ids; candidate pairs alone pay the exact cosine.
+An IVF variant would replace the hyperplanes with k-means centroids —
+same plan shape.
+
+Determinism: ranking orders by (cos rounded to 4 dp DESC, neighbor_id)
+everywhere INCLUDING the per-batch prune, so float noise and batch
+boundaries cannot flip ranks vs a single-node oracle.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -36,20 +47,42 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector by cosine similarity.
 
-    Result: (query_id, neighbor_id, cos, rank). Ordering ties are broken
-    by neighbor id for determinism (cos rounded to 4 dp first, so
-    float-noise cannot reorder ranks across engines)."""
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-        )
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    scored = q.crossJoin(c).select(
-        "query_id",
-        "neighbor_id",
-        F.round(VEC.cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
-    )
+    Result: (query_id, neighbor_id, cos, rank). ``queries`` must be small
+    (it is collected to the driver and broadcast in the kernel closure —
+    the reference pattern for "few probes vs huge corpus").
+    """
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], "query_id bigint, neighbor_id bigint, cos double, rank int")
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            S = Cn @ Qn.T  # (batch, n_queries)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_cos = [], [], []
+            for j in range(S.shape[1]):
+                s = np.round(S[:, j], 4)
+                # per-batch prune by the FINAL ordering key (-cos, id) so
+                # a batch-dropped candidate is dominated globally too.
+                order = np.lexsort((ids, -s))[:k]
+                out_q.extend([qids[j]] * len(order))
+                out_id.extend(ids[order])
+                out_cos.extend(s[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_id, "cos": out_cos}
+            )
+
+    scored = corpus.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(kernel, schema="query_id bigint, neighbor_id bigint, cos double")
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -58,22 +91,37 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic random hyperplanes (driver-side, shipped as literals)."""
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (driver-side, shipped in the UDF
+    closure — a few KB)."""
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_bits, dim)).tolist()
+    return rng.standard_normal((n_bits, dim))
 
 
-def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-dot-product bit per hyperplane -> array<int>."""
-    return F.array(
-        *[
-            F.when(
-                VEC.dot(vec, F.array(*[F.lit(float(x)) for x in plane])) >= 0, 1
-            ).otherwise(0)
-            for plane in planes
-        ]
-    )
+def bucket_ints(
+    vec: Column, planes: np.ndarray, bands: int
+) -> Column:
+    """array<int>: per-band bucket id — the band's sign-bit slice packed
+    big-endian. One numpy matmul per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_bits = planes.shape[0]
+    width = n_bits // bands
+    P = planes.T  # (dim, n_bits)
+    pows = 2 ** np.arange(width - 1, -1, -1)
+
+    @pandas_udf("array<int>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        bits = (V @ P >= 0).astype(np.int64)  # (n, n_bits)
+        packed = np.stack(
+            [bits[:, b * width : (b + 1) * width] @ pows for b in range(bands)], axis=1
+        ).astype(np.int32)
+        return pd.Series(list(packed))
+
+    return _buckets(vec)
 
 
 def hyperplane_buckets(
@@ -84,22 +132,12 @@ def hyperplane_buckets(
     bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Append (band, bucket) rows: one row per band, bucket = the band's
-    bit-slice packed to an int. Map-only (no shuffle)."""
+    """Append (band, bucket) rows: one row per band. Map-only (no
+    shuffle); the numpy kernel computes all bands in one matmul."""
     planes = _hyperplanes(dim, n_bits, seed)
-    bits = signature_bits(F.col(vec_col), planes)
-    width = n_bits // bands
-    buckets = F.array(
-        *[
-            F.aggregate(
-                F.slice(bits, b * width + 1, width),
-                F.lit(0),
-                lambda acc, x: acc * 2 + x,
-            )
-            for b in range(bands)
-        ]
+    return df.select(
+        "*", F.posexplode(bucket_ints(F.col(vec_col), planes, bands)).alias("band", "bucket")
     )
-    return df.select("*", F.posexplode(buckets).alias("band", "bucket"))
 
 
 def lsh_ann_topk(
@@ -139,7 +177,7 @@ def lsh_ann_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(VEC.cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+        F.round(VEC.cosine_udf(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (

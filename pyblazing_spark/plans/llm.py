@@ -259,7 +259,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # xxhash64-based; unit-tested (hamming symmetry, self-0).
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-32 near-dup pairs at hamming <= 3 via banded pigeonhole."""
+    """SimHash-64 near-dup pairs at hamming <= 3 via banded pigeonhole
+    (64-bit: 32 bits saturate on shared-vocabulary corpora)."""
     docs = T(spark, sf_dir, "documents")
     return DD.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
