@@ -1,0 +1,117 @@
+"""BlazingContext API parity tests (reference context.py surface:
+create/drop/list/describe, sql eager + async token modes, explain,
+log, config_options, filesystem registration, memory introspection,
+deprecated partition)."""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyblazing_spark.context import BlazingContext
+from pyblazing_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bc(spark, sf_dir):
+    ctx = BlazingContext(spark=spark)
+    ctx.create_table("li_ctx", f"{sf_dir}/lineitem.parquet")
+    ctx.create_table("na_ctx", f"{sf_dir}/nation.parquet")
+    yield ctx
+    for t in list(ctx.list_tables()):
+        ctx.drop_table(t)
+
+
+def test_lazy_default_and_eager_mode(bc):
+    lazy = bc.sql("SELECT count(*) AS n FROM li_ctx")
+    assert isinstance(lazy, DataFrame)
+    eager = bc.sql("SELECT count(*) AS n FROM li_ctx", eager=True)
+    assert isinstance(eager, pd.DataFrame)
+    assert int(eager["n"].iloc[0]) == lazy.collect()[0].n
+
+
+def test_async_token_status_fetch(bc):
+    tok = bc.sql("SELECT l_returnflag, count(*) AS n FROM li_ctx GROUP BY 1", return_token=True)
+    assert isinstance(tok, int)
+    deadline = time.time() + 120
+    while not bc.status(tok):
+        assert time.time() < deadline, "async query never finished"
+        time.sleep(0.1)
+    result = bc.fetch(tok)
+    assert isinstance(result, pd.DataFrame) and len(result) >= 1
+    # token is consumed
+    with pytest.raises(KeyError):
+        bc.fetch(tok)
+
+
+def test_catalog_roundtrip(bc, sf_dir):
+    bc.create_table("tmp_cat", f"{sf_dir}/region.parquet")
+    assert "tmp_cat" in bc.list_tables()
+    desc = bc.describe_table("tmp_cat")
+    assert desc["r_regionkey"] == "int" and desc["r_name"] == "string"
+    bc.drop_table("tmp_cat")
+    assert "tmp_cat" not in bc.list_tables()
+    with pytest.raises(ValueError):
+        bc.describe_table("tmp_cat")
+    with pytest.raises(ValueError):
+        bc.drop_table("tmp_cat")
+
+
+def test_explain_modes(bc):
+    simple = bc.explain("SELECT n_name FROM na_ctx WHERE n_nationkey < 5")
+    detail = bc.explain("SELECT n_name FROM na_ctx WHERE n_nationkey < 5", detail=True)
+    assert "Physical Plan" in simple or "Scan" in simple
+    assert "PushedFilters" in detail
+
+
+def test_log_records_queries(bc):
+    before = bc.log().count()
+    bc.sql("SELECT 1 AS one").collect()
+    log = bc.log()
+    assert log.count() >= before + 1
+    cols = set(log.columns)
+    assert {"query", "duration_ms", "status"} <= cols
+    # log is itself SQL-queryable (reference bsql_logs semantics)
+    slow = bc.log("SELECT query FROM bsql_logs WHERE duration_ms >= 0")
+    assert slow.count() >= 1
+
+
+def test_config_options_translate(bc):
+    bc.sql("SELECT 1 AS one", config_options={"MAX_KERNEL_RUN_THREADS": 8})
+    # unknown keys are ignored (reference behavior), no raise:
+    bc.sql("SELECT 1 AS one", config_options={"NOT_A_REAL_OPTION": 1})
+
+
+def test_memory_introspection(bc):
+    free = bc.get_free_memory()
+    assert isinstance(free, dict) and all(v >= 0 for v in free.values())
+    used = bc.get_max_memory_used()
+    assert isinstance(used, dict)
+
+
+def test_partition_deprecated_passthrough(bc, spark, sf_dir):
+    df = load_table(spark, sf_dir, "nation")
+    out = bc.partition(df, by=["n_regionkey"])
+    assert out.count() == df.count()
+
+
+def test_filesystem_registration_noops(bc, tmp_path):
+    bc.localfs("local1")
+    bc.s3("bucket1", bucket_name="b")
+    bc.gs("gcs1", project_id="p")
+    bc.hdfs("h1", host="localhost", port=8020)
+
+
+def test_sql_joins_registered_tables(bc):
+    out = bc.sql(
+        """
+        SELECT n_name, count(*) AS n
+        FROM na_ctx JOIN li_ctx ON n_nationkey = l_suppkey % 25
+        GROUP BY n_name ORDER BY n LIMIT 5
+        """
+    )
+    assert out.count() == 5
