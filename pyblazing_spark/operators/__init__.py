@@ -2,4 +2,4 @@
 similarity search. Each is a function DataFrame -> DataFrame, designed for
 100 TB inputs (no collect, no cross join without a pre-filter)."""
 
-from pyblazing_spark.operators import dedup, multimodal, similarity  # noqa: F401
+from pyblazing_spark.operators import dedup, multimodal, similarity, skew  # noqa: F401

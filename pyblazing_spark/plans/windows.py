@@ -336,3 +336,35 @@ def win_multi_over(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(300)
     )
+
+
+@register(
+    "win_ntile_pct",
+    tags=("window", "ranking"),
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER w                        AS quartile,
+       round(percent_rank() OVER w + 1e-9, 4) AS pct_rank,
+       round(cume_dist() OVER w + 1e-9, 4)    AS cume
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+LIMIT 500
+""",
+)
+def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / PERCENT_RANK / CUME_DIST — all absent from the reference
+    (SURVEY.md §2.4 limitations), native in Spark."""
+    od = T(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w) + 1e-9, 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w) + 1e-9, 4).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
