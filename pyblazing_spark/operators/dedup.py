@@ -316,11 +316,21 @@ def ngram_jaccard_pairs(
     Exact (no hashing) — use on bounded candidate sets; cost is
     sum(bucket^2) over shingle buckets, so hot shingles explode. The
     MinHash path above is the 100 TB variant.
+
+    Shingles are produced row-wise (explode positions, then substring)
+    rather than as array expressions — same InferFiltersFromGenerate
+    pitfall as the MinHash path (see :func:`_hashed_shingle_rows`).
     """
-    sh = df.select(
+    pos = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(TXT.char_shingles(F.col(text_col), n))).alias("__s"),
+        F.col(text_col).alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(text_col) - F.lit(n - 1)))
+        ).alias("__i"),
     )
+    sh = pos.select(
+        id_col, F.col("__t").substr(F.col("__i"), F.lit(n)).alias("__s")
+    ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

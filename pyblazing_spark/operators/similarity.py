@@ -140,6 +140,96 @@ def hyperplane_buckets(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 3,
+    sample_fraction: float = 0.1,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample — builds the
+    IVF coarse quantizer. At 100 TB a 0.1-1% sample (bounded by
+    ``sample_fraction``) is statistically plenty for 2^4-2^12 centroids;
+    the iterations run in numpy on the driver, never on the cluster."""
+    sample = df.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(100_000)
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample.collect()])
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iterations):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def centroid_assign(vec: Column, centroids: np.ndarray, nprobe: int = 1) -> Column:
+    """array<int>: ids of the ``nprobe`` nearest centroids (numpy matmul
+    per Arrow batch — the IVF assignment kernel)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids
+    Cn2 = (C**2).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        # squared L2 to every centroid: |v|^2 - 2 v.c + |c|^2 (|v|^2 constant per row)
+        d = Cn2[None, :] - 2.0 * (V @ C.T)
+        idx = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return _assign(vec)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer -> corpus rows in
+    their nearest centroid's list, queries probe ``nprobe`` lists ->
+    exact cosine re-rank of list members only.
+
+    Same plan shape as LSH (map-only assignment, int-key join, re-rank)
+    with data-adaptive buckets; recall rises with nprobe (exact at
+    nprobe = n_centroids). Unit-tested against the brute-force baseline.
+    """
+    cents = kmeans_centroids(corpus.select(vec_col), vec_col, n_centroids)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.explode(centroid_assign(F.col(vec_col), cents, nprobe=1)).alias("list_id"),
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(centroid_assign(F.col(vec_col), cents, nprobe=nprobe)).alias("list_id"),
+    )
+    cand = qb.join(cb, "list_id").select("query_id", "neighbor_id", "__qv", "__cv").distinct()
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(VEC.cosine_udf(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -333,3 +333,21 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     return SIM.lsh_ann_topk(corpus, queries, k=5, query_id_col="query_id")
+
+
+@register(
+    "ann_ivf",
+    tags=("llm", "ann", "ivf"),
+    oracle=None,  # approximate by construction (data-adaptive k-means
+    # lists); recall + exact-at-full-probe asserted in tests/test_llm_ops.py.
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (k-means coarse quantizer, nprobe=4 of 16 lists,
+    exact cosine re-rank) — the data-adaptive scale path for similarity
+    search."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return SIM.ivf_ann_topk(corpus, queries, k=5, n_centroids=16, nprobe=4)

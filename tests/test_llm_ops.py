@@ -101,3 +101,36 @@ def test_exact_dedup_idempotent(spark, sf_dir):
     # representatives are minimal ids per fingerprint
     clusters = DD.duplicate_clusters(docs)
     assert clusters.where(F.col("keep_id").isNull()).count() == 0
+
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF-ANN with nprobe=4/16 centroids should beat LSH-style recall
+    floors on the same data; scores for shared pairs must match brute
+    force exactly (the re-rank is exact cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    exact = SIM.cosine_topk(corpus, queries, k=5).collect()
+    approx = SIM.ivf_ann_topk(corpus, queries, k=5, n_centroids=16, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    exact_scores = {(r.query_id, r.neighbor_id): r.cos for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cos) < 1e-6
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """nprobe == n_centroids probes every list -> must equal brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 3)
+    exact = {(r.query_id, r.neighbor_id, r.rank) for r in SIM.cosine_topk(corpus, queries, k=5).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rank) for r in SIM.ivf_ann_topk(
+        corpus, queries, k=5, n_centroids=8, nprobe=8).collect()}
+    assert full == exact
