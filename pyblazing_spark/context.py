@@ -78,6 +78,7 @@ class BlazingContext:
         self.spark = ensure_runtime_confs(spark) if spark is not None else get_spark()
         self.eager = eager
         self._tables: dict[str, _TableEntry] = {}
+        self._filesystems: dict[str, str] = {}
         self._log: list[_LogEntry] = []
         self._token_counter = itertools.count(1)
         self._pending: dict[int, Future] = {}
@@ -104,7 +105,7 @@ class BlazingContext:
         path(s) -> per-format reader with kwarg translation; in-memory
         frames -> direct registration; ``from_sql`` kwargs -> JDBC.
         """
-        df, source, paths = read_source(self.spark, input, **kwargs)
+        df, source, paths = read_source(self.spark, self._resolve_paths(input), **kwargs)
         df.createOrReplaceTempView(table_name)
         self._tables[table_name] = _TableEntry(
             name=table_name, df=df, source=source, paths=paths, kwargs=kwargs
@@ -209,11 +210,29 @@ class BlazingContext:
         return self.spark.sql(query)
 
     # ------------------------------------------------------- filesystems
-    def localfs(self, prefix: str, **kwargs: Any) -> None:
-        """No-op: local paths are always readable (parity shim, :1695)."""
+    # Reference model (context.py:1695-1827): register a filesystem under a
+    # named prefix; table paths using that prefix route to it. We keep a
+    # prefix -> base-URI map consulted by create_table, and NEVER touch
+    # fs.defaultFS — changing the session default would reroute every
+    # relative path of every other table in the shared SparkSession.
+
+    def _resolve_paths(self, paths: Any) -> Any:
+        if isinstance(paths, str):
+            for prefix, base in self._filesystems.items():
+                token = f"{prefix}://"
+                if paths.startswith(token):
+                    return base + paths[len(token):]
+            return paths
+        if isinstance(paths, (list, tuple)):
+            return [self._resolve_paths(p) for p in paths]
+        return paths
+
+    def localfs(self, prefix: str, root: str = "", **kwargs: Any) -> None:
+        """Register a local-path prefix (reference :1695)."""
+        self._filesystems[prefix] = f"file://{root}" if root else "file://"
 
     def s3(self, prefix: str, bucket_name: str = "", **kwargs: Any) -> None:
-        """Register S3 credentials via Hadoop confs (reference :1737-1787)."""
+        """Register S3 credentials + a bucket prefix (reference :1737-1787)."""
         hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
         if "access_key_id" in kwargs:
             hconf.set("fs.s3a.access.key", kwargs["access_key_id"])
@@ -223,21 +242,26 @@ class BlazingContext:
             hconf.set("fs.s3a.session.token", kwargs["session_token"])
         if "endpoint_override" in kwargs and kwargs["endpoint_override"]:
             hconf.set("fs.s3a.endpoint", kwargs["endpoint_override"])
+        self._filesystems[prefix] = f"s3a://{bucket_name}/" if bucket_name else "s3a://"
 
-    def gs(self, prefix: str, project_id: str = "", **kwargs: Any) -> None:
-        """Register GCS options (reference :1789-1827)."""
+    def gs(self, prefix: str, project_id: str = "", bucket_name: str = "", **kwargs: Any) -> None:
+        """Register GCS options + a bucket prefix (reference :1789-1827)."""
         hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
         if project_id:
             hconf.set("fs.gs.project.id", project_id)
         if kwargs.get("use_default_adc_json_keyfile_path"):
             hconf.set("google.cloud.auth.service.account.json.keyfile",
                       str(kwargs["use_default_adc_json_keyfile_path"]))
+        self._filesystems[prefix] = f"gs://{bucket_name}/" if bucket_name else "gs://"
 
     def hdfs(self, prefix: str, host: str = "", port: int = 8020, **kwargs: Any) -> None:
-        """Register an HDFS namenode (reference :1704-1735)."""
+        """Register an HDFS namenode under a prefix (reference :1704-1735).
+
+        Fully-qualified ``hdfs://host:port/...`` paths work in Spark with
+        no registration at all; this exists so ``<prefix>://path`` table
+        paths resolve like the reference's."""
         if host:
-            hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
-            hconf.set("fs.defaultFS", f"hdfs://{host}:{port}")
+            self._filesystems[prefix] = f"hdfs://{host}:{port}/"
 
     # ------------------------------------------------------------- memory
     def get_free_memory(self) -> dict[int, int]:

@@ -145,7 +145,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_daily_active",
     tags=("events", "distinct", "datetime"),
     oracle="""
-SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+SELECT date_trunc('day', ts) AS day,
        count(DISTINCT user_id) AS dau,
        count(*) AS n_events,
        round(avg(value), 4) AS avg_value
@@ -159,7 +159,7 @@ def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users (distinct count per time bucket)."""
     ev = T(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
             F.countDistinct("user_id").alias("dau"),
             F.count(F.lit(1)).alias("n_events"),

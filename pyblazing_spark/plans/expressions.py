@@ -326,8 +326,8 @@ def expr_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("expression", "datetime", "parse"),
     oracle="""
 SELECT n_nationkey,
-       CAST(strptime('2024-03-0' || CAST(n_nationkey % 9 + 1 AS VARCHAR),
-                     '%Y-%m-%d') AS DATE)                      AS parsed_date,
+       strptime('2024-03-0' || CAST(n_nationkey % 9 + 1 AS VARCHAR),
+                '%Y-%m-%d')                                    AS parsed_date,
        strptime('2024/03/15 12:34:56', '%Y/%m/%d %H:%M:%S')    AS parsed_ts,
        strftime(TIMESTAMP '1998-09-02 10:20:30', '%Y|%m|%d')   AS formatted
 FROM nation
@@ -345,7 +345,7 @@ def expr_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return na.select(
         "n_nationkey",
-        F.to_date(daystr, "yyyy-MM-dd").alias("parsed_date"),
+        F.to_timestamp_ntz(daystr, F.lit("yyyy-MM-dd")).alias("parsed_date"),
         F.to_timestamp_ntz(
             F.lit("2024/03/15 12:34:56"), F.lit("yyyy/MM/dd HH:mm:ss")
         ).alias("parsed_ts"),

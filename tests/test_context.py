@@ -99,11 +99,23 @@ def test_partition_deprecated_passthrough(bc, spark, sf_dir):
     assert out.count() == df.count()
 
 
-def test_filesystem_registration_noops(bc, tmp_path):
+def test_filesystem_registration_prefixes(bc, spark, sf_dir):
+    """Registering filesystems maps prefixes for path resolution and must
+    NOT change the session default filesystem (a defaultFS switch would
+    reroute every other table's relative paths)."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    before = hconf.get("fs.defaultFS")
     bc.localfs("local1")
     bc.s3("bucket1", bucket_name="b")
     bc.gs("gcs1", project_id="p")
     bc.hdfs("h1", host="localhost", port=8020)
+    assert hconf.get("fs.defaultFS") == before
+    assert bc._resolve_paths("h1://data/x.parquet") == "hdfs://localhost:8020/data/x.parquet"
+    assert bc._resolve_paths("bucket1://k.parquet") == "s3a://b/k.parquet"
+    # localfs prefix resolves to a readable local URI end-to-end
+    bc.create_table("fs_nation", f"local1://{sf_dir}/nation.parquet")
+    assert bc.table("fs_nation").count() == 25
+    bc.drop_table("fs_nation")
 
 
 def test_sql_joins_registered_tables(bc):
