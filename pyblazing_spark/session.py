@@ -57,22 +57,51 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: GPU execution (the reference's entire C++/cuDF layer) arrives in Spark
+#: as the RAPIDS accelerator plugin — configuration, not code (SURVEY.md
+#: §7.4). Requires the rapids-4-spark jar + GPUs on the cluster; the
+#: declarative DataFrame plans in this package are exactly what the
+#: plugin accelerates (it rewrites supported physical operators to GPU
+#: versions at planning time, falling back per-operator to CPU).
+GPU_CONFS: dict[str, str] = {
+    "spark.plugins": "com.nvidia.spark.SQLPlugin",
+    "spark.rapids.sql.enabled": "true",
+    # Arrow-batched Python UDFs exchange columnar batches with the GPU
+    # plan without a row-format round trip.
+    "spark.rapids.sql.python.gpu.enabled": "true",
+}
+
+
+def build_confs(
+    extra_conf: dict[str, str] | None = None, gpu: bool = False
+) -> dict[str, str]:
+    """The session conf set: defaults + optional GPU plugin + overrides."""
+    confs = dict(BUILD_CONFS)
+    if gpu:
+        confs.update(GPU_CONFS)
+    confs.update(extra_conf or {})
+    return confs
+
+
 def get_spark(
     app_name: str = "pyblazing_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    gpu: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local testing;
     on a cluster, leave it unset and submit through spark-submit/YARN/K8s.
+    ``gpu=True`` adds the RAPIDS accelerator confs (needs the plugin jar
+    on the cluster — not available in this test environment).
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = builder.master(master)
-    for key, value in {**BUILD_CONFS, **(extra_conf or {})}.items():
+    for key, value in build_confs(extra_conf, gpu=gpu).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

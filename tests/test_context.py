@@ -127,3 +127,20 @@ def test_sql_joins_registered_tables(bc):
         """
     )
     assert out.count() == 5
+
+
+def test_gpu_conf_assembly():
+    """gpu=True layers the RAPIDS plugin confs over the defaults without
+    disturbing them (plugin jar not present here, so only the conf dict
+    is asserted — on a GPU cluster the same flag activates acceleration)."""
+    from pyblazing_spark.session import BUILD_CONFS, GPU_CONFS, build_confs
+
+    base = build_confs()
+    assert base == {**BUILD_CONFS}
+    gpu = build_confs(gpu=True)
+    for k, v in GPU_CONFS.items():
+        assert gpu[k] == v
+    for k, v in BUILD_CONFS.items():
+        assert gpu[k] == v
+    custom = build_confs({"spark.sql.shuffle.partitions": "7"}, gpu=True)
+    assert custom["spark.sql.shuffle.partitions"] == "7"
