@@ -27,6 +27,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyblazing_spark.dialect import prepare as _prepare_sql
 from pyblazing_spark.session import ensure_runtime_confs, get_spark
 from pyblazing_spark.sources.files import read_source
 
@@ -146,6 +147,7 @@ class BlazingContext:
         """
         if config_options:
             self._apply_config(config_options)
+        query = _prepare_sql(query)
         started = time.time()
         query_id = next(self._token_counter)
         if return_token:
@@ -187,7 +189,7 @@ class BlazingContext:
 
         ``detail=True`` returns the formatted physical plan (the reference's
         'physical graph' mode)."""
-        df = self.spark.sql(sql)
+        df = self.spark.sql(_prepare_sql(sql))
         mode = "formatted" if detail else "simple"
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             df._jdf.queryExecution(), mode

@@ -1,0 +1,78 @@
+"""Dialect shim: reference (Calcite/MySQL-lex) constructs through
+BlazingContext.sql. Most of the corpus parses unchanged in Spark SQL
+(probed below); TO_DATE/TO_TIMESTAMP format strings are rewritten."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyblazing_spark.context import BlazingContext
+from pyblazing_spark.dialect import prepare, translate_format
+
+
+@pytest.fixture(scope="module")
+def bc(spark):
+    return BlazingContext(spark=spark)
+
+
+def test_format_token_translation():
+    assert translate_format("YYYY-MM-DD") == "yyyy-MM-dd"
+    assert translate_format("YYYY-MM-DD HH24:MI:SS") == "yyyy-MM-dd HH:mm:ss"
+    assert translate_format("%Y/%m/%d %H:%M:%S") == "yyyy/MM/dd HH:mm:ss"
+    # Spark-style patterns pass through untouched
+    assert translate_format("yyyy-MM-dd") == "yyyy-MM-dd"
+
+
+def test_prepare_rewrites_only_datetime_formats():
+    q = "SELECT TO_DATE(col1, 'YYYY-MM-DD') FROM t WHERE s = 'YYYY-MM-DD'"
+    out = prepare(q)
+    assert "TO_DATE(col1, 'yyyy-MM-dd')" in out
+    assert "s = 'YYYY-MM-DD'" in out  # plain literals untouched
+    plain = "SELECT a, b FROM t WHERE c LIKE '%Y%'"
+    assert prepare(plain) == plain
+
+
+def test_calcite_to_date_through_sql(bc):
+    row = bc.sql(
+        "SELECT TO_DATE('2024-03-05', 'YYYY-MM-DD') AS d, "
+        "TO_TIMESTAMP('2024/03/05 12:34:56', '%Y/%m/%d %H:%M:%S') AS ts"
+    ).collect()[0]
+    assert row.d == datetime.date(2024, 3, 5)
+    assert row.ts.hour == 12 and row.ts.second == 56
+
+
+def test_reference_constructs_parse_natively(bc):
+    """The constructs SURVEY.md §7.1 flags as dialect risks — all parse
+    and evaluate in Spark SQL without shimming."""
+    row = bc.sql(
+        """
+        SELECT SUBSTRING('hello world' FROM 2 FOR 3)                    AS sub,
+               TRIM(BOTH 'x' FROM 'xxhixx')                             AS tb,
+               TRIM(LEADING 'x' FROM 'xxhi')                            AS tl,
+               MOD(7, 3)                                                AS m,
+               LOG10(100.0)                                             AS lg,
+               DAYOFWEEK(DATE '2024-01-07')                             AS dow,
+               TIMESTAMPADD(DAY, 3, TIMESTAMP '2024-01-01')             AS ta,
+               TIMESTAMPDIFF(DAY, TIMESTAMP '2024-01-01',
+                             TIMESTAMP '2024-02-01')                    AS td,
+               TIMESTAMP '2024-01-01' + INTERVAL '3' DAY                AS il,
+               CAST(42 AS VARCHAR(10))                                  AS vc,
+               CHAR_LENGTH('abc')                                       AS cl,
+               INITCAP('hello world')                                   AS ic
+        """
+    ).collect()[0]
+    assert row.sub == "ell" and row.tb == "hi" and row.tl == "hi"
+    assert row.m == 1 and row.lg == 2.0
+    assert row.dow == 1  # Calcite numbering: Sunday = 1 — matches
+    assert row.td == 31 and row.cl == 3 and row.ic == "Hello World"
+    assert row.vc == "42"
+
+
+def test_integer_division_follows_oracle_not_calcite(bc):
+    """Documented delta: Calcite truncates 7/2 to 3; Spark AND the DuckDB
+    correctness oracle both return 3.5, so we follow them; DIV gives the
+    truncating form."""
+    row = bc.sql("SELECT 7/2 AS frac, 7 DIV 2 AS trunc").collect()[0]
+    assert row.frac == 3.5 and row.trunc == 3
