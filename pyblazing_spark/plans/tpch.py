@@ -767,3 +767,226 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "tpch_q2",
+    tags=("join", "subquery", "correlated", "min"),
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+ best AS (SELECT l_partkey, min(unit_cost) AS best_cost FROM cost GROUP BY l_partkey)
+SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS acctbal,
+       round(unit_cost, 4) AS unit_cost
+FROM part
+JOIN cost ON p_partkey = cost.l_partkey
+JOIN best ON best.l_partkey = cost.l_partkey AND unit_cost = best_cost
+JOIN supplier ON s_suppkey = cost.l_suppkey
+WHERE p_size <= 10 AND p_type = 'ECONOMY'
+ORDER BY acctbal DESC, p_partkey, s_name
+LIMIT 100
+""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (Q2 shape; the partsupp cost table is absent
+    from TESTDATA, so unit cost derives from lineitem — the correlated
+    min-subquery structure is identical).
+
+    Scale: per-(part,supplier) then per-part aggregates co-shuffle on
+    partkey; the filtered part dimension broadcasts into the final join.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    pa = F.broadcast(
+        T(spark, sf_dir, "part").where((F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY"))
+    )
+    su = F.broadcast(T(spark, sf_dir, "supplier"))
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("bp_key")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        pa.join(cost, pa.p_partkey == cost.l_partkey)
+        .join(best, (F.col("bp_key") == cost.l_partkey) & (F.col("unit_cost") == F.col("best_cost")))
+        .join(su, su.s_suppkey == cost.l_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_name",
+            money(F.col("s_acctbal")).alias("acctbal"),
+            ratio(F.col("unit_cost")).alias("unit_cost"),
+        )
+        .orderBy(F.desc("acctbal"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9",
+    tags=("join", "aggregate", "datetime"),
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.1) + 1e-4, 2) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (Q9 shape; ps_supplycost is absent — a 10%
+    retail-price proxy keeps the profit-expression structure).
+
+    Scale: the LIKE-filtered part broadcasts; profit is a single-pass
+    conditional expression inside partial aggregation.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    pa = F.broadcast(T(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")))
+    su = F.broadcast(T(spark, sf_dir, "supplier"))
+    na = F.broadcast(T(spark, sf_dir, "nation"))
+    od = T(spark, sf_dir, "orders")
+    profit = _revenue() - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    return (
+        li.join(pa, F.col("l_partkey") == pa.p_partkey)
+        .join(su, F.col("l_suppkey") == su.s_suppkey)
+        .join(od, F.col("l_orderkey") == od.o_orderkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit) + 1e-4, 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11",
+    tags=("aggregate", "subquery", "having"),
+    oracle="""
+WITH val AS (
+  SELECT s_nationkey, l_partkey,
+         sum(l_extendedprice * l_quantity) AS part_value
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY s_nationkey, l_partkey)
+SELECT l_partkey AS p_key, round(part_value, 2) AS part_value
+FROM val
+WHERE s_nationkey = 3
+  AND part_value > (SELECT sum(part_value) * 0.001 FROM val WHERE s_nationkey = 3)
+ORDER BY part_value DESC, p_key
+LIMIT 200
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (Q11 shape): per-part value vs a
+    global-share scalar subquery within one nation.
+
+    Scale: the scalar total is a one-row broadcast over the already-
+    aggregated per-part values — no second pass over lineitem.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    su = F.broadcast(T(spark, sf_dir, "supplier"))
+    val = (
+        li.join(su, F.col("l_suppkey") == su.s_suppkey)
+        .where(F.col("s_nationkey") == 3)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+    )
+    total = val.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_key"), money(F.col("part_value")).alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_key")
+        .limit(200)
+    )
+
+
+@register(
+    "tpch_q16",
+    tags=("join", "anti", "count-distinct"),
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 200
+""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-supplier relationship count (Q16 shape; lineitem is the
+    part-supplier bridge, the complaints filter becomes negative-balance
+    suppliers): NOT IN -> anti join + count distinct.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    pa = F.broadcast(
+        T(spark, sf_dir, "part").where(
+            (F.col("p_brand") != "Brand#3") & (F.col("p_size").isin(1, 2, 3, 4, 5))
+        )
+    )
+    bad = T(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(pa, F.col("l_partkey") == pa.p_partkey)
+        .join(bad, F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(200)
+    )
+
+
+@register(
+    "tpch_q20",
+    tags=("join", "semi", "subquery", "correlated"),
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey),
+ heavy AS (
+  SELECT DISTINCT l_suppkey FROM shipped
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%widget%'
+    AND qty > (SELECT avg(qty) * 0.5 FROM shipped))
+SELECT s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+ORDER BY s_name
+""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (Q20 shape): nested IN chains — suppliers
+    who shipped above-average quantities of matching parts in a year
+    (partsupp availability becomes shipped quantity).
+    """
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1997-01-01"))
+    )
+    pa = F.broadcast(T(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")))
+    su = T(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    cutoff = shipped.agg((F.avg("qty") * 0.5).alias("cut"))
+    heavy = (
+        shipped.join(pa, F.col("l_partkey") == pa.p_partkey)
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("qty") > F.col("cut"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(heavy, su.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", money(F.col("s_acctbal")).alias("acctbal"))
+        .orderBy("s_name")
+    )
