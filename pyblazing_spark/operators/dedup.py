@@ -136,11 +136,14 @@ def _hashed_shingle_rows(
             )
         ).alias("__i"),
     )
+    # try_element_at: docs shorter than the shingle width hash their
+    # partial window (plain element_at throws under ANSI for the
+    # out-of-range positions).
     return win.select(
         id_col,
         F.xxhash64(
             *[
-                F.element_at(F.col("__toks"), (F.col("__i") + F.lit(j + 1)).cast("int"))
+                F.try_element_at(F.col("__toks"), (F.col("__i") + F.lit(j + 1)).cast("int"))
                 for j in range(shingle_words)
             ]
         ).alias("__h"),
