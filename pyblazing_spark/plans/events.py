@@ -168,3 +168,38 @@ def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(400)
     )
+
+
+@register(
+    "events_hopping_window",
+    tags=("events", "window", "hopping"),
+    oracle="""
+SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS win_start,
+       event_type, count(*) AS n
+FROM events JOIN generate_series(0, 1) t(i) ON true
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+LIMIT 500
+""",
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 2-hour windows every 1 hour — each
+    event lands in exactly two windows. Spark's ``window(ts, dur,
+    slide)`` generates the copies; the oracle joins a 0..1 series.
+
+    Scale: the x2 row expansion happens pre-aggregation but map-side
+    partial agg collapses it before any shuffle."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("win_start", "event_type")
+        .limit(500)
+    )
