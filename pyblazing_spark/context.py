@@ -223,7 +223,10 @@ class BlazingContext:
             for prefix, base in self._filesystems.items():
                 token = f"{prefix}://"
                 if paths.startswith(token):
-                    return base + paths[len(token):]
+                    # base always ends with "/" (enforced at registration),
+                    # so the joint can't concatenate into a wrong path or
+                    # let Hadoop read the remainder as a URI authority.
+                    return base + paths[len(token):].lstrip("/")
             return paths
         if isinstance(paths, (list, tuple)):
             return [self._resolve_paths(p) for p in paths]
@@ -231,7 +234,9 @@ class BlazingContext:
 
     def localfs(self, prefix: str, root: str = "", **kwargs: Any) -> None:
         """Register a local-path prefix (reference :1695)."""
-        self._filesystems[prefix] = f"file://{root}" if root else "file://"
+        self._filesystems[prefix] = (
+            f"file://{root.rstrip('/')}/" if root else "file:///"
+        )
 
     def s3(self, prefix: str, bucket_name: str = "", **kwargs: Any) -> None:
         """Register S3 credentials + a bucket prefix (reference :1737-1787)."""

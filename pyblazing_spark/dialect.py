@@ -42,9 +42,8 @@ _FMT_TOKENS: tuple[tuple[str, str], ...] = (
     ("%S", "ss"),
 )
 
-_TO_FN = re.compile(
-    r"(?i)\b(TO_DATE|TO_TIMESTAMP)\s*\(([^,()]+|[^,]*\([^)]*\)[^,]*),\s*'([^']*)'\s*\)"
-)
+_TO_FN_NAME = re.compile(r"(?i)\b(TO_DATE|TO_TIMESTAMP)\s*\(")
+_FMT_LIT = re.compile(r",\s*'([^']*)'\s*$")
 
 
 def translate_format(fmt: str) -> str:
@@ -55,11 +54,57 @@ def translate_format(fmt: str) -> str:
     return fmt
 
 
+def _matching_paren(sql: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at open_idx; -1 if unbalanced.
+    Skips parens inside single-quoted literals."""
+    depth, i, n = 0, open_idx, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # skip string literal ('' is the escaped quote)
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
 def prepare(sql: str) -> str:
     """Rewrite reference-dialect constructs to Spark SQL. Identity for
-    queries that don't use them."""
+    queries that don't use them.
 
-    def _rw(m: re.Match) -> str:
-        return f"{m.group(1)}({m.group(2)}, '{translate_format(m.group(3))}')"
-
-    return _TO_FN.sub(_rw, sql)
+    A paren-matching scan (not a regex over the argument list) finds each
+    TO_DATE/TO_TIMESTAMP call, so arbitrarily nested first arguments —
+    COALESCE(NULLIF(..), ..) etc. — keep their format literal rewritten.
+    """
+    out, pos = [], 0
+    for m in _TO_FN_NAME.finditer(sql):
+        open_idx = m.end() - 1
+        if open_idx < pos:  # inside an already-rewritten span
+            continue
+        close_idx = _matching_paren(sql, open_idx)
+        if close_idx < 0:
+            continue
+        inner = sql[open_idx + 1 : close_idx]
+        lit = _FMT_LIT.search(inner)
+        if lit:
+            # recurse on the argument prefix so nested TO_DATE calls get
+            # their formats rewritten too
+            inner = prepare(inner[: lit.start()]) + f", '{translate_format(lit.group(1))}'"
+        else:
+            inner = prepare(inner)
+        out.append(sql[pos : open_idx + 1])
+        out.append(inner)
+        pos = close_idx
+    out.append(sql[pos:])
+    return "".join(out)

@@ -61,14 +61,34 @@ def cosine_udf(a: Column, b: Column) -> Column:
 
     @pandas_udf("double")
     def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        if len(xs) == 0:
+        n = len(xs)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        X = np.stack(xs.to_numpy())
-        Y = np.stack(ys.to_numpy())
-        num = np.einsum("ij,ij->i", X, Y)
-        den = np.linalg.norm(X, axis=1) * np.linalg.norm(Y, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(num / den)
+        out = np.full(n, np.nan)
+        xv, yv = xs.to_numpy(), ys.to_numpy()
+        # NULL rows or ragged lengths get NaN (matching the expression
+        # tier's NULL) instead of crashing np.stack.
+        lens = [
+            (len(x) if x is not None else -1, len(y) if y is not None else -2)
+            for x, y in zip(xv, yv)
+        ]
+        valid = np.array([lx == ly and lx > 0 for lx, ly in lens])
+        if valid.any():
+            try:
+                X = np.stack(xv[valid])
+                Y = np.stack(yv[valid])
+            except ValueError:  # mixed lengths across valid rows
+                for i in np.flatnonzero(valid):
+                    x, y = np.asarray(xv[i], float), np.asarray(yv[i], float)
+                    if x.shape == y.shape:
+                        d = np.linalg.norm(x) * np.linalg.norm(y)
+                        out[i] = float(x @ y) / d if d else np.nan
+                return pd.Series(out)
+            num = np.einsum("ij,ij->i", X, Y)
+            den = np.linalg.norm(X, axis=1) * np.linalg.norm(Y, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[valid] = num / den
+        return pd.Series(out)
 
     return _cos(a, b)
 

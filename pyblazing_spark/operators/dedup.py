@@ -8,7 +8,7 @@ reference is a pure SQL engine):
 - **MinHash + LSH**: shingle -> k minhashes -> band buckets -> candidate
   pairs -> exact-Jaccard verify. Only band-bucket collisions shuffle as
   pairs; the full n^2 never materializes.
-- **SimHash**: 32-bit signature via per-bit token-hash majority; banded
+- **SimHash**: 64-bit signature via per-bit token-hash majority; banded
   pigeonhole join (hamming<=d implies some band equal), then exact
   hamming via xor bit_count.
 - **n-gram Jaccard**: exact pairwise Jaccard over shared shingles
@@ -62,46 +62,6 @@ def duplicate_clusters(
 
 
 # ------------------------------------------------------------- minhash
-def hashed_shingles(text_col: Column, shingle_words: int = 3) -> Column:
-    """array<bigint>: xxhash64 of each distinct word shingle.
-
-    Hashing shingles to 8-byte ints ONCE up front is the whole perf
-    story: every downstream op (minhash family, Jaccard verify) runs on
-    longs, never re-touching the text."""
-    return F.transform(TXT.word_shingles(text_col, shingle_words), lambda sh: F.xxhash64(sh))
-
-
-def minhash_signature(
-    text_col: Column, num_hashes: int = 32, shingle_words: int = 3
-) -> Column:
-    """array<bigint> of ``num_hashes`` minhashes over word shingles.
-
-    Hash family: xxhash64(shingle_hash, seed_index) — one string hash per
-    shingle, then cheap long-arg rehashes per seed. Deterministic,
-    JVM-side, no Python."""
-    return _signature_from_hashes(hashed_shingles(text_col, shingle_words), num_hashes)
-
-
-def _signature_from_hashes(sh_hashes: Column, num_hashes: int) -> Column:
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(F.transform(sh_hashes, lambda h: F.xxhash64(h, s))),
-    )
-
-
-def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
-    """Hash each band (slice of the signature) to a single bigint —
-    multi-arg xxhash64 over the band's longs, no string round-trip."""
-    return F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.element_at(sig, b * rows + j + 1) for j in range(rows)]
-            )
-            for b in range(bands)
-        ]
-    )
-
-
 def _bucket_pairs(ids: Column) -> Column:
     """All (id_a < id_b) pairs from a sorted id array, as structs."""
     return F.flatten(
@@ -273,18 +233,21 @@ def simhash_pairs(
     chunks = max_hamming + 1
     width = bits // chunks
     sig = simhash(df, text_col, id_col, bits=bits)
+
+    def _chunk(i: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
+        if width >= 64:
+            # max_hamming=0 on 64-bit signatures: the whole signature is
+            # the one chunk ((1<<64)-1 would overflow a long literal).
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     exploded = sig.select(
         id_col,
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    for i in range(chunks)
-                ]
-            )
-        ).alias("__chunk_idx", "__chunk"),
+        F.posexplode(F.array(*[_chunk(i) for i in range(chunks)])).alias(
+            "__chunk_idx", "__chunk"
+        ),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (

@@ -51,11 +51,14 @@ def cosine_topk(
     (it is collected to the driver and broadcast in the kernel closure —
     the reference pattern for "few probes vs huge corpus").
     """
+    q_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"query_id {q_type}, neighbor_id {id_type}, cos double"
     q_rows = queries.select(query_id_col, vec_col).collect()
     if not q_rows:
         spark = corpus.sparkSession
-        return spark.createDataFrame([], "query_id bigint, neighbor_id bigint, cos double, rank int")
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qids = [r[0] for r in q_rows]  # id types pass through untouched
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
 
@@ -82,7 +85,7 @@ def cosine_topk(
 
     scored = corpus.select(
         F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
-    ).mapInPandas(kernel, schema="query_id bigint, neighbor_id bigint, cos double")
+    ).mapInPandas(kernel, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -153,11 +156,19 @@ def kmeans_centroids(
     ``sample_fraction``) is statistically plenty for 2^4-2^12 centroids;
     the iterations run in numpy on the driver, never on the cluster."""
     sample = df.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(100_000)
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample.collect()])
+    rows = sample.collect()
+    if not rows:  # tiny corpus where the sample came back empty
+        rows = df.select(vec_col).limit(n_centroids).collect()
+    if not rows:
+        return np.empty((0, 0))
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    Xn2 = (X**2).sum(axis=1)
     for _ in range(iterations):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # argmin of |x-c|^2 via |x|^2 - 2 x.c + |c|^2: (n, k) instead of
+        # an (n, k, dim) broadcast tensor.
+        d = Xn2[:, None] - 2.0 * (X @ C.T) + (C**2).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         for c in range(len(C)):
             members = X[assign == c]
@@ -206,6 +217,13 @@ def ivf_ann_topk(
     nprobe = n_centroids). Unit-tested against the brute-force baseline.
     """
     cents = kmeans_centroids(corpus.select(vec_col), vec_col, n_centroids)
+    if cents.size == 0:  # empty corpus
+        spark = corpus.sparkSession
+        q_type = dict(queries.dtypes)[query_id_col]
+        id_type = dict(corpus.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"query_id {q_type}, neighbor_id {id_type}, cos double, rank int"
+        )
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -216,7 +234,10 @@ def ivf_ann_topk(
         F.col(vec_col).alias("__qv"),
         F.explode(centroid_assign(F.col(vec_col), cents, nprobe=nprobe)).alias("list_id"),
     )
-    cand = qb.join(cb, "list_id").select("query_id", "neighbor_id", "__qv", "__cv").distinct()
+    # No distinct: corpus rows live in exactly one list (nprobe=1) and a
+    # query's probed lists are distinct, so a pair matches at most once —
+    # a dedup here would only shuffle the full embedding vectors.
+    cand = qb.join(cb, "list_id").select("query_id", "neighbor_id", "__qv", "__cv")
     scored = cand.select(
         "query_id",
         "neighbor_id",

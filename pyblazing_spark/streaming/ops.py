@@ -172,7 +172,12 @@ def run_available_now(
         .start()
     )
     try:
-        query.awaitTermination(timeout_sec)
+        finished = query.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"stream drain did not finish within {timeout_sec}s — "
+                "the memory sink would hold a PARTIAL result"
+            )
     finally:
         query.stop()
     return result.sparkSession.table(name)

@@ -95,3 +95,76 @@ def test_bucket_pairs_yields_all_ordered_pairs(spark, n):
     assert len(out) == n * (n - 1) // 2
     assert all(r.p.id_a < r.p.id_b for r in out)
     assert len({(r.p.id_a, r.p.id_b) for r in out}) == len(out)
+
+
+# ------------------------------------------- review-finding regressions
+def test_cosine_udf_null_and_ragged(spark):
+    from pyblazing_spark.functions import vectors as VEC
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, [1.0, 0.0, 0.0], [0.0, 1.0]),  # ragged pair
+            (4, [0.0, 1.0], [0.0, 1.0]),
+        ],
+        "id bigint, a array<float>, b array<float>",
+    )
+    rows = {r.id: r.c for r in df.select("id", VEC.cosine_udf("a", "b").alias("c")).collect()}
+    assert abs(rows[1] - 1.0) < 1e-9 and abs(rows[4] - 1.0) < 1e-9
+    import math
+
+    assert rows[2] is None or math.isnan(rows[2])
+    assert rows[3] is None or math.isnan(rows[3])
+
+
+def test_ivf_on_empty_corpus(spark, sf_dir):
+    from pyblazing_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.ivf_ann_topk(_empty_vecs(spark), queries, k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "cos", "rank"}
+
+
+def test_cosine_topk_string_ids(spark):
+    from pyblazing_spark.operators import similarity as SIM
+
+    corpus = spark.createDataFrame(
+        [("d1", [1.0, 0.0]), ("d2", [0.0, 1.0]), ("d3", [1.0, 1.0])],
+        "doc bigstring, embedding array<float>".replace("bigstring", "string"),
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "query_id string, embedding array<float>"
+    )
+    out = SIM.cosine_topk(corpus, queries, k=2, id_col="doc")
+    rows = out.collect()
+    assert [r.neighbor_id for r in rows] == ["d1", "d3"]
+    assert all(isinstance(r.query_id, str) for r in rows)
+
+
+def test_simhash_pairs_max_hamming_zero(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pairs = DD.simhash_pairs(docs, max_hamming=0).collect()
+    assert all(p.hamming == 0 for p in pairs)
+
+
+def test_localfs_root_joins_paths(spark, sf_dir):
+    from pyblazing_spark.context import BlazingContext
+
+    bc = BlazingContext(spark=spark)
+    bc.localfs("tdroot", root=sf_dir)
+    assert bc._resolve_paths("tdroot://nation.parquet") == f"file://{sf_dir}/nation.parquet"
+    assert bc.create_table("lf_nation", "tdroot://nation.parquet").count() == 25
+    bc.drop_table("lf_nation")
+
+
+def test_dialect_nested_call_formats(spark):
+    from pyblazing_spark.dialect import prepare
+
+    q = "SELECT TO_DATE(COALESCE(NULLIF(s, ''), '1970-01-01'), 'YYYY-MM-DD') FROM t"
+    assert "'yyyy-MM-dd'" in prepare(q)
+    nested = "SELECT TO_DATE(CAST(TO_TIMESTAMP(x, 'YYYY-MM-DD HH24:MI:SS') AS STRING), 'YYYY-MM-DD')"
+    out = prepare(nested)
+    assert "'yyyy-MM-dd HH:mm:ss'" in out and out.endswith("'yyyy-MM-dd')")
