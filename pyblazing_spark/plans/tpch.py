@@ -878,14 +878,16 @@ WITH val AS (
 SELECT l_partkey AS p_key, round(part_value, 2) AS part_value
 FROM val
 WHERE s_nationkey = 3
-  AND part_value > (SELECT sum(part_value) * 0.001 FROM val WHERE s_nationkey = 3)
+  AND part_value > (SELECT avg(part_value) * 2 FROM val WHERE s_nationkey = 3)
 ORDER BY part_value DESC, p_key
 LIMIT 200
 """,
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important-stock identification (Q11 shape): per-part value vs a
-    global-share scalar subquery within one nation.
+    global scalar subquery within one nation. The classic sum*fraction
+    threshold empties out as part count grows (each share shrinks with
+    scale), so the cut is 2x the average part value — scale-invariant.
 
     Scale: the scalar total is a one-row broadcast over the already-
     aggregated per-part values — no second pass over lineitem.
@@ -898,7 +900,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
     )
-    total = val.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    total = val.agg((F.avg("part_value") * 2).alias("threshold"))
     return (
         val.crossJoin(F.broadcast(total))
         .where(F.col("part_value") > F.col("threshold"))
