@@ -351,3 +351,57 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     return SIM.ivf_ann_topk(corpus, queries, k=5, n_centroids=16, nprobe=4)
+
+
+@register(
+    "pipeline_curation_funnel",
+    tags=("llm", "pipeline", "dedup", "quality"),
+    oracle=f"""
+WITH base AS (SELECT doc_id, text, lang FROM documents),
+ en AS (SELECT * FROM base WHERE lang = 'en'),
+ q AS (
+  SELECT * FROM en
+  WHERE least(1.0, {_SQL_TOKN} / 100.0) * 0.3
+        + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+           * 1.0 / length(lower(text))) * 0.4
+        + least(1.0, ({_sql_stop('en')}) / 5.0) * 0.3
+        - (length(regexp_replace(text, '[^0-9]', '', 'g'))
+           * 1.0 / length(text)) * 0.2 >= 0.5),
+ d AS (SELECT min(doc_id) AS keep FROM q GROUP BY md5({_SQL_NORM}))
+SELECT 'total' AS stage, CAST((SELECT count(*) FROM base) AS BIGINT) AS n_docs, 0 AS stage_no
+UNION ALL SELECT 'lang_en', (SELECT count(*) FROM en), 1
+UNION ALL SELECT 'quality', (SELECT count(*) FROM q), 2
+UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM d), 3
+ORDER BY stage_no
+""",
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone curation pipeline as one lazy plan: language filter ->
+    quality filter -> exact dedup, reporting survivors per stage.
+
+    At 100 TB this is the shape of a real pretraining-data job: every
+    stage is a narrow filter or one hash-keyed shuffle, composed lazily
+    so Catalyst fuses the filters into the scan. (The near-dup MinHash
+    stage continues from here via
+    :func:`pyblazing_spark.operators.dedup.minhash_dedup` — excluded
+    from the funnel so the whole query stays oracle-checkable.)
+    """
+    docs = T(spark, sf_dir, "documents")
+    en = docs.where(F.col("lang") == "en")
+    q = en.where(TXT.quality_score(F.col("text")) >= 0.5)
+    d = DD.exact_dedup(q)
+
+    def stage(name: str, df: DataFrame, no: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.lit(no).alias("stage_no"),
+        )
+
+    return (
+        stage("total", docs, 0)
+        .unionAll(stage("lang_en", en, 1))
+        .unionAll(stage("quality", q, 2))
+        .unionAll(stage("exact_dedup", d, 3))
+        .orderBy("stage_no")
+    )
