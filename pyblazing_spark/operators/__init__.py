@@ -2,4 +2,10 @@
 similarity search. Each is a function DataFrame -> DataFrame, designed for
 100 TB inputs (no collect, no cross join without a pre-filter)."""
 
-from pyblazing_spark.operators import dedup, multimodal, similarity, skew  # noqa: F401
+from pyblazing_spark.operators import (  # noqa: F401
+    dedup,
+    global_window,
+    multimodal,
+    similarity,
+    skew,
+)

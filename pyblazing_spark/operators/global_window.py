@@ -1,0 +1,124 @@
+"""Scalable global (unpartitioned) window computations.
+
+``Window.orderBy(...)`` with no partition key collapses to ONE task —
+correct but serial (the reference hit the same wall and built overlap
+kernels for it, SURVEY.md §2.1 #16-17). These helpers compute the two
+most common global windows at full parallelism with the standard
+two-phase trick:
+
+1. bucket rows by a DETERMINISTIC range id derived from the data (a
+   seeded driver-side sample picks boundary keys, shipped back as
+   literals — a few KB). NOT ``repartitionByRange``: its boundary
+   sampling re-randomizes on every re-evaluation, so the two plan
+   branches that must agree on the bucket id (the per-row window and
+   the per-bucket offsets) would disagree;
+2. compute the window LOCALLY per bucket
+   (``Window.partitionBy(bucket)``),
+3. broadcast tiny per-bucket aggregates (row counts / partial sums)
+   and add each bucket's prefix offset.
+
+Shuffle cost equals a plain ``orderBy``; the window itself never
+serializes onto one executor. Results are identical to the
+single-partition form (asserted in tests/test_global_window.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _range_bucket(
+    df: DataFrame, order_cols: list[str], partitions: int, sample_rows: int = 100_000
+) -> Column:
+    """Deterministic range-bucket id for the ordering-key tuple.
+
+    A seeded sample of the ordering keys picks ``partitions - 1``
+    boundary tuples; the bucket id is how many boundaries the row's key
+    exceeds (struct comparison is lexicographic). Same data -> same
+    boundaries -> every re-evaluation of every branch agrees."""
+    key = F.struct(*[F.col(c) for c in order_cols])
+    sample = [
+        tuple(r)
+        for r in df.select(*order_cols)
+        .sample(fraction=0.05, seed=42)
+        .limit(sample_rows)
+        .collect()
+    ]
+    if not sample:  # tiny input where the 5% sample came back empty
+        sample = [tuple(r) for r in df.select(*order_cols).limit(sample_rows).collect()]
+    sample.sort()
+    if len(sample) < 2 or partitions < 2:
+        return F.lit(0)
+    step = max(1, len(sample) // partitions)
+    boundaries = []
+    for i in range(step, len(sample), step):
+        if len(boundaries) >= partitions - 1:
+            break
+        if not boundaries or sample[i] != boundaries[-1]:
+            boundaries.append(sample[i])
+    types = {c: df.schema[c].dataType for c in order_cols}
+    pid: Column = F.lit(0)
+    for b in boundaries:
+        # cast every literal to its column's exact type (a python datetime
+        # otherwise lands as TIMESTAMP vs a TIMESTAMP_NTZ column, and the
+        # struct comparison refuses mismatched field types)
+        lit_b = F.struct(
+            *[F.lit(v).cast(types[c]) for c, v in zip(order_cols, b)]
+        )
+        pid = pid + F.when(key > lit_b, 1).otherwise(0)
+    return pid
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], out_col: str = "rn", partitions: int = 32
+) -> DataFrame:
+    """Contiguous 1-based global row numbers in ``order_cols`` order.
+
+    (``monotonically_increasing_id`` is NOT contiguous; a bare
+    ``row_number().over(orderBy)`` is single-task. This is both.)"""
+    tagged = df.withColumn("__pid", _range_bucket(df, order_cols, partitions))
+    local_w = W.partitionBy("__pid").orderBy(*order_cols)
+    local = tagged.withColumn("__local_rn", F.row_number().over(local_w))
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__pid",
+        (
+            F.sum("__n").over(W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1))
+        ).alias("__offset"),
+    ).fillna({"__offset": 0})
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__offset") + F.col("__local_rn")).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str | Column,
+    out_col: str = "running_sum",
+    partitions: int = 32,
+) -> DataFrame:
+    """Global prefix sum of ``value_col`` in ``order_cols`` order —
+    the unpartitioned ``sum().over(orderBy.rowsBetween(unbounded, 0))``
+    without the single-task collapse."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    tagged = df.withColumn("__pid", _range_bucket(df, order_cols, partitions))
+    local_w = W.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    local = tagged.withColumn("__local_sum", F.sum(value).over(local_w))
+    totals = tagged.groupBy("__pid").agg(F.sum(value).alias("__total"))
+    offsets = totals.select(
+        "__pid",
+        (
+            F.sum("__total").over(W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1))
+        ).alias("__offset"),
+    ).fillna({"__offset": 0.0})
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__offset") + F.col("__local_sum"))
+        .drop("__pid", "__local_sum", "__offset")
+    )
