@@ -8,4 +8,5 @@ from pyblazing_spark.operators import (  # noqa: F401
     multimodal,
     similarity,
     skew,
+    temporal,
 )

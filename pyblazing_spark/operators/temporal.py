@@ -1,0 +1,120 @@
+"""Temporal joins Spark lacks as primitives: as-of (point-in-time) join
+and interval range join — expressed as compositions of exchange-friendly
+DataFrame ops (no reference equivalent; the build brief names both as
+required custom operators).
+
+- **as-of join**: for every left row, the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented with the union + window
+  trick: tag both sides, union, one window per key ordered by
+  (ts, side) carrying the last non-null right payload forward, keep the
+  left rows. ONE shuffle on the key — the same cost as a plain equi
+  join, with none of the per-row subquery explosion a naive
+  formulation has. (DuckDB's native ASOF JOIN is the oracle.)
+- **range join**: ``left.point BETWEEN right.start AND right.end`` with
+  optional equi keys. Naive Spark plans this as BroadcastNestedLoop
+  when no equi key exists; the bucketed form maps each interval to the
+  fixed-width buckets it covers and each point to its single bucket, so
+  the join is equi on (keys..., bucket) and the range predicate only
+  filters in-bucket candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: latest right row at-or-before each left row.
+
+    Result: every left row + ``{right_ts}{suffix}`` + the requested
+    right payload columns (NULL when no right row precedes)."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    payload = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    left_only = [c for c in left.columns if c not in (on, left_ts)]
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_only],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{right_ts}{suffix}"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    )
+    # right rows sort before left rows at equal timestamps, so an exact
+    # tie is visible to the left row (ASOF <= semantics).
+    w = (
+        W.partitionBy(on)
+        .orderBy("__t", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    carried = unioned.select(
+        on,
+        "__t",
+        "__side",
+        *left_only,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return (
+        carried.where(F.col("__side") == 1)
+        .drop("__side")
+        .withColumnRenamed("__t", left_ts)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    equi_keys: list[str] | None = None,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Interval join: left rows matched to right rows whose
+    [start, end] contains the left point.
+
+    ``bucket`` is a Column function input -> bucket id (defaults to
+    1-hour buckets for timestamps via unix seconds // 3600). Intervals
+    longer than one bucket explode into one row per covered bucket —
+    keep bucket width >= the typical interval length."""
+    equi_keys = equi_keys or []
+
+    def default_bucket(c: Column) -> Column:
+        return (F.unix_timestamp(c) / F.lit(3600)).cast("long")
+
+    bucketize = (lambda c: bucket(c)) if bucket is not None else default_bucket  # type: ignore[misc]
+
+    r_bucketed = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                bucketize(F.col(right_start)), bucketize(F.col(right_end))
+            )
+        ),
+    )
+    l_bucketed = left.withColumn("__bucket", bucketize(F.col(left_point)))
+    joined = l_bucketed.join(r_bucketed, [*equi_keys, "__bucket"]).where(
+        (F.col(left_point) >= F.col(right_start))
+        & (F.col(left_point) <= F.col(right_end))
+    )
+    return joined.drop("__bucket")

@@ -203,3 +203,39 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("win_start", "event_type")
         .limit(500)
     )
+
+
+@register(
+    "join_asof",
+    tags=("events", "asof", "temporal"),
+    oracle="""
+WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+ buys AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.ts,
+       b.ts AS ts_right, round(b.value, 2) AS value_right
+FROM clicks c ASOF LEFT JOIN buys b
+  ON c.user_id = b.user_id AND c.ts >= b.ts
+ORDER BY c.user_id, c.event_id
+LIMIT 2000
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click matched to the user's latest prior
+    purchase (union + carry-forward window — one shuffle on user_id;
+    DuckDB's native ASOF JOIN is the oracle).
+
+    See :func:`pyblazing_spark.operators.temporal.asof_join`."""
+    from pyblazing_spark.operators.temporal import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, buys, on="user_id", right_cols=["value"])
+    return (
+        out.select(
+            "user_id", "event_id", "ts", "ts_right",
+            F.round("value_right", 2).alias("value_right"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(2000)
+    )

@@ -1,0 +1,90 @@
+"""Temporal joins: as-of semantics (ties, no-match, payload carry) and
+bucketed range join equality with the naive inequality join."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pyblazing_spark.operators import temporal as TP
+from pyblazing_spark.sources.tables import load_table
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (1, _ts("2024-01-01T12:00:00"), "b"),
+            (2, _ts("2024-01-01T09:00:00"), "c"),  # before any right row
+        ],
+        "uid bigint, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),  # exact tie -> visible
+            (1, _ts("2024-01-01T11:30:00"), 200.0),
+            (2, _ts("2024-01-01T09:30:00"), 50.0),
+        ],
+        "uid bigint, ts timestamp_ntz, px double",
+    )
+    out = {r.tag: r for r in TP.asof_join(left, right, on="uid", right_cols=["px"]).collect()}
+    assert out["a"].px_right == 100.0 and out["a"].ts_right == _ts("2024-01-01T10:00:00")
+    assert out["b"].px_right == 200.0
+    assert out["c"].px_right is None and out["c"].ts_right is None
+
+
+def test_asof_join_matches_duckdb_shape_on_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = TP.asof_join(clicks, buys, on="user_id", right_cols=["value"])
+    assert out.count() == clicks.count()  # left-join semantics: no row loss
+    bad = out.where(F.col("ts_right") > F.col("ts")).count()
+    assert bad == 0  # matched row never from the future
+
+
+def test_range_join_equals_naive(spark, sf_dir):
+    """Bucketed range join == naive inequality join, row for row."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    # derive per-user activity intervals: hour bucket start/end +- slack
+    intervals = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+        .select("user_id", "start", "end")
+    )
+    bucketed = TP.range_join(
+        ev, intervals, left_point="ts", right_start="start", right_end="end",
+        equi_keys=["user_id"],
+    )
+    naive = ev.join(intervals, "user_id").where(
+        (F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end"))
+    )
+    key = ["user_id", "event_id", "start", "end"]
+    assert sorted(map(tuple, bucketed.select(*key).collect())) == sorted(
+        map(tuple, naive.select(*key).collect())
+    )
+    assert bucketed.count() > 0
+
+
+def test_range_join_without_equi_keys(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00")), (2, _ts("2024-01-01T13:30:00"))],
+        "pid bigint, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("w1", _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00")),
+            ("w2", _ts("2024-01-01T12:00:00"), _ts("2024-01-01T14:00:00")),
+        ],
+        "win string, start timestamp_ntz, end timestamp_ntz",
+    )
+    out = {
+        (r.pid, r.win)
+        for r in TP.range_join(left, right, "ts", "start", "end").collect()
+    }
+    assert out == {(1, "w1"), (2, "w2")}
