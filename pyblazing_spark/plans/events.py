@@ -239,3 +239,52 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_id")
         .limit(2000)
     )
+
+
+@register(
+    "events_time_rollup",
+    tags=("events", "rollup", "hypertable"),
+    oracle="""
+SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour'
+            WHEN GROUPING(day_b) = 0 THEN 'day' ELSE 'total' END AS grain,
+       day_b AS day_bucket, hour_b AS hour_bucket,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM (SELECT date_trunc('day', ts) AS day_b,
+             date_trunc('hour', ts) AS hour_b, value
+      FROM events)
+GROUP BY ROLLUP (day_b, hour_b)
+ORDER BY grain, day_bucket NULLS FIRST, hour_bucket NULLS FIRST
+LIMIT 1000
+""",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour -> day -> total in ONE
+    pass via ROLLUP over truncated time columns (each finer grain's
+    partials feed the coarser — no re-scan per resolution)."""
+    ev = T(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day_b"),
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        "value",
+    )
+    grain = (
+        F.when(F.grouping("hour_b") == 0, "hour")
+        .when(F.grouping("day_b") == 0, "day")
+        .otherwise("total")
+    )
+    return (
+        ev.rollup("day_b", "hour_b")
+        .agg(
+            grain.alias("grain"),
+            F.count(F.lit(1)).alias("n"),
+            money(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "grain",
+            F.col("day_b").alias("day_bucket"),
+            F.col("hour_b").alias("hour_bucket"),
+            "n",
+            "total_value",
+        )
+        .orderBy("grain", F.asc_nulls_first("day_bucket"), F.asc_nulls_first("hour_bucket"))
+        .limit(1000)
+    )
