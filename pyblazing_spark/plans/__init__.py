@@ -18,6 +18,7 @@ from pyblazing_spark.plans import (  # noqa: E402,F401
     llm,
     multimodal,
     nested,
+    sampling,
     setops,
     streaming,
     tpch,

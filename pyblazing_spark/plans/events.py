@@ -242,6 +242,50 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range",
+    tags=("events", "range", "temporal"),
+    oracle="""
+WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+ wins AS (SELECT user_id, ts - INTERVAL 1 HOUR AS win_start, ts AS win_end
+          FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.ts, w.win_start, w.win_end
+FROM clicks c JOIN wins w
+  ON c.user_id = w.user_id
+ AND c.ts >= w.win_start AND c.ts <= w.win_end
+ORDER BY c.user_id, c.event_id, w.win_start
+LIMIT 2000
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join: clicks inside the hour before each
+    purchase. The bucketed formulation turns Spark's
+    BroadcastNestedLoop/inequality plan into an equi join on
+    (user_id, hour-bucket) with an in-bucket filter — a plain hash
+    shuffle that scales linearly instead of quadratically.
+
+    See :func:`pyblazing_spark.operators.temporal.range_join`."""
+    from pyblazing_spark.operators.temporal import range_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    wins = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    out = range_join(
+        clicks, wins,
+        left_point="ts", right_start="win_start", right_end="win_end",
+        equi_keys=["user_id"],
+    )
+    return (
+        out.select("user_id", "event_id", "ts", "win_start", "win_end")
+        .orderBy("user_id", "event_id", "win_start")
+        .limit(2000)
+    )
+
+
+@register(
     "events_time_rollup",
     tags=("events", "rollup", "hypertable"),
     oracle="""

@@ -1,0 +1,151 @@
+"""Deterministic sampling operators for reproducible dataset curation
+(driver extension — the reference has no sampling surface beyond full
+scans; a 100 TB training pipeline needs *reproducible* samples, so every
+operator here keys the sample on a content hash, never on an RNG).
+
+Scale notes:
+- Hash-Bernoulli sampling is a pure narrow filter — it pushes into the
+  scan stage, costs one md5 per row, and never shuffles. At 100 TB this
+  is the only sampling strategy that works without coordination: any
+  executor can decide membership locally, and reruns/late retries pick
+  the identical rows.
+- The stratified top-N uses one shuffle on the stratum key and a
+  rank-truncate — the standard distributed formulation. Strata counts
+  are bounded (O(strata x N) output), so the final sort is tiny.
+- The split assignment (train/val/test) is again per-row local math;
+  downstream writers can partition by the split column so each split
+  lands in its own file tree without a second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.plans.tpch import money
+from pyblazing_spark.sources.tables import load_table as T
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic bucket id in [0, buckets) from a column's md5.
+
+    Uses the first 8 hex digits (32 bits) of md5 of the value's string
+    form — portable across engines (DuckDB computes the identical hex),
+    uniform, and independent of partitioning or row order.
+    """
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+
+
+def _sql_bucket(col: str, buckets: int = 100) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT "
+        f"AS BIGINT) % {buckets}"
+    )
+
+
+@register(
+    "sample_hash_bernoulli",
+    tags=("sampling", "filter"),
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n_sampled,
+       round(sum(o_totalprice) + 1e-4, 2) AS sum_price
+FROM orders
+WHERE {_sql_bucket('o_orderkey')} < 10
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic Bernoulli sample of orders keyed on
+    md5(o_orderkey): membership is a pure per-row predicate (no RNG, no
+    state), so the sample is identical across engines, reruns, and
+    cluster sizes."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.where(hash_bucket("o_orderkey") < 10)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            money(F.sum("o_totalprice") + 1e-4).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "sample_stratified_topn",
+    tags=("sampling", "window"),
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_orderkey) AS rn
+  FROM orders)
+SELECT o_orderstatus,
+       count(*) AS n_sampled,
+       round(sum(o_totalprice) + 1e-4, 2) AS sum_price,
+       max(o_orderkey) AS max_key
+FROM ranked WHERE rn <= 200
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-stratum sample: 200 orders per status via
+    rank-truncate (one shuffle on the stratum key; deterministic because
+    the ordering key is unique)."""
+    o = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    return (
+        o.select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 200)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            money(F.sum("o_totalprice") + 1e-4).alias("sum_price"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "sample_train_test_split",
+    tags=("sampling", "llm"),
+    oracle=f"""
+SELECT source,
+       CASE WHEN {_sql_bucket('doc_id')} < 80 THEN 'train'
+            WHEN {_sql_bucket('doc_id')} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source, split
+ORDER BY source, split
+""",
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment keyed on md5(doc_id) — the
+    reproducible-split idiom for training corpora: assignment is a
+    per-row expression, so adding data never reshuffles existing docs
+    between splits."""
+    d = T(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
