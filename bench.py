@@ -44,8 +44,16 @@ def main() -> None:
 
     qs = bench_queries()
     # Warm-up: run the flagship once so JVM/codegen/FS caches don't bill
-    # the first measured query.
+    # the first measured query, and prime the reusable Python/Arrow worker
+    # pool so the first Pandas-UDF query doesn't bill its startup either.
     REGISTRY["tpch_q1"].fn(spark, sf_dir).collect()
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).collect()
+    from pyblazing_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
