@@ -133,11 +133,17 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     hashed = _hashed_shingle_rows(df, text_col, id_col)
-    sig = hashed.groupBy(id_col).agg(
+    # ONE aggregation produces both the signature and the exact shingle
+    # set: the two consumers below (banding, Jaccard verify) then share
+    # an identical exchange subtree, so Spark's ReusedExchange runs the
+    # expensive explode+hash+partial-agg pass over raw shingles once
+    # (two separate groupBys = two full passes over the corpus).
+    combined = hashed.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("__h"), F.lit(s))).alias(f"__m{s}")
             for s in range(num_hashes)
-        ]
+        ],
+        F.collect_set("__h").alias("__sh"),
     )
     bucket_arr = F.array(
         *[
@@ -145,7 +151,7 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select(id_col, F.explode(bucket_arr).alias("__bucket"))
+    buckets = combined.select(id_col, F.explode(bucket_arr).alias("__bucket"))
     cand = (
         buckets.groupBy("__bucket")
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
@@ -154,7 +160,7 @@ def minhash_lsh_pairs(
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
-    sh = hashed.groupBy(id_col).agg(F.collect_set("__h").alias("__sh"))
+    sh = combined.select(id_col, "__sh")
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
