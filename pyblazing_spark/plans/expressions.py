@@ -502,3 +502,91 @@ def expr_arith_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber")
         .limit(400)
     )
+
+
+@register(
+    "expr_array_ops",
+    tags=("expression", "array", "nested-types"),
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+'))  AS n_tokens,
+       len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS n_uniq,
+       array_to_string(
+         list_slice(list_sort(list_distinct(
+           regexp_split_to_array(lower(trim(text)), '\s+'))), 1, 3),
+         ',')                                          AS first3,
+       list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'the') AS has_the
+FROM documents
+WHERE n_chars > 0
+ORDER BY doc_id
+LIMIT 500
+""",
+)
+def expr_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType surface — absent from the reference's type system
+    (LIST/STRUCT/MAP are not in its catalog enum,
+    ``CatalogColumnDataType.java:19-47``; SURVEY.md §1.2 claims them as
+    new Spark-native surface). Tokenize to array<string>, then size /
+    distinct / sort / slice / contains — all codegen built-ins, no
+    higher-order functions in the plan."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks_lc = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        d.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks_lc)).alias("n_uniq"),
+            F.concat_ws(
+                ",", F.slice(F.array_sort(F.array_distinct(toks_lc)), 1, 3)
+            ).alias("first3"),
+            F.array_contains(toks_lc, "the").alias("has_the"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@register(
+    "expr_map_struct",
+    tags=("expression", "map", "struct", "nested-types"),
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       CAST(coalesce(MAP(list(event_type), list(n))['click'][1], 0) AS BIGINT) AS clicks,
+       CAST(coalesce(MAP(list(event_type), list(n))['view'][1], 0) AS BIGINT)  AS views,
+       CAST(coalesce(MAP(list(event_type), list(n))['purchase'][1], 0) AS BIGINT) AS purchases
+FROM per
+GROUP BY user_id
+ORDER BY user_id
+LIMIT 300
+""",
+)
+def expr_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType/StructType surface (absent from the reference's catalog —
+    SURVEY.md §1.2): pivot per-user event counts through a map built
+    from collected (event_type, n) structs. ``try_element_at`` (not
+    ``element_at``) so missing keys are NULL under ANSI mode, matching
+    DuckDB's out-of-range list index."""
+    ev = T(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = F.map_from_entries(F.collect_list(F.struct("event_type", "n")))
+
+    def cnt(key: str):
+        return F.coalesce(F.try_element_at(F.col("m"), F.lit(key)), F.lit(0)).cast("long")
+
+    return (
+        per.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            cnt("click").alias("clicks"),
+            cnt("view").alias("views"),
+            cnt("purchase").alias("purchases"),
+        )
+        .orderBy("user_id")
+        .limit(300)
+    )
