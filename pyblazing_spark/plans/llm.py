@@ -405,3 +405,66 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("exact_dedup", d, 3))
         .orderBy("stage_no")
     )
+
+
+_SQL_SCORE = f"""round(least(1.0, {_SQL_TOKN} / 100.0) * 0.3
+               + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  * 1.0 / length(lower(text))) * 0.4
+               + least(1.0, ({_sql_stop('en')}) / 5.0) * 0.3
+               - (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  * 1.0 / length(text)) * 0.2, 4)"""
+
+
+@register(
+    "pipeline_token_budget",
+    tags=("llm", "pipeline", "sampling", "window"),
+    oracle=f"""
+WITH s AS (
+  SELECT source, doc_id, {_SQL_TOKN} AS tok, {_SQL_SCORE} AS score
+  FROM documents),
+ r AS (
+  SELECT *, sum(tok) OVER (PARTITION BY source
+                           ORDER BY score DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+  FROM s)
+SELECT source,
+       count(*) AS n_kept,
+       CAST(sum(tok) AS BIGINT) AS tokens_kept,
+       round(min(score) + 1e-9, 4) AS min_score
+FROM r WHERE cum <= 5000
+GROUP BY source
+ORDER BY source
+""",
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a per-source token budget with the best documents first —
+    the "assemble a training mix" operator: rank by quality within each
+    source, admit docs until the cumulative token count hits the budget.
+
+    Scale: one shuffle on source, then a window running-sum and filter —
+    no driver-side iteration; budgets per source apply independently so
+    skewed sources don't serialize the rest."""
+    docs = T(spark, sf_dir, "documents")
+    tok = TXT.token_count(F.col("text"))
+    score = TXT.quality_score(F.col("text"))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = docs.select(
+        "source", "doc_id", tok.alias("tok"), score.alias("score")
+    ).withColumn("cum", F.sum("tok").over(w))
+    return (
+        ranked.where(F.col("cum") <= 5000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("tok").cast("long").alias("tokens_kept"),
+            F.round(F.min("score") + 1e-9, 4).alias("min_score"),
+        )
+        .orderBy("source")
+    )
