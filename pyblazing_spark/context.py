@@ -21,6 +21,7 @@ from __future__ import annotations
 import itertools
 import time
 from concurrent.futures import Future, ThreadPoolExecutor
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -154,17 +155,48 @@ class BlazingContext:
             future = self._pool.submit(self._run_eager, query, query_id, started)
             self._pending[query_id] = future
             return query_id
+        if eager if eager is not None else self.eager:
+            with self._reference_eval():
+                df = self.spark.sql(query)
+                result = df.toPandas()
+            self._log.append(
+                _LogEntry(query_id, query, started, (time.time() - started) * 1000.0, "ok")
+            )
+            return result
         df = self.spark.sql(query)
         self._log.append(
             _LogEntry(query_id, query, started, (time.time() - started) * 1000.0, "ok")
         )
-        if eager if eager is not None else self.eager:
-            return df.toPandas()
         return df
+
+    @contextmanager
+    def _reference_eval(self):
+        """Reference evaluation semantics for eager (reference-style) SQL.
+
+        The reference's Calcite/cuDF surface never raises on runtime
+        arithmetic: division by zero and malformed casts yield NULL
+        (cuDF semantics; e.g. the corpus query
+        ``dirSuite/TEST_14`` computes ``avg(81619.0/o_orderkey)`` over an
+        orderkey domain that includes 0). Spark 4's ANSI mode throws
+        instead, so eager execution — the mode that mirrors the
+        reference's eager cudf results — runs with ANSI off and the
+        previous value restored after. Lazy mode returns a plain Spark
+        DataFrame and deliberately keeps session semantics."""
+        key = "spark.sql.ansi.enabled"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
 
     def _run_eager(self, query: str, query_id: int, started: float):
         try:
-            result = self.spark.sql(query).toPandas()
+            with self._reference_eval():
+                result = self.spark.sql(query).toPandas()
             self._log.append(
                 _LogEntry(query_id, query, started, (time.time() - started) * 1000.0, "ok")
             )

@@ -5,15 +5,24 @@ Probe results against Spark 4 (kept in ``tests/test_dialect.py``): the
 reference corpus's constructs — ``SUBSTRING(x FROM a FOR b)``,
 ``TRIM(BOTH/LEADING/TRAILING .. FROM ..)``, ``TIMESTAMPADD/DIFF``,
 interval literals, ``MOD``, ``LOG10``, ``CHAR_LENGTH``, ``INITCAP``,
-``VARCHAR`` casts, Calcite DOW numbering (Sunday=1) — all parse and
-evaluate identically in Spark SQL, so the shim leaves them alone.
+Calcite DOW numbering (Sunday=1) — all parse and evaluate identically
+in Spark SQL, so the shim leaves them alone.
 
-The one real delta is datetime FORMAT STRINGS in ``TO_DATE`` /
-``TO_TIMESTAMP`` (reference ``expression_utils.hpp:89-90``): the
-reference accepts Oracle/Calcite-style (``YYYY-MM-DD HH24:MI:SS``) and
-C-style (``%Y-%m-%d``) patterns, while Spark uses its own
-(``yyyy-MM-dd HH:mm:ss``). :func:`prepare` rewrites just those format
-literals, token-wise, and is the identity for every other query.
+Rewritten deltas (each surfaced by replaying the reference's own e2e
+corpus, ``scripts/reference_replay.py``):
+
+- datetime FORMAT STRINGS in ``TO_DATE`` / ``TO_TIMESTAMP`` (reference
+  ``expression_utils.hpp:89-90``): the reference accepts
+  Oracle/Calcite-style (``YYYY-MM-DD HH24:MI:SS``) and C-style
+  (``%Y-%m-%d``) patterns, while Spark uses its own
+  (``yyyy-MM-dd HH:mm:ss``). :func:`prepare` rewrites just those
+  format literals, token-wise.
+- bare ``CAST(x AS VARCHAR)`` / ``AS CHAR`` (no length): legal in
+  Calcite (``castSuite/TEST_01``), rejected by Spark — rewritten to
+  ``AS STRING``. Length-qualified forms already parse.
+- slash-format date literals ``CAST('1997/05/02' AS DATE)``
+  (``castSuite/TEST_15``): the reference's cuDF cast accepts them;
+  Spark's ANSI date parse does not — rewritten to a DATE literal.
 
 Known semantic difference, deliberately NOT shimmed: integer ``/``.
 Calcite truncates (7/2=3); Spark and DuckDB both return 3.5 — we follow
@@ -44,6 +53,12 @@ _FMT_TOKENS: tuple[tuple[str, str], ...] = (
 
 _TO_FN_NAME = re.compile(r"(?i)\b(TO_DATE|TO_TIMESTAMP)\s*\(")
 _FMT_LIT = re.compile(r",\s*'([^']*)'\s*$")
+#: Bare (length-free) VARCHAR/CHAR cast targets — Calcite-legal, Spark not.
+_BARE_VARCHAR = re.compile(r"(?i)\bAS\s+(?:VARCHAR|CHAR)\s*(\))")
+#: String literal in yyyy/MM/dd form cast to DATE.
+_SLASH_DATE = re.compile(
+    r"(?i)\bCAST\s*\(\s*'(\d{4})/(\d{2})/(\d{2})'\s+AS\s+DATE\s*\)"
+)
 
 
 def translate_format(fmt: str) -> str:
@@ -87,6 +102,8 @@ def prepare(sql: str) -> str:
     TO_DATE/TO_TIMESTAMP call, so arbitrarily nested first arguments —
     COALESCE(NULLIF(..), ..) etc. — keep their format literal rewritten.
     """
+    sql = _BARE_VARCHAR.sub(r"AS STRING\1", sql)
+    sql = _SLASH_DATE.sub(r"DATE '\1-\2-\3'", sql)
     out, pos = [], 0
     for m in _TO_FN_NAME.finditer(sql):
         open_idx = m.end() - 1

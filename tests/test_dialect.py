@@ -76,3 +76,27 @@ def test_integer_division_follows_oracle_not_calcite(bc):
     truncating form."""
     row = bc.sql("SELECT 7/2 AS frac, 7 DIV 2 AS trunc").collect()[0]
     assert row.frac == 3.5 and row.trunc == 3
+
+
+def test_bare_varchar_cast_rewrite():
+    q = "select cast(c_custkey as VARCHAR) from customer"
+    assert "AS STRING)" in prepare(q)
+    # length-qualified forms parse natively in Spark - untouched
+    q2 = "select cast(c_custkey as VARCHAR(10)) from customer"
+    assert prepare(q2) == q2
+
+
+def test_slash_date_literal_rewrite():
+    q = "select CAST('1997/05/02' as date) as my_date from region"
+    assert "DATE '1997-05-02'" in prepare(q)
+
+
+def test_eager_mode_uses_reference_arithmetic(bc):
+    """Reference (Calcite/cuDF) semantics: runtime arithmetic never
+    raises - division by zero yields NULL (dirSuite/TEST_14 divides by
+    an orderkey domain that includes 0). Eager mode must honor that even
+    when the session default is ANSI."""
+    pdf = bc.sql("SELECT 1.0 / 0 AS d", eager=True)
+    assert pdf["d"].isna().all()
+    # and the session conf is restored afterwards
+    assert bc.spark.conf.get("spark.sql.ansi.enabled", None) != "false"
