@@ -1,0 +1,53 @@
+"""A deterministic sample of the reference's own e2e SQL corpus, run
+verbatim through BlazingContext vs DuckDB (the full sweep is
+``scripts/reference_replay.py`` — 379/379 comparable queries match; this
+keeps a fast slice of it in the regular gate so dialect-shim regressions
+surface immediately)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyblazing_spark.context import BlazingContext
+from scripts.reference_replay import (
+    ORACLE_DIALECT_SKIP,
+    TABLES,
+    _compare,
+    load_corpus,
+    runnable,
+)
+
+
+def _sample():
+    """Every 8th runnable, non-skip-listed query (deterministic)."""
+    cand = [
+        (s, t, q)
+        for s, t, q in load_corpus()
+        if runnable(q) and (s, t) not in ORACLE_DIALECT_SKIP
+    ]
+    return cand[::8]
+
+
+@pytest.fixture(scope="module")
+def corpus_env(spark, sf_dir):
+    bc = BlazingContext(spark=spark)
+    con = duckdb.connect()
+    for tbl in TABLES:
+        path = f"{sf_dir}/{tbl}.parquet"
+        bc.create_table(tbl, path)
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{path}'")
+    return bc, con
+
+
+@pytest.mark.parametrize(
+    "suite,test,sql", _sample(), ids=[f"{s}-{t}" for s, t, _ in _sample()]
+)
+def test_reference_query(corpus_env, suite, test, sql):
+    bc, con = corpus_env
+    try:
+        theirs = con.execute(sql).df()
+    except Exception:
+        pytest.skip("oracle cannot run this dialect")
+    ours = bc.sql(sql, eager=True)
+    _compare(ours, theirs, tolerance=0.01)
