@@ -76,6 +76,132 @@ def load_corpus() -> list[tuple[str, str, str]]:
     return out
 
 
+def _split_top_args(s: str) -> list[str]:
+    """Split an argument list on top-level commas (parens/quotes aware)."""
+    parts, depth, cur, i, n = [], 0, [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            cur.append(ch)
+            i += 1
+            while i < n:
+                cur.append(s[i])
+                if s[i] == "'":
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _rewrite_calls(sql: str, fn_name: str, build) -> str:
+    """Replace every ``fn_name(args...)`` with ``build(args_list)``.
+
+    Emits rewritten text into an output buffer and resumes the scan
+    after the original call site, so a replacement that still contains
+    the function name (e.g. ``count(*)`` -> ``count(*)``) is never
+    rescanned."""
+    pat = re.compile(rf"(?i)\b{fn_name}\s*\(")
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        open_idx = m.end() - 1
+        depth, i = 0, open_idx
+        while i < len(sql):
+            if sql[i] == "'":
+                i += 1
+                while i < len(sql) and sql[i] != "'":
+                    i += 1
+            elif sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        # inner args may contain nested calls of the same function:
+        # rewrite them recursively (fresh scan over the argument text).
+        args = [
+            _rewrite_calls(a, fn_name, build)
+            for a in _split_top_args(sql[open_idx + 1 : i])
+        ]
+        out.append(sql[pos : m.start()])
+        out.append(build(args))
+        pos = i + 1
+
+
+def oracle_translate(sql: str) -> str:
+    """Rewrite reference constructs DuckDB lacks into DuckDB SQL — applied
+    to the ORACLE side only (BlazingContext gets the verbatim query).
+
+    Covers: TIMESTAMPADD/TIMESTAMPDIFF (-> interval math / date_diff),
+    Calcite TO_DATE/TO_TIMESTAMP with C-style formats (-> strptime), and
+    Calcite's multi-argument COUNT / COUNT(DISTINCT ...) (counts rows
+    where ALL arguments are non-null; verified to match Spark's
+    semantics)."""
+    sql = _rewrite_calls(
+        sql, "TIMESTAMPADD",
+        lambda a: f"(CAST({a[2]} AS TIMESTAMP) + ({a[1]}) * INTERVAL 1 {a[0]})",
+    )
+    _UNIT_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+    def _ts_diff(a: list[str]) -> str:
+        # Calcite/Spark TIMESTAMPDIFF counts COMPLETE units (truncation
+        # toward zero); DuckDB date_diff counts boundary crossings — off
+        # by one for negative sub-unit remainders. Epoch math matches
+        # the reference exactly for fixed-width units.
+        secs = _UNIT_SECONDS.get(a[0].upper())
+        if secs is None:  # calendar units: boundary counting is close enough
+            return f"date_diff('{a[0]}', CAST({a[1]} AS TIMESTAMP), CAST({a[2]} AS TIMESTAMP))"
+        return (
+            f"CAST(trunc((epoch(CAST({a[2]} AS TIMESTAMP)) - "
+            f"epoch(CAST({a[1]} AS TIMESTAMP))) / {secs}) AS BIGINT)"
+        )
+
+    sql = _rewrite_calls(sql, "TIMESTAMPDIFF", _ts_diff)
+    sql = _rewrite_calls(
+        sql, "TO_TIMESTAMP",
+        lambda a: f"strptime({a[0]}, {a[1]})" if len(a) == 2 else f"TO_TIMESTAMP({', '.join(a)})",
+    )
+    sql = _rewrite_calls(
+        sql, "TO_DATE",
+        lambda a: (
+            f"CAST(strptime({a[0]}, {a[1]}) AS DATE)" if len(a) == 2 else f"TO_DATE({', '.join(a)})"
+        ),
+    )
+
+    def _multi_count(args: list[str]) -> str:
+        distinct = args and re.match(r"(?i)^distinct\s+", args[0])
+        if distinct:
+            args = [re.sub(r"(?i)^distinct\s+", "", args[0]), *args[1:]]
+            if len(args) == 1:
+                return f"count(DISTINCT {args[0]})"
+            guard = " AND ".join(f"{a} IS NOT NULL" for a in args)
+            return f"count(DISTINCT CASE WHEN {guard} THEN ({', '.join(args)}) END)"
+        if len(args) <= 1:
+            return f"count({', '.join(args)})"
+        guard = " AND ".join(f"{a} IS NOT NULL" for a in args)
+        return f"count(CASE WHEN {guard} THEN 1 END)"
+
+    sql = _rewrite_calls(sql, "COUNT", _multi_count)
+    return sql
+
+
 #: Queries where OUR result matches the reference's semantics but DuckDB
 #: (the stand-in oracle) legitimately differs — documented engine-dialect
 #: deltas, not parity failures:
@@ -152,7 +278,7 @@ def main() -> int:
             # gap on OUR side — only acceptable if DuckDB rejects it too
             # (i.e. it's nonstandard SQL, not a missing shim).
             try:
-                con.execute(sql).df()
+                con.execute(oracle_translate(sql)).df()
             except Exception:
                 n_dialect += 1
                 if verbose:
@@ -162,7 +288,7 @@ def main() -> int:
             failures.append(f"{tag}: spark-only parse failure: {str(exc).splitlines()[0][:160]}")
             continue
         try:
-            theirs = con.execute(sql).df()
+            theirs = con.execute(oracle_translate(sql)).df()
         except Exception as exc:
             n_dialect += 1
             if verbose:

@@ -15,6 +15,7 @@ from scripts.reference_replay import (
     TABLES,
     _compare,
     load_corpus,
+    oracle_translate,
     runnable,
 )
 
@@ -46,7 +47,7 @@ def corpus_env(spark, sf_dir):
 def test_reference_query(corpus_env, suite, test, sql):
     bc, con = corpus_env
     try:
-        theirs = con.execute(sql).df()
+        theirs = con.execute(oracle_translate(sql)).df()
     except Exception:
         pytest.skip("oracle cannot run this dialect")
     ours = bc.sql(sql, eager=True)
