@@ -368,3 +368,29 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_approx_percentile",
+    tags=("aggregate", "approx", "percentile"),
+    oracle=None,  # approximate by construction (KLL-style sketch) —
+    # rows-only check; tests/test_edge_cases.py bounds the error vs the
+    # exact percentiles carried in the same result.
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the scale path for quantiles at 100 TB
+    (mergeable per-partition sketches; the exact operator needs a global
+    sort per group). No reference equivalent (SURVEY.md §2.3 'No
+    approximate aggregates'). Carries the exact values alongside so the
+    error is observable in the result itself."""
+    od = T(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("exact_p50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("approx_p90"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("exact_p90"),
+        )
+        .orderBy("o_orderstatus")
+    )

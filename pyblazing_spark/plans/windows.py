@@ -368,3 +368,51 @@ def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+@register(
+    "win_ignore_nulls",
+    tags=("window", "ignore-nulls", "events"),
+    oracle="""
+SELECT user_id, event_id, ts,
+       round(coalesce(last_value(pval IGNORE NULLS) OVER w_upto, 0), 2)  AS carried_purchase,
+       round(last_value(pval IGNORE NULLS) OVER w_before, 2)             AS prev_purchase
+FROM (SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS pval
+      FROM events)
+WINDOW
+  w_upto   AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_before AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+ORDER BY user_id, ts, event_id
+LIMIT 1000
+""",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS carry-forward — the last-observation idiom (absent
+    from the reference's window set, SURVEY.md §2.4): at every event,
+    the user's most recent purchase value (including the current row)
+    and the strictly-previous one (``lag .. IGNORE NULLS`` expressed as
+    ``last(ignorenulls)`` over an UNBOUNDED..1-PRECEDING frame — the
+    frame form is engine-portable). One shuffle on user_id."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pval"),
+    )
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_upto = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_before = base.rowsBetween(W.unboundedPreceding, -1)
+    return (
+        ev.select(
+            "user_id", "event_id", "ts",
+            F.round(
+                F.coalesce(F.last("pval", ignorenulls=True).over(w_upto), F.lit(0.0)), 2
+            ).alias("carried_purchase"),
+            F.round(F.last("pval", ignorenulls=True).over(w_before), 2).alias(
+                "prev_purchase"
+            ),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .limit(1000)
+    )

@@ -1,0 +1,51 @@
+"""Physical-plan audits for scale-critical properties: these assert the
+SHAPE of the plan (what would matter at 100 TB), not just the result."""
+
+from __future__ import annotations
+
+import pyblazing_spark.plans as plans
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_bernoulli_sample_is_a_scan_stage_filter(spark, sf_dir):
+    """The hash-sample predicate must evaluate pre-shuffle (a narrow
+    filter over the scan) and the scan must prune to the 3 used columns —
+    at 100 TB this is the difference between reading 3 columns of 10% of
+    row groups' rows and materializing the table."""
+    df = plans.REGISTRY["sample_hash_bernoulli"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    scan = plan[plan.index("(1) Scan parquet") :].split("\n\n")[0]
+    assert "o_orderkey" in scan and "o_orderstatus" in scan and "o_totalprice" in scan
+    assert "o_orderdate" not in scan  # pruned
+    # the md5-bucket predicate sits in the pre-exchange Filter operator
+    filter_block = plan[plan.index("(2) Filter") :].split("\n\n")[0]
+    assert "md5" in filter_block
+
+
+def test_minhash_reuses_shingle_exchange(spark, sf_dir):
+    """Signature and Jaccard-verify branches must share ONE pass over the
+    exploded shingles (AQE ReusedExchange); two passes doubles the
+    dominant stage at corpus scale."""
+    from pyblazing_spark.operators.dedup import minhash_lsh_pairs
+    from pyblazing_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(minhash_lsh_pairs(docs))
+    assert "ReusedExchange" in plan
+
+
+def test_tpch_q5_broadcasts_every_dimension(spark, sf_dir):
+    """At this scale factor every dimension join should be broadcast —
+    no shuffle until the final aggregation."""
+    plan = _optimized_plan(plans.REGISTRY["tpch_q5"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
