@@ -101,3 +101,31 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
     )
     return final.select("user_id", "n_events", "total_value").orderBy("user_id")
+
+
+@register(
+    "stream_dedup",
+    tags=("streaming", "dedup", "watermark"),
+    oracle="""
+WITH d AS (SELECT DISTINCT user_id, ts, event_type FROM events)
+SELECT event_type, count(*) AS n
+FROM d GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (watermark-bounded state) drained to
+    completion; per-type counts of the deduped stream must equal batch
+    SELECT DISTINCT. See
+    :func:`pyblazing_spark.streaming.ops.dedup_stream`."""
+    from pyblazing_spark.streaming import dedup_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    drained = run_available_now(
+        dedup_stream(stream, ["user_id", "ts", "event_type"]),
+        output_mode="append",
+    )
+    return (
+        drained.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

@@ -3,6 +3,7 @@ streaming operators — these are Spark-native capability additions, per
 the build plan's north-star)."""
 
 from pyblazing_spark.streaming.ops import (  # noqa: F401
+    dedup_stream,
     read_events_stream,
     run_available_now,
     session_counts_stream,

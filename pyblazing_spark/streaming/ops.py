@@ -156,6 +156,22 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes it, so a 100 TB/day stream's dedup state stays
+    finite (plain ``dropDuplicates`` grows without bound). The event
+    timestamp must be part of the key set for the drained result to
+    equal batch ``SELECT DISTINCT`` — identical keys then always share
+    a timestamp, so no duplicate pair can straddle the watermark."""
+    keys = keys or ["user_id", "ts", "event_type"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(
     result: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
 ) -> DataFrame:
