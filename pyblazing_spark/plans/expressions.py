@@ -590,3 +590,46 @@ def expr_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(300)
     )
+
+
+@register(
+    "expr_timestampadd_diff",
+    tags=("expression", "interval", "timestampadd"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) + (4) * INTERVAL 1 DAY      AS add_day,
+       CAST(o_orderdate AS TIMESTAMP) + (12) * INTERVAL 1 HOUR    AS add_hour,
+       CAST(o_orderdate AS TIMESTAMP) + (42) * INTERVAL 1 MINUTE  AS add_min,
+       CAST(trunc((epoch(TIMESTAMP '1996-12-01 12:00:01')
+                   - epoch(CAST(o_orderdate AS TIMESTAMP))) / 86400) AS BIGINT) AS diff_day,
+       CAST(trunc((epoch(TIMESTAMP '1996-12-01 12:00:01')
+                   - epoch(CAST(o_orderdate AS TIMESTAMP))) / 3600) AS BIGINT)  AS diff_hour,
+       CAST(trunc((epoch(CAST(o_orderdate AS TIMESTAMP))
+                   - epoch(TIMESTAMP '1996-12-01 12:00:01')) / 60) AS BIGINT)   AS diff_min_neg
+FROM orders
+ORDER BY o_orderkey
+LIMIT 400
+""",
+)
+def expr_timestampadd_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMPADD / TIMESTAMPDIFF (reference suites
+    ``TimestampaddSuite.yaml`` / ``timestampdiffSuite.yaml``;
+    plan tokens in ``expression_utils.cpp:1341-1455``). Spark's
+    TIMESTAMPDIFF counts COMPLETE units truncated toward zero — the
+    oracle uses epoch math to pin exactly that (DuckDB's own date_diff
+    counts boundary crossings instead, off by one on negative
+    sub-unit remainders)."""
+    od = T(spark, sf_dir, "orders")
+    return (
+        od.selectExpr(
+            "o_orderkey",
+            "timestampadd(DAY, 4, o_orderdate)      AS add_day",
+            "timestampadd(HOUR, 12, o_orderdate)    AS add_hour",
+            "timestampadd(MINUTE, 42, o_orderdate)  AS add_min",
+            "timestampdiff(DAY, o_orderdate, TIMESTAMP'1996-12-01 12:00:01')    AS diff_day",
+            "timestampdiff(HOUR, o_orderdate, TIMESTAMP'1996-12-01 12:00:01')   AS diff_hour",
+            "timestampdiff(MINUTE, TIMESTAMP'1996-12-01 12:00:01', o_orderdate) AS diff_min_neg",
+        )
+        .orderBy("o_orderkey")
+        .limit(400)
+    )
