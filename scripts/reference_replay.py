@@ -7,11 +7,12 @@ with a sorted-rows compare and a per-suite ACCEPTABLE_DIFFERENCE
 tolerance. This harness does the same with DuckDB as the oracle:
 
 1. parse every suite, pull each query's SQL verbatim;
-2. keep the queries whose tables AND columns exist in our reduced
-   TPC-H fixtures (FIXTURES.md: no partsupp, trimmed column sets —
-   queries touching missing identifiers can't run on this testdata);
+2. keep the queries whose tables AND columns exist in the fixtures —
+   the driver parquet (FIXTURES.md) extended with deterministically
+   DERIVED columns and a derived partsupp (see ``AUGMENTS`` /
+   ``PARTSUPP_SQL``), registered identically in both engines;
 3. run each through ``BlazingContext.sql`` (the dialect shim included)
-   and through DuckDB on the same parquet; compare sorted frames with
+   and through DuckDB on the same inputs; compare sorted frames with
    the reference's 0.01 tolerance.
 
 Usage: python scripts/reference_replay.py [sf_dir] [-v]
@@ -32,21 +33,185 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SUITE_DIR = "/root/reference/tests/BlazingSQLTest/EndToEndTests/TestSuites"
 
 TABLES = {
-    "region": ("r_regionkey", "r_name"),
-    "nation": ("n_nationkey", "n_name", "n_regionkey"),
-    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
-    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "region": ("r_regionkey", "r_name", "r_comment"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey", "n_comment"),
+    "customer": (
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        "c_comment", "c_address", "c_phone",
+    ),
+    "supplier": (
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal",
+        "s_comment", "s_address", "s_phone",
+    ),
+    "part": (
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+        "p_mfgr", "p_container",
+    ),
     "orders": (
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
+        "o_clerk", "o_shippriority", "o_comment",
     ),
     "lineitem": (
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
         "l_linestatus", "l_shipdate",
+        "l_commitdate", "l_receiptdate", "l_shipmode", "l_shipinstruct",
+        "l_comment",
+    ),
+    "partsupp": (
+        "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost", "ps_comment",
+    ),
+    "bool_orders": (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+        "o_clerk", "o_shippriority", "o_comment", "o_confirmed",
     ),
 }
+
+#: Tables with no backing parquet — derived entirely from other fixtures
+#: inside :func:`register_fixtures`.
+DERIVED_TABLES = frozenset({"partsupp", "bool_orders"})
+
+#: Derived fixture columns. The driver's parquet fixtures trim several
+#: TPC-H columns (and drop partsupp entirely — FIXTURES.md); ~120 corpus
+#: queries touch them. Each missing column is re-derived as a
+#: DETERMINISTIC function of columns that DO exist, written in the SQL
+#: subset both engines parse identically (verified: CAST AS
+#: STRING/INT/BIGINT/DOUBLE, concat, lpad, CASE, int * INTERVAL '1' DAY,
+#: and VALUES lists all behave the same in Spark and DuckDB). Both
+#: engines therefore query bit-identical inputs, so the comparison still
+#: validates ENGINE semantics — exactly what this harness tests. Values
+#: mimic TPC-H shape (clerk/phone formats, LIKE-able comment keywords
+#: such as Q13's '%special%requests%' and Q16's '%Customer%Complaints%')
+#: so the corpus predicates stay selective instead of trivially
+#: all-true/all-false.
+AUGMENTS: dict[str, tuple[tuple[str, str], ...]] = {
+    "region": (("r_comment", "concat('region ', r_name)"),),
+    "nation": (("n_comment", "concat('nation ', n_name)"),),
+    "customer": (
+        (
+            "c_comment",
+            "CASE WHEN c_custkey % 5 = 0"
+            " THEN concat('special packages requests ', CAST(c_custkey AS STRING))"
+            " ELSE concat('regular customer ', CAST(c_custkey AS STRING)) END",
+        ),
+        ("c_address", "concat('Address #', CAST(c_custkey AS STRING))"),
+        (
+            "c_phone",
+            "concat(CAST(10 + c_nationkey AS STRING), '-',"
+            " lpad(CAST((c_custkey * 7) % 1000 AS STRING), 3, '0'), '-',"
+            " lpad(CAST((c_custkey * 13) % 1000 AS STRING), 3, '0'), '-',"
+            " lpad(CAST((c_custkey * 31) % 10000 AS STRING), 4, '0'))",
+        ),
+    ),
+    "supplier": (
+        (
+            "s_comment",
+            "CASE WHEN s_suppkey % 10 = 0"
+            " THEN concat('Customer Complaints ', CAST(s_suppkey AS STRING))"
+            " ELSE concat('supplier note ', CAST(s_suppkey AS STRING)) END",
+        ),
+        ("s_address", "concat('Supplier Address #', CAST(s_suppkey AS STRING))"),
+        (
+            "s_phone",
+            "concat(CAST(10 + s_nationkey AS STRING), '-',"
+            " lpad(CAST((s_suppkey * 7) % 1000 AS STRING), 3, '0'), '-',"
+            " lpad(CAST((s_suppkey * 13) % 1000 AS STRING), 3, '0'), '-',"
+            " lpad(CAST((s_suppkey * 31) % 10000 AS STRING), 4, '0'))",
+        ),
+    ),
+    "part": (
+        ("p_mfgr", "concat('Manufacturer#', CAST(1 + p_partkey % 5 AS STRING))"),
+        (
+            "p_container",
+            "CASE CAST(p_partkey % 4 AS INT) WHEN 0 THEN 'SM CASE'"
+            " WHEN 1 THEN 'MED BOX' WHEN 2 THEN 'LG JAR' ELSE 'WRAP PKG' END",
+        ),
+    ),
+    "orders": (
+        (
+            "o_clerk",
+            "concat('Clerk#', lpad(CAST(o_orderkey % 1000 AS STRING), 9, '0'))",
+        ),
+        ("o_shippriority", "CAST(o_orderkey % 3 AS INT)"),
+        (
+            "o_comment",
+            "CASE WHEN o_orderkey % 7 = 0"
+            " THEN concat('special requests ', CAST(o_orderkey AS STRING))"
+            " ELSE concat('order note ', CAST(o_orderkey AS STRING)) END",
+        ),
+    ),
+    "lineitem": (
+        (
+            "l_commitdate",
+            "l_shipdate - CAST(l_orderkey % 30 AS INT) * INTERVAL '1' DAY",
+        ),
+        (
+            "l_receiptdate",
+            "l_shipdate + CAST(l_linenumber % 10 AS INT) * INTERVAL '1' DAY",
+        ),
+        (
+            "l_shipmode",
+            "CASE CAST((l_orderkey + l_linenumber) % 7 AS INT)"
+            " WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'RAIL'"
+            " WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'AIR' WHEN 5 THEN 'REG AIR'"
+            " ELSE 'FOB' END",
+        ),
+        (
+            "l_shipinstruct",
+            "CASE CAST((l_orderkey + l_linenumber) % 4 AS INT)"
+            " WHEN 0 THEN 'DELIVER IN PERSON' WHEN 1 THEN 'COLLECT COD'"
+            " WHEN 2 THEN 'NONE' ELSE 'TAKE BACK RETURN' END",
+        ),
+        (
+            "l_comment",
+            "concat('lineitem ', CAST(l_orderkey AS STRING), '-',"
+            " CAST(l_linenumber AS STRING))",
+        ),
+    ),
+}
+
+#: Derived partsupp: 4 deterministic supplier slots per part over the
+#: augmented ``part`` view (registered in both engines). ``{nsupp}`` is
+#: the actual supplier row count (keys are 0-based, dense), so every
+#: ps_suppkey joins back to a real supplier. ps_supplycost avoids a
+#: round() step — integer-derived double division is bit-identical IEEE
+#: in both engines, round-half modes are not.
+PARTSUPP_SQL = """SELECT p_partkey AS ps_partkey,
+       CAST((p_partkey + i.i * 257) % {nsupp} AS BIGINT) AS ps_suppkey,
+       CAST((p_partkey * 7 + i.i * 13) % 9999 + 1 AS INT) AS ps_availqty,
+       CAST((p_partkey * 31 + i.i * 7) % 100000 AS DOUBLE) / 100.0 AS ps_supplycost,
+       concat('ps note ', CAST(p_partkey AS STRING), '-', CAST(i.i AS STRING)) AS ps_comment
+FROM part, (VALUES (0), (1), (2), (3)) AS i(i)"""
+
+#: Derived bool_orders (booleanSuite): the reference loads orders rows
+#: with an extra NULLABLE boolean o_confirmed from .psv
+#: (``DataBase/createSchema.py:198`` / ``Utils/utilityHive.py:73``).
+BOOL_ORDERS_SQL = """SELECT *,
+       CASE WHEN o_orderkey % 19 = 0 THEN CAST(NULL AS BOOLEAN)
+            WHEN o_orderkey % 3 = 0 THEN true ELSE false END AS o_confirmed
+FROM orders"""
+
+
+def register_fixtures(bc, con, sf_dir: str) -> None:
+    """Register every fixture table in BOTH engines, base parquet plus the
+    derived columns/tables above — identical inputs on each side."""
+    for tbl in TABLES:
+        if tbl in DERIVED_TABLES:
+            continue
+        path = f"{sf_dir}/{tbl}.parquet"
+        sel = ", ".join(
+            ["*", *(f"{expr} AS {col}" for col, expr in AUGMENTS.get(tbl, ()))]
+        )
+        bc.spark.read.parquet(path).createOrReplaceTempView(f"_{tbl}_base")
+        bc.create_table(tbl, bc.spark.sql(f"SELECT {sel} FROM _{tbl}_base"))
+        con.execute(f"CREATE VIEW {tbl} AS SELECT {sel} FROM '{path}'")
+    nsupp = con.execute("SELECT count(*) FROM supplier").fetchone()[0]
+    for name, tmpl in (("partsupp", PARTSUPP_SQL), ("bool_orders", BOOL_ORDERS_SQL)):
+        sql = tmpl.format(nsupp=nsupp)
+        bc.create_table(name, bc.spark.sql(sql))
+        con.execute(f"CREATE VIEW {name} AS {sql}")
 AVAILABLE_COLS = frozenset(c for cols in TABLES.values() for c in cols)
 #: TPC-H identifier shape: one-letter table prefix + underscore.
 _IDENT = re.compile(r"\b([lcopsnr]+_[a-z0-9_]+)\b")
@@ -205,30 +370,56 @@ def oracle_translate(sql: str) -> str:
 #: Queries where OUR result matches the reference's semantics but DuckDB
 #: (the stand-in oracle) legitimately differs — documented engine-dialect
 #: deltas, not parity failures:
-#: - castSuite/TEST_10: double->int CAST rounds in DuckDB, truncates in
-#:   Spark AND Calcite/cuDF (we match the reference).
+#: - castSuite/TEST_10, TEST_13: double->int CAST rounds in DuckDB,
+#:   truncates in Spark AND Calcite/cuDF (we match the reference).
 #: - dayOfWeekSuite/*: DuckDB numbers Sunday=0; Spark and Calcite both
 #:   number Sunday=1 (we match the reference; SURVEY.md §2.7).
 #: - dateSuite/TEST_08: CURRENT_TIME/CURRENT_TIMESTAMP — wall-clock moves
 #:   between the two engine invocations; inherently incomparable.
+#: - substringSuite/TEST_12: LEFT/RIGHT with NEGATIVE length: DuckDB
+#:   follows Postgres (drop last/first n chars: LEFT('abcdefgh',-5) =
+#:   'abc'); Spark and Calcite return '' (we match the reference).
 ORACLE_DIALECT_SKIP = {
     ("castSuite", "TEST_10"),
+    ("castSuite", "TEST_13"),
     ("dayOfWeekSuite", "TEST_01"),
     ("dayOfWeekSuite", "TEST_02"),
     ("dayOfWeekSuite", "TEST_03"),
+    ("dayOfWeekSuite", "TEST_04"),
+    ("dayOfWeekSuite", "TEST_05"),
     ("dateSuite", "TEST_08"),
+    ("substringSuite", "TEST_12"),
+    #: windowFunctionSuite/TEST_22: final ``ORDER BY l_orderkey, max_keys
+    #: LIMIT 50`` sorts on NON-UNIQUE keys (several lineitem rows share an
+    #: orderkey and window value but differ in the projected
+    #: l_extendedprice) — which tied rows land inside the LIMIT is
+    #: engine-arbitrary and even run-arbitrary. Underspecified query, not
+    #: an engine delta; the reference's own Drill compare has the same
+    #: hole and passes only when its data happens not to tie at the cut.
+    ("windowFunctionSuite", "TEST_22"),
 }
+
+
+#: CTE definitions (``WITH name AS (`` / ``, name AS (``) — those names are
+#: query-local, not fixture tables.
+_CTE_NAME = re.compile(r"(?i)(?:\bwith|,)\s*([a-z_][a-z0-9_]*)\s+as\s*\(")
+#: ``expr AS alias`` — aliases are query-local identifiers, and several
+#: corpus queries pick TPC-H-shaped alias names (``cust_nation``,
+#: ``col_n1``) that would otherwise trip the missing-column check.
+_ALIAS = re.compile(r"(?i)\bas\s+([a-z_][a-z0-9_]*)")
 
 
 def runnable(sql: str) -> bool:
     """True when every referenced table and TPC-H-shaped column exists
-    in the reduced fixtures."""
+    in the fixtures (base parquet + derived columns/tables), treating
+    CTE names and SELECT aliases as query-local."""
     lowered = sql.lower()
+    local = set(_CTE_NAME.findall(lowered)) | set(_ALIAS.findall(lowered))
     for tbl in _FROM_TABLE.findall(lowered):
-        if tbl not in TABLES and tbl not in {"t", "t1", "t2"}:  # aliases
+        if tbl not in TABLES and tbl not in local and tbl not in {"t", "t1", "t2"}:
             return False
     for ident in _IDENT.findall(lowered):
-        if ident not in AVAILABLE_COLS:
+        if ident not in AVAILABLE_COLS and ident not in local:
             return False
     return True
 
@@ -255,10 +446,7 @@ def main() -> int:
 
     bc = BlazingContext(spark=spark)
     con = duckdb.connect()
-    for tbl in TABLES:
-        path = f"{sf_dir}/{tbl}.parquet"
-        bc.create_table(tbl, path)
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{path}'")
+    register_fixtures(bc, con, sf_dir)
 
     corpus = load_corpus()
     candidates = [(s, t, q) for s, t, q in corpus if runnable(q)]

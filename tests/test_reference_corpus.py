@@ -1,8 +1,8 @@
 """A deterministic sample of the reference's own e2e SQL corpus, run
 verbatim through BlazingContext vs DuckDB (the full sweep is
-``scripts/reference_replay.py`` — 379/379 comparable queries match; this
-keeps a fast slice of it in the regular gate so dialect-shim regressions
-surface immediately)."""
+``scripts/reference_replay.py`` — 580/580 comparable queries match over
+the derived-column-extended fixtures; this keeps a fast slice of it in
+the regular gate so dialect-shim regressions surface immediately)."""
 
 from __future__ import annotations
 
@@ -12,10 +12,10 @@ import pytest
 from pyblazing_spark.context import BlazingContext
 from scripts.reference_replay import (
     ORACLE_DIALECT_SKIP,
-    TABLES,
     _compare,
     load_corpus,
     oracle_translate,
+    register_fixtures,
     runnable,
 )
 
@@ -34,10 +34,7 @@ def _sample():
 def corpus_env(spark, sf_dir):
     bc = BlazingContext(spark=spark)
     con = duckdb.connect()
-    for tbl in TABLES:
-        path = f"{sf_dir}/{tbl}.parquet"
-        bc.create_table(tbl, path)
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{path}'")
+    register_fixtures(bc, con, sf_dir)
     return bc, con
 
 
