@@ -38,11 +38,17 @@ from pyblazing_spark.session import ensure_runtime_confs
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-#: events.parquet physical schema under nanosAsLong (ts: int64 nanos).
+#: events.parquet schema for the stream source. ts is declared
+#: TimestampType directly: the Spark 4 streaming parquet reader converts
+#: the file's TIMESTAMP(NANOS) to micros during vectorized decode even
+#: when nanosAsLong is set (unlike the batch path, where the inferred
+#: schema under that conf is int64 nanos and the loader must `div 1000`
+#: itself — see sources/tables.py). Declaring LongType here would hand
+#: us micros mislabeled as nanos and a double division.
 _EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
