@@ -31,6 +31,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from pyblazing_spark.session import ensure_runtime_confs
@@ -62,9 +63,11 @@ _sink_counter = itertools.count()
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """``readStream`` over the events parquet with the same ns->us
-    timestamp normalization as the batch loader
-    (:func:`pyblazing_spark.sources.tables.load_table`)."""
+    """``readStream`` over the events parquet. Unlike the batch loader
+    (:func:`pyblazing_spark.sources.tables.load_table`), no manual
+    ns->us conversion happens here: the streaming parquet reader decodes
+    the file's TIMESTAMP(NANOS) to micros TIMESTAMP directly under the
+    declared schema (see ``_EVENTS_RAW_SCHEMA``)."""
     ensure_runtime_confs(spark)
     # The file stream source needs a directory base path; bracketing the
     # last character makes the path a glob whose base is the containing
@@ -72,13 +75,10 @@ def read_events_stream(
     reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(f"{sf_dir}/events.parque[t]")
     # Watermarks require TIMESTAMP (not NTZ); with the session timezone
     # pinned to UTC the instant<->naive mapping is value-preserving, so
     # results cast back to NTZ compare exactly against the batch loader.
-    # Integer `div` (see sources/tables.py): float division loses μs
-    # precision on ns epoch values.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(f"{sf_dir}/events.parque[t]")
 
 
 def windowed_counts_stream(
