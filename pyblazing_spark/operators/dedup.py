@@ -190,19 +190,38 @@ def minhash_dedup(
 
 
 # ------------------------------------------------------------- simhash
+def md5_hash60(col: Column) -> Column:
+    """First 15 hex digits of md5 as a 60-bit non-negative long.
+
+    Slower than xxhash64 but exactly reproducible in ANSI SQL (DuckDB
+    recomputes it digit-by-digit), which turns the whole SimHash pipeline
+    into an oracle-checkable operator — see ``plans/llm.py:dedup_simhash``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """(id, simhash int) — ``bits``-wide SimHash from per-token xxhash64
+    """(id, simhash int) — ``bits``-wide SimHash from per-token hash
     bits (64 default: on corpora with heavy shared vocabulary, 32 bits
     saturate — hamming<=3 then matches ~10% of all pairs).
+
+    ``token_hash`` maps a token column to a long (default xxhash64 — the
+    fast path; :func:`md5_hash60` is the SQL-reproducible variant used by
+    the oracle-checked catalog entry, pair with ``bits=60``).
 
     Explode distinct tokens, one row per token; ``bits`` conditional sums
     in a single aggregation (bit-majority); reassemble the signature. One
     shuffle on id."""
+    hash_fn = token_hash or (lambda c: F.xxhash64(c))
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(TXT.tokens(F.col(text_col)))).alias("__t")
-    ).withColumn("__h", F.xxhash64("__t"))
+    ).withColumn("__h", hash_fn(F.col("__t")))
     aggs = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -230,6 +249,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -238,7 +258,7 @@ def simhash_pairs(
     verify with xor bit_count (exact)."""
     chunks = max_hamming + 1
     width = bits // chunks
-    sig = simhash(df, text_col, id_col, bits=bits)
+    sig = simhash(df, text_col, id_col, bits=bits, token_hash=token_hash)
 
     def _chunk(i: int) -> Column:
         shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
@@ -266,9 +286,9 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()

@@ -272,19 +272,38 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_distinct",
     tags=("aggregate", "approx"),
-    oracle=None,  # approximate by construction — rows-only check; the
-    # dedicated unit test bounds the error vs exact counts.
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE                       AS approx_within_2pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count — the scale path for COUNT(DISTINCT)
     at 100 TB (no exact distinct shuffle). No reference equivalent
-    (SURVEY.md §2.3 'No approximate aggregates')."""
+    (SURVEY.md §2.3 'No approximate aggregates').
+
+    Property-style oracle: the sketch value itself isn't portable, so the
+    result carries the exact count plus a boolean asserting the HLL++
+    estimate (rsd=0.01) landed within 2% — DuckDB recomputes the exact
+    side and expects TRUE."""
     li = T(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__approx"),
             F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("__approx") - F.col("exact_orders"))
+                <= 0.02 * F.col("exact_orders")
+            ).alias("approx_within_2pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -373,24 +392,43 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_percentile",
     tags=("aggregate", "approx", "percentile"),
-    oracle=None,  # approximate by construction (KLL-style sketch) —
-    # rows-only check; tests/test_edge_cases.py bounds the error vs the
-    # exact percentiles carried in the same result.
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5) + 1e-9, 4) AS exact_p50,
+       round(quantile_cont(o_totalprice, 0.9) + 1e-9, 4) AS exact_p90,
+       TRUE AS approx_within_1pct
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles — the scale path for quantiles at 100 TB
     (mergeable per-partition sketches; the exact operator needs a global
     sort per group). No reference equivalent (SURVEY.md §2.3 'No
-    approximate aggregates'). Carries the exact values alongside so the
-    error is observable in the result itself."""
+    approximate aggregates').
+
+    Property-style oracle: sketches aren't portable across engines, so
+    the result carries the exact percentiles plus a boolean asserting
+    both sketch estimates (accuracy=10000) landed within 1% relative
+    error — DuckDB recomputes the exact side and expects TRUE."""
     od = T(spark, sf_dir, "orders")
+    within = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.01 * F.abs(F.col(e))  # noqa: E731
     return (
         od.groupBy("o_orderstatus")
         .agg(
-            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
-            F.percentile("o_totalprice", F.lit(0.5)).alias("exact_p50"),
-            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("approx_p90"),
-            F.percentile("o_totalprice", F.lit(0.9)).alias("exact_p90"),
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("__a50"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("__e50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("__a90"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("__e90"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.col("__e50") + 1e-9, 4).alias("exact_p50"),
+            F.round(F.col("__e90") + 1e-9, 4).alias("exact_p90"),
+            (within("__a50", "__e50") & within("__a90", "__e90")).alias(
+                "approx_within_1pct"
+            ),
         )
         .orderBy("o_orderstatus")
     )

@@ -2,12 +2,25 @@
 extensions; BASELINE.json north-star: dedup, similarity search, text
 analysis — no reference equivalent).
 
-Oracle policy: text analysis, fingerprinting, exact dedup, exact n-gram
-Jaccard, embedding cosine, and brute-force ANN are expressed in ANSI SQL
-and verified against DuckDB. MinHash/SimHash/LSH depend on xxhash64 (no
-DuckDB equivalent) -> rows-only for the driver, with dedicated unit tests
-asserting recall/precision against the exact operators
-(``tests/test_llm_ops.py``).
+Oracle policy: every entry here is oracle-checked against DuckDB. The
+approximate operators get there three ways (plus unit tests asserting
+recall/precision at production parameters in ``tests/test_llm_ops.py``):
+
+- **MinHash-LSH**: the verify step's exact Jaccard is recomputed by
+  DuckDB over word-shingle *strings*; hashed-shingle sets and string
+  sets are bijective (xxhash64 collisions aside), so values match and
+  the LSH band parameters give deterministic full recall on the planted
+  near-dup pairs (similarity gap: >=0.9 vs <0.4 — measured, both SFs).
+- **SimHash**: the catalog entry runs the md5-derived 60-bit token hash
+  (:func:`pyblazing_spark.operators.dedup.md5_hash60`), which DuckDB
+  recomputes digit-by-digit — the ENTIRE signature + banding + hamming
+  pipeline is equality-checked, not a property proxy. Production default
+  stays xxhash64/64-bit (faster).
+- **ANN (LSH / IVF)**: catalog entries run at exhaustive-recall settings
+  (width-1 bands / full nprobe) so the result provably equals the brute
+  force oracle — this verifies the bucketing/join/re-rank machinery end
+  to end; pruning recall at production settings is what the unit tests
+  cover.
 """
 
 from __future__ import annotations
@@ -243,26 +256,82 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     bench=True,
     tags=("llm", "dedup", "minhash"),
-    oracle=None,  # xxhash64-based — not expressible in DuckDB; recall vs
-    # the exact Jaccard baseline is unit-tested in tests/test_llm_ops.py.
+    oracle=r"""
+WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+ toks AS (SELECT doc_id, string_split_regex(t, '\s+') AS tk FROM docs),
+ idx AS (SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(1, len(tk)-2))) AS i FROM toks),
+ sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s FROM idx),
+ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+ORDER BY id_a, id_b
+""",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) near-dup pairs with exact-Jaccard
-    verification — the 100 TB dedup path."""
+    verification — the 100 TB dedup path.
+
+    Oracle-checked for full equality: DuckDB computes exact all-pairs
+    word-shingle Jaccard >= 0.5. Hashed-shingle sets are bijective with
+    string-shingle sets, so the verify step's values match exactly, and
+    the corpus' similarity gap (planted pairs >= 0.9, noise < 0.4) makes
+    LSH recall deterministically complete — measured identical at sf0.01
+    (25 pairs) and sf0.1 (256 pairs)."""
     docs = T(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+# md5-hex -> 60-bit integer, digit by digit (mirrors dedup.md5_hash60's
+# `conv(substr(md5(tok),1,15),16,10)` exactly; 16^14 * 15 < 2^63).
+_SQL_MD5_60 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
 
 
 @register(
     "dedup_simhash",
     tags=("llm", "dedup", "simhash"),
-    oracle=None,  # xxhash64-based; unit-tested (hamming symmetry, self-0).
+    oracle=rf"""
+WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+ toks AS (SELECT DISTINCT doc_id,
+          unnest(string_split_regex(t, '\s+')) AS tok FROM docs),
+ h AS (SELECT doc_id, ({_SQL_MD5_60}) AS hv FROM toks),
+ bits AS (SELECT doc_id, j,
+          CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END AS v
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js),
+ maj AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j),
+ sig AS (SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                       ELSE 0 END) AS BIGINT) AS sg
+         FROM maj GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sg, b.sg)) <= 3
+ORDER BY id_a, id_b
+""",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at hamming <= 3 via banded pigeonhole
-    (64-bit: 32 bits saturate on shared-vocabulary corpora)."""
+    """SimHash near-dup pairs at hamming <= 3 via banded pigeonhole.
+
+    The catalog entry runs the md5-derived 60-bit token hash
+    (:func:`pyblazing_spark.operators.dedup.md5_hash60`) so DuckDB can
+    recompute the ENTIRE pipeline — per-token hash, bit-majority
+    signature, pigeonhole banding, exact xor-bit_count hamming — and the
+    oracle checks full result equality, not a property proxy. Production
+    callers default to xxhash64/64-bit (faster; same plan shape)."""
     docs = T(spark, sf_dir, "documents")
-    return DD.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return DD.simhash_pairs(
+        docs, max_hamming=3, bits=60, token_hash=DD.md5_hash60
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -284,11 +353,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
-@register(
-    "ann_cosine_topk",
-    bench=True,
-    tags=("llm", "ann"),
-    oracle="""
+#: Exact brute-force top-5 — the oracle for ann_cosine_topk AND for the
+#: LSH/IVF entries, which run at exhaustive-recall settings so their
+#: output is provably identical (verifies the bucketing machinery).
+_SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < 5),
  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
@@ -305,7 +373,14 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
 SELECT query_id, neighbor_id, cos, rank
 FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
-""",
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    bench=True,
+    tags=("llm", "ann"),
+    oracle=_SQL_ANN_TOPK,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 5 query vectors — the exact baseline
@@ -321,36 +396,47 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh",
     tags=("llm", "ann", "lsh"),
-    oracle=None,  # approximate by construction; recall vs ann_cosine_topk
-    # asserted in tests/test_llm_ops.py.
+    oracle=_SQL_ANN_TOPK,
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-5 (banded buckets + exact re-rank) — the
-    scale path for similarity search."""
+    scale path for similarity search.
+
+    The catalog entry runs 16 width-1 bands: on this corpus (true top-5
+    cos in [0.25, 0.42]) that makes candidate recall deterministically
+    complete, so the result equals brute force and the oracle checks the
+    bucket-assign / band-join / re-rank machinery for full equality.
+    Production pruning settings (16 bits / 4 bands) and their recall are
+    what ``tests/test_llm_ops.py`` asserts."""
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    return SIM.lsh_ann_topk(corpus, queries, k=5, query_id_col="query_id")
+    return SIM.lsh_ann_topk(
+        corpus, queries, k=5, query_id_col="query_id", n_bits=16, bands=16
+    )
 
 
 @register(
     "ann_ivf",
     tags=("llm", "ann", "ivf"),
-    oracle=None,  # approximate by construction (data-adaptive k-means
-    # lists); recall + exact-at-full-probe asserted in tests/test_llm_ops.py.
+    oracle=_SQL_ANN_TOPK,
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (k-means coarse quantizer, nprobe=4 of 16 lists,
-    exact cosine re-rank) — the data-adaptive scale path for similarity
-    search."""
+    """IVF ANN top-5 (k-means coarse quantizer, exact cosine re-rank) —
+    the data-adaptive scale path for similarity search.
+
+    The catalog entry probes all 16 lists (nprobe = n_centroids), which
+    is exact by construction — the oracle then checks that the k-means
+    assignment, list join, and re-rank lose or duplicate no rows vs
+    brute force. Pruned-probe recall (nprobe=4) is unit-tested."""
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.where(F.col("vec_id") >= 5)
-    return SIM.ivf_ann_topk(corpus, queries, k=5, n_centroids=16, nprobe=4)
+    return SIM.ivf_ann_topk(corpus, queries, k=5, n_centroids=16, nprobe=16)
 
 
 @register(

@@ -171,23 +171,13 @@ def test_dialect_nested_call_formats(spark):
 
 
 def test_approx_aggregates_error_bounds(spark, sf_dir):
-    """The approximate aggregates must track their exact twins: HLL++
-    distinct within the configured 1% rsd (3 sigma), sketch percentiles
-    within 1% relative."""
+    """The approximate aggregates must track their exact twins: the
+    entries now emit the bound check as a boolean column (so the DuckDB
+    oracle can assert TRUE) — every row must report in-bounds."""
     import pyblazing_spark.plans as plans
 
-    d = {
-        r["l_returnflag"]: r
-        for r in plans.REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
-    }
-    for flag, row in d.items():
-        assert abs(row["approx_orders"] - row["exact_orders"]) <= max(
-            3, 0.03 * row["exact_orders"]
-        ), f"HLL too far off for {flag}: {row}"
+    for row in plans.REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect():
+        assert row["approx_within_2pct"], f"HLL too far off: {row}"
 
     for row in plans.REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect():
-        for q in ("p50", "p90"):
-            exact, approx = row[f"exact_{q}"], row[f"approx_{q}"]
-            assert abs(approx - exact) <= 0.01 * abs(exact) + 1e-9, (
-                f"approx_{q} off for {row['o_orderstatus']}: {approx} vs {exact}"
-            )
+        assert row["approx_within_1pct"], f"sketch percentile off: {row}"
