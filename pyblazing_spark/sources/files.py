@@ -128,8 +128,13 @@ def read_jdbc(spark: SparkSession, table_name: str, **kwargs: Any) -> DataFrame:
     host = kwargs.get("hostname", "localhost")
     port = kwargs.get("port", {"mysql": 3306, "postgresql": 5432}.get(backend, 5432))
     database = kwargs.get("database", "")
-    if backend == "sqlite":
-        url = f"jdbc:sqlite:{database}"
+    if backend in ("sqlite", "derby"):
+        # file-backed engines: `database` is a filesystem path. Derby's
+        # embedded driver ships with Spark, so the derby path is
+        # executable end-to-end in any deployment (tests/test_sources.py
+        # drives it with pushdown asserted); sqlite/mysql/postgresql
+        # need their driver jar on the classpath (--jars / --packages).
+        url = f"jdbc:{backend}:{database}"
     else:
         url = f"jdbc:{backend}://{host}:{port}/{database}"
     reader = (
