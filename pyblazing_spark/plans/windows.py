@@ -304,6 +304,46 @@ def win_no_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_global_scaled",
+    tags=("window", "unpartitioned", "scale"),
+    oracle="""
+SELECT event_id,
+       row_number() OVER (ORDER BY ts, event_id) AS seq,
+       round(sum(value) OVER (ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW), 2) AS running_value
+FROM events
+ORDER BY seq
+LIMIT 300
+""",
+)
+def win_global_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME unpartitioned window as ``win_no_partition``, computed on
+    the scale path: two-phase range-bucketed row numbers and prefix sums
+    (:func:`pyblazing_spark.operators.global_window.global_row_number` /
+    :func:`~.global_running_sum`) — full parallelism, no single-task
+    collapse. The oracle is identical to ``win_no_partition``'s, so the
+    driver proves the parallel form equals the serial semantics."""
+    from pyblazing_spark.operators.global_window import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    ev = T(spark, sf_dir, "events").select("event_id", "ts", "value")
+    rn = global_row_number(ev, ["ts", "event_id"], out_col="seq")
+    rs = global_running_sum(rn, ["ts", "event_id"], "value", out_col="__rsum")
+    return (
+        rs.select(
+            "event_id",
+            F.col("seq").cast("long").alias("seq"),
+            money(F.col("__rsum")).alias("running_value"),
+        )
+        .orderBy("seq")
+        .limit(300)
+    )
+
+
+@register(
     "win_multi_over",
     tags=("window", "multi"),
     oracle="""
