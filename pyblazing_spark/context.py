@@ -85,6 +85,7 @@ class BlazingContext:
         self._token_counter = itertools.count(1)
         self._pending: dict[int, Future] = {}
         self._pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="bsql-async")
+        self._peak_memory: dict[str, int] = {}
         if config_options:
             self._apply_config(config_options)
 
@@ -107,7 +108,9 @@ class BlazingContext:
         path(s) -> per-format reader with kwarg translation; in-memory
         frames -> direct registration; ``from_sql`` kwargs -> JDBC.
         """
-        df, source, paths = read_source(self.spark, self._resolve_paths(input), **kwargs)
+        df, source, paths = read_source(
+            self.spark, self._resolve_paths(input), _table_name=table_name, **kwargs
+        )
         df.createOrReplaceTempView(table_name)
         self._tables[table_name] = _TableEntry(
             name=table_name, df=df, source=source, paths=paths, kwargs=kwargs
@@ -317,9 +320,39 @@ class BlazingContext:
         return out
 
     def get_max_memory_used(self) -> dict[int, int]:
-        """Peak storage memory per executor (reference :2003)."""
-        status = self.spark.sparkContext.statusTracker()
-        return {0: sum(1 for _ in status.getActiveJobsIds())}  # minimal shim
+        """Peak memory used per executor, in BYTES (reference :2003
+        returns the per-GPU peak since context creation).
+
+        Sources, max-combined per executor: the status store's
+        heartbeat-updated peak executor metrics (JVMHeapMemory /
+        OnHeapUnifiedMemory), current storage-memory usage, and — for
+        the driver-executor (always present in local mode) — a live JVM
+        heap probe. A running max across calls preserves the
+        "peak since context creation" contract between heartbeats."""
+        jvm = self.spark.sparkContext._jvm
+        store = self.spark.sparkContext._jsc.sc().statusStore()
+        out: dict[int, int] = {}
+        it = store.executorList(True).iterator()
+        idx = 0
+        while it.hasNext():
+            e = it.next()
+            peak = int(e.memoryUsed())
+            pmm = e.peakMemoryMetrics()
+            if pmm.isDefined():
+                m = pmm.get()
+                peak = max(
+                    peak,
+                    int(m.getMetricValue("JVMHeapMemory")),
+                    int(m.getMetricValue("OnHeapUnifiedMemory")),
+                )
+            exec_id = str(e.id())
+            if exec_id == "driver":
+                rt = jvm.java.lang.Runtime.getRuntime()
+                peak = max(peak, int(rt.totalMemory() - rt.freeMemory()))
+            self._peak_memory[exec_id] = max(self._peak_memory.get(exec_id, 0), peak)
+            out[idx] = self._peak_memory[exec_id]
+            idx += 1
+        return out
 
     # --------------------------------------------------------------- misc
     def partition(self, input: DataFrame, by: list[str] | None = None) -> DataFrame:

@@ -156,8 +156,13 @@ def read_source(
     spark: SparkSession, input: Any, **kwargs: Any
 ) -> tuple[DataFrame, str, list[str]]:
     """Route ``create_table`` input to a DataFrame (reference :2079-2577)."""
+    table_default = kwargs.pop("_table_name", "")
     if kwargs.get("from_sql"):
         return read_jdbc(spark, str(input), **kwargs), "jdbc", []
+    from pyblazing_spark.sources.hive import looks_like_hive_cursor, read_hive_cursor
+
+    if looks_like_hive_cursor(input):
+        return read_hive_cursor(spark, input, table_default, **kwargs)
     if isinstance(input, DataFrame):
         return input, "dataframe", []
     if isinstance(input, str):

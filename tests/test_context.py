@@ -89,8 +89,15 @@ def test_config_options_translate(bc):
 def test_memory_introspection(bc):
     free = bc.get_free_memory()
     assert isinstance(free, dict) and all(v >= 0 for v in free.values())
+    # run real work so the peak reflects actual allocation, then assert
+    # the values are plausible BYTES (a live JVM heap is >= 1 MiB) and
+    # the running max never decreases across calls.
+    bc.spark.range(1_000_000).selectExpr("sum(id * 2)").collect()
     used = bc.get_max_memory_used()
-    assert isinstance(used, dict)
+    assert isinstance(used, dict) and used
+    assert all(isinstance(v, int) and v >= 1 << 20 for v in used.values()), used
+    again = bc.get_max_memory_used()
+    assert all(again[k] >= used[k] for k in used), (used, again)
 
 
 def test_partition_deprecated_passthrough(bc, spark, sf_dir):

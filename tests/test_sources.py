@@ -138,6 +138,82 @@ def test_csv_pushdown_reaches_scan(bc, tmp_path, nation_pdf):
     assert "n_nationkey" in seg
 
 
+class _FakeHiveCursor:
+    """Mimics a pyhive cursor over a real partitioned dataset: DESCRIBE
+    FORMATTED triples in the shape the reference parses
+    (``/root/reference/pyblazing/pyblazing/apiv2/hive.py:181-232``)."""
+
+    def __init__(self, location: str):
+        self.location = location
+        self.queries: list[str] = []
+        self._result: list[tuple] = []
+
+    def execute(self, query: str) -> None:
+        self.queries.append(query)
+        q = query.lower()
+        if q.startswith("describe formatted"):
+            self._result = [
+                ("# col_name", "data_type", "comment"),
+                ("", None, None),
+                ("n_nationkey", "int", ""),
+                ("n_name", "string", ""),
+                ("", None, None),
+                ("# Partition Information", None, None),
+                ("# col_name", "data_type", "comment"),
+                ("", None, None),
+                ("n_regionkey", "int", ""),
+                ("", None, None),
+                ("# Detailed Table Information", None, None),
+                ("Database:", "default", None),
+                ("Location:", f"file:{self.location}", None),
+                (
+                    "InputFormat:",
+                    "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+                    None,
+                ),
+            ]
+        else:
+            self._result = []
+
+    def fetchall(self) -> list[tuple]:
+        return self._result
+
+
+def test_hive_cursor_create_table(bc, spark, sf_dir, tmp_path):
+    """create_table(name, <hive cursor>) — reference parity for
+    ``context.py:2212`` — reads location + partition schema from the
+    cursor metadata and registers a partition-pruned Spark table."""
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    loc = str(tmp_path / "hive_nation")
+    src.select("n_nationkey", "n_name", "n_regionkey").write.partitionBy(
+        "n_regionkey"
+    ).parquet(loc)
+
+    cur = _FakeHiveCursor(loc)
+    bc.create_table("hive_nation", cur, hive_database_name="default")
+    assert any(q.startswith("use default") for q in cur.queries)
+    df = bc.table("hive_nation")
+    assert set(df.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert df.count() == src.count()
+
+    # partition predicates must prune to the matching directories
+    plan = bc.explain(
+        "SELECT n_name FROM hive_nation WHERE n_regionkey = 2", detail=True
+    )
+    assert "PartitionFilters" in plan and "n_regionkey" in plan.split("PartitionFilters", 1)[1][:200]
+    bc.drop_table("hive_nation")
+
+    # user partition pre-filter (reference partitions= kwarg)
+    bc.create_table("hive_nation_p", cur, partitions={"n_regionkey": [0, 1]})
+    got = {r["n_regionkey"] for r in bc.table("hive_nation_p").select("n_regionkey").distinct().collect()}
+    assert got == {0, 1}
+    bc.drop_table("hive_nation_p")
+
+    # naming a non-partition column must fail loudly
+    with pytest.raises(ValueError, match="non-partition"):
+        bc.create_table("hive_bad", cur, partitions={"n_name": ["x"]})
+
+
 def test_jdbc_derby_end_to_end(bc, spark, tmp_path):
     """Executable JDBC, matching the reference's SQL providers
     (``engine/src/io/data_provider/sql/AbstractSQLDataProvider.cpp:42-86``,
