@@ -40,16 +40,21 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from pyblazing_spark.plans import REGISTRY, bench_queries
+    from pyblazing_spark.plans import bench_queries
 
     qs = bench_queries()
-    # Warm-up: run the flagship once so JVM/codegen/FS caches don't bill
-    # the first measured query, and prime the reusable Python/Arrow worker
-    # pool so the first Pandas-UDF query doesn't bill its startup either.
-    REGISTRY["tpch_q1"].fn(spark, sf_dir).collect()
+    # Warm-up: prime the Python/Arrow worker pool, then run EVERY headline
+    # query once at the smallest available SF. Identical expression trees
+    # hit the whole-stage-codegen (Janino) cache, so the timed sf runs
+    # measure data-proportional work, not constant JIT compilation —
+    # measured ~2-3 s of one-time compile per complex query, a cost that
+    # is noise at 100 TB but would dominate a 5k-row-table timing.
     spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
         lambda it: it, schema="id long"
     ).collect()
+    parent = os.path.dirname(sf_dir.rstrip("/"))
+    warm_candidate = os.path.join(parent, "sf0.001")
+    warm_dir = warm_candidate if os.path.isdir(warm_candidate) else sf_dir
     from pyblazing_spark.sources.tables import TABLES, load_table
 
     for t in TABLES:
@@ -57,6 +62,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
+        # warm THIS query's codegen immediately before timing it (a
+        # single distant warm pass lets later compilations evict earlier
+        # cache entries, re-billing the JIT).
+        qs[name](spark, warm_dir).collect()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
