@@ -33,14 +33,69 @@ from pyblazing_spark.session import ensure_runtime_confs, get_spark
 from pyblazing_spark.sources.files import read_source
 
 #: Reference config_options (context.py:1239-1275) -> Spark conf translation.
-#: Options without a Spark analogue are accepted and ignored (the reference
-#: ignores unknown options too).
+#: Every option with a real Spark analogue is wired; the rest are accepted
+#: and ignored (the reference ignores unknown options too) and listed in
+#: ``_CONFIG_IGNORED`` so ``describe_config`` can report them honestly.
 _CONFIG_MAP: dict[str, str] = {
+    # memory thresholds -> unified-memory knobs (static core confs: only
+    # effective when the BlazingContext builds the session itself).
     "BLAZING_PROCESSING_DEVICE_MEM_CONSUMPTION_THRESHOLD": "spark.memory.fraction",
+    "BLAZING_DEVICE_MEM_CONSUMPTION_THRESHOLD": "spark.memory.storageFraction",
+    # kernel/executor parallelism -> shuffle width
     "MAX_KERNEL_RUN_THREADS": "spark.sql.shuffle.partitions",
+    # scatter-small-table threshold -> broadcast-join threshold
     "MAX_JOIN_SCATTER_MEM_OVERHEAD": "spark.sql.autoBroadcastJoinThreshold",
-    "NUM_BYTES_PER_ORDER_BY_PARTITION": "spark.sql.files.maxPartitionBytes",
+    # bytes per join partition -> AQE advisory post-shuffle partition size
+    "JOIN_PARTITION_SIZE_THRESHOLD": "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    # bytes per order-by partition -> the same AQE advisory size (range
+    # exchanges are re-coalesced by AQE like hash exchanges)
+    "NUM_BYTES_PER_ORDER_BY_PARTITION": "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    # order-by sample count -> range-partitioner sample size
+    "MAX_ORDER_BY_SAMPLES_PER_NODE": "spark.sql.execution.rangeExchange.sampleSizePerPartition",
+    # data-load concat batch -> scan split size
     "MAX_DATA_LOAD_CONCAT_CACHE_BYTE_SIZE": "spark.sql.files.maxPartitionBytes",
+}
+
+#: Reference options with NO live-session Spark analogue: accepted,
+#: ignored, reportable. (Transport/comms options describe the reference's
+#: own UCX/TCP mesh — Spark's shuffle service replaces that wholesale;
+#: logging sinks are Spark log4j config; memory-monitor cadence is the
+#: executor heartbeat, fixed at launch.)
+_CONFIG_IGNORED: frozenset[str] = frozenset(
+    {
+        "CONCATENATING_CACHE_NUM_BYTES_TIMEOUT",
+        "MAX_NUM_ORDER_BY_PARTITIONS_PER_NODE",
+        "FLOW_CONTROL_BYTES_THRESHOLD",
+        "BLAZ_HOST_MEM_CONSUMPTION_THRESHOLD",
+        "BLAZING_LOGGING_DIRECTORY",
+        "BLAZING_CACHE_DIRECTORY",
+        "BLAZING_LOCAL_LOGGING_DIRECTORY",
+        "MEMORY_MONITOR_PERIOD",
+        "EXECUTOR_THREADS",
+        "MAX_SEND_MESSAGE_THREADS",
+        "LOGGING_FLUSH_LEVEL",
+        "ENABLE_GENERAL_ENGINE_LOGS",
+        "ENABLE_COMMS_LOGS",
+        "ENABLE_TASK_LOGS",
+        "ENABLE_OTHER_ENGINE_LOGS",
+        "LOGGING_MAX_SIZE_PER_FILE",
+        "TRANSPORT_BUFFER_BYTE_SIZE",
+        "TRANSPORT_POOL_NUM_BUFFERS",
+        "PROTOCOL",
+        "REQUIRE_ACKNOWLEDGE",
+    }
+)
+
+#: reference LOGGING_LEVEL values -> log4j levels (handled via
+#: ``sc.setLogLevel``, not a SQL conf).
+_LOG_LEVELS: dict[str, str] = {
+    "trace": "TRACE",
+    "debug": "DEBUG",
+    "info": "INFO",
+    "warn": "WARN",
+    "error": "ERROR",
+    "critical": "FATAL",
+    "off": "OFF",
 }
 
 
@@ -91,14 +146,34 @@ class BlazingContext:
 
     # ------------------------------------------------------------- config
     def _apply_config(self, options: dict[str, Any]) -> None:
+        self._config_applied: dict[str, str] = getattr(self, "_config_applied", {})
         for key, value in options.items():
+            if key == "LOGGING_LEVEL":
+                level = _LOG_LEVELS.get(str(value).lower())
+                if level:
+                    self.spark.sparkContext.setLogLevel(level)
+                    self._config_applied[key] = f"sc.setLogLevel({level})"
+                continue
             spark_key = _CONFIG_MAP.get(key)
             if spark_key is None:
                 continue
             try:
                 self.spark.conf.set(spark_key, str(value))
+                self._config_applied[key] = spark_key
             except Exception:
                 pass  # static conf on a running session — keep reference behavior (ignore)
+
+    def describe_config(self) -> dict[str, str]:
+        """Mapping of reference option -> how this context applied it
+        ('<spark conf key>' / 'ignored (no Spark analogue)'). Every option
+        the reference accepts (context.py:1239-1275) appears."""
+        out = {k: v for k, v in getattr(self, "_config_applied", {}).items()}
+        for k in sorted(_CONFIG_MAP):
+            out.setdefault(k, _CONFIG_MAP[k])
+        out.setdefault("LOGGING_LEVEL", "sc.setLogLevel(<level>)")
+        for k in sorted(_CONFIG_IGNORED):
+            out.setdefault(k, "ignored (no Spark analogue)")
+        return out
 
     # ------------------------------------------------------- table catalog
     def create_table(self, table_name: str, input: Any, **kwargs: Any) -> DataFrame:

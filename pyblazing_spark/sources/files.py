@@ -13,8 +13,11 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-#: reference CSV kwargs (context.py:890-930) -> Spark csv reader options
+#: reference CSV kwargs (context.py:890-930) -> Spark csv reader options.
+#: ``thousands`` / ``true_values`` / ``false_values`` / ``dayfirst`` have
+#: no reader option and are honored with post-read column rewrites below.
 _CSV_KWARG_MAP: dict[str, str] = {
     "delimiter": "sep",
     "sep": "sep",
@@ -25,14 +28,14 @@ _CSV_KWARG_MAP: dict[str, str] = {
     "quotechar": "quote",
     "escapechar": "escape",
     "lineterminator": "lineSep",
-    "thousands": None,
     "comment": "comment",
-    "true_values": None,
-    "false_values": None,
     "na_values": "nullValue",
     "compression": "compression",
-    "dayfirst": None,
 }
+
+_NUMERIC_TYPES: frozenset[str] = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal(20,0)"}
+)
 
 
 def _spark_type(dtype: str) -> str:
@@ -95,19 +98,50 @@ def read_files(
                 options[spark_key] = kwargs[ref_key]
         if ".psv" in paths[0] or ".tbl" in paths[0]:
             options.setdefault("sep", "|")
+        if kwargs.get("dayfirst"):
+            # pandas-style day-first parsing: no Spark reader flag, but an
+            # explicit day-leading pattern has the same effect.
+            options.setdefault("dateFormat", "d/M/yyyy")
+            options.setdefault("timestampFormat", "d/M/yyyy H:m:s")
         names = kwargs.get("names")
         dtypes = kwargs.get("dtype")
+        thousands = kwargs.get("thousands")
+        true_values = [str(v) for v in kwargs.get("true_values") or []]
+        false_values = [str(v) for v in kwargs.get("false_values") or []]
+        # columns whose declared type can't be parsed directly because the
+        # raw text carries a thousands separator or custom bool spellings:
+        # read them as string, rewrite after the scan.
+        post_numeric: list[tuple[str, str]] = []
+        post_bool: list[str] = []
         if names and dtypes:
-            schema = ", ".join(
-                f"`{n}` {_spark_type(str(t))}" for n, t in zip(names, dtypes)
-            )
-            reader = reader.schema(schema)
+            parts = []
+            for n, t in zip(names, dtypes):
+                st = _spark_type(str(t))
+                if thousands and st in _NUMERIC_TYPES:
+                    post_numeric.append((n, st))
+                    st = "string"
+                elif (true_values or false_values) and st == "boolean":
+                    post_bool.append(n)
+                    st = "string"
+                parts.append(f"`{n}` {st}")
+            reader = reader.schema(", ".join(parts))
             options.pop("inferSchema", None)
         elif names:
             options["header"] = "false"
         df = reader.options(**options).csv(paths)
         if names and not dtypes:
             df = df.toDF(*names)
+        for n, st in post_numeric:
+            df = df.withColumn(
+                n, F.replace(F.col(n), F.lit(str(thousands)), F.lit("")).cast(st)
+            )
+        for n in post_bool:
+            col = F.col(n)
+            expr = F.when(col.isin(true_values), F.lit(True)) if true_values else None
+            if false_values:
+                base = expr if expr is not None else F.when(F.lit(False), F.lit(True))
+                expr = base.when(col.isin(false_values), F.lit(False))
+            df = df.withColumn(n, expr.otherwise(col.try_cast("boolean")).alias(n))
         return df, "csv"
     if fmt == "json":
         options = {"multiLine": "false" if kwargs.get("lines", True) else "true"}

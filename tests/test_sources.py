@@ -138,6 +138,76 @@ def test_csv_pushdown_reaches_scan(bc, tmp_path, nation_pdf):
     assert "n_nationkey" in seg
 
 
+def test_csv_thousands_bools_dayfirst(bc, tmp_path):
+    """Reference CSV kwargs the round-1 mapper dropped
+    (``/root/reference/pyblazing/pyblazing/apiv2/context.py:890-930``):
+    thousands separators, custom boolean spellings, day-first dates."""
+    p = tmp_path / "kw.csv"
+    p.write_text(
+        '1;"1,234";yes;05/03/2020\n'
+        '2;"22,000,500";no;17/11/2021\n'
+        "3;17;maybe;01/02/2022\n"
+    )
+    bc.create_table(
+        "kw",
+        str(p),
+        delimiter=";",
+        names=["id", "amount", "flag", "d"],
+        dtype=["int32", "int64", "bool", "date32"],
+        thousands=",",
+        true_values=["yes"],
+        false_values=["no"],
+        dayfirst=True,
+    )
+    rows = bc.sql("SELECT * FROM kw ORDER BY id").collect()
+    assert [r["amount"] for r in rows] == [1234, 22000500, 17]
+    assert [r["flag"] for r in rows] == [True, False, None]
+    assert [str(r["d"]) for r in rows] == ["2020-03-05", "2021-11-17", "2022-02-01"]
+    bc.drop_table("kw")
+
+
+def test_config_options_breadth(bc):
+    """Every reference config option is either mapped to a real Spark
+    conf or explicitly listed as having no analogue — nothing silently
+    unknown (VERDICT r1 item 9)."""
+    desc = bc.describe_config()
+    reference_options = {
+        "JOIN_PARTITION_SIZE_THRESHOLD", "CONCATENATING_CACHE_NUM_BYTES_TIMEOUT",
+        "MAX_JOIN_SCATTER_MEM_OVERHEAD", "MAX_NUM_ORDER_BY_PARTITIONS_PER_NODE",
+        "NUM_BYTES_PER_ORDER_BY_PARTITION", "MAX_DATA_LOAD_CONCAT_CACHE_BYTE_SIZE",
+        "FLOW_CONTROL_BYTES_THRESHOLD", "MAX_ORDER_BY_SAMPLES_PER_NODE",
+        "BLAZING_PROCESSING_DEVICE_MEM_CONSUMPTION_THRESHOLD",
+        "BLAZING_DEVICE_MEM_CONSUMPTION_THRESHOLD",
+        "BLAZ_HOST_MEM_CONSUMPTION_THRESHOLD", "BLAZING_LOGGING_DIRECTORY",
+        "BLAZING_CACHE_DIRECTORY", "BLAZING_LOCAL_LOGGING_DIRECTORY",
+        "MEMORY_MONITOR_PERIOD", "MAX_KERNEL_RUN_THREADS", "EXECUTOR_THREADS",
+        "MAX_SEND_MESSAGE_THREADS", "LOGGING_LEVEL", "LOGGING_FLUSH_LEVEL",
+        "ENABLE_GENERAL_ENGINE_LOGS", "ENABLE_COMMS_LOGS", "ENABLE_TASK_LOGS",
+        "ENABLE_OTHER_ENGINE_LOGS", "LOGGING_MAX_SIZE_PER_FILE",
+        "TRANSPORT_BUFFER_BYTE_SIZE", "TRANSPORT_POOL_NUM_BUFFERS",
+        "PROTOCOL", "REQUIRE_ACKNOWLEDGE",
+    }
+    missing = reference_options - set(desc)
+    assert not missing, missing
+
+    # applied options land in live Spark confs
+    bc.sql(
+        "SELECT 1 AS one",
+        config_options={
+            "MAX_ORDER_BY_SAMPLES_PER_NODE": 5000,
+            "JOIN_PARTITION_SIZE_THRESHOLD": 123456789,
+        },
+    )
+    assert (
+        bc.spark.conf.get("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+        == "5000"
+    )
+    assert (
+        bc.spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        == "123456789"
+    )
+
+
 class _FakeHiveCursor:
     """Mimics a pyhive cursor over a real partitioned dataset: DESCRIBE
     FORMATTED triples in the shape the reference parses
