@@ -350,6 +350,50 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------------ embedding cosine
+def embedding_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine — the LSH-bucketed scale path.
+
+    Hyperplane buckets (map-only, one numpy matmul per Arrow batch) prune
+    candidates; only same-band-bucket pairs pay the exact cosine, which
+    also makes the threshold exact (LSH bounds recall, never precision).
+    At corpus scale carry only (id, band, bucket) through the join and
+    re-join vectors for the verify step; here vectors ride along because
+    the catalog entry runs on a bounded set."""
+    from pyblazing_spark.operators.similarity import hyperplane_buckets
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    b = hyperplane_buckets(base, vec_col, dim, n_bits, bands)
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", VEC.cosine_udf(F.col("__va"), F.col("__vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
 def embedding_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

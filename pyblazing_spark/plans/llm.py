@@ -377,6 +377,31 @@ ORDER BY query_id, rank
 
 
 @register(
+    "dedup_embedding_lsh",
+    tags=("llm", "dedup", "embedding", "lsh"),
+    oracle="""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup — the scale path ``dedup_embedding``
+    documents. The catalog entry runs 16 width-1 bands (candidate recall
+    deterministically complete at cos >= 0.4 on this corpus), so the
+    oracle proves bucket-join + exact-verify equals the brute-force
+    pairs; pruned production settings are covered by the ANN recall
+    unit tests over the same hyperplane machinery."""
+    emb = T(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    return DD.embedding_pairs_lsh(
+        emb, threshold=0.4, n_bits=16, bands=16
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "ann_cosine_topk",
     bench=True,
     tags=("llm", "ann"),
