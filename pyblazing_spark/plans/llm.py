@@ -465,6 +465,154 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_overlap",
+    tags=("llm", "decontam", "pipeline"),
+    oracle=r"""
+WITH corpus AS (SELECT doc_id, trim(text) AS t FROM documents WHERE doc_id >= 50),
+ bench AS (SELECT trim(text) AS t FROM documents WHERE doc_id < 50),
+ ctoks AS (SELECT doc_id, string_split_regex(t, '\s+') AS tk FROM corpus),
+ cidx AS (SELECT doc_id, tk,
+          unnest(generate_series(1, greatest(1, len(tk)-4))) AS i FROM ctoks),
+ csh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s FROM cidx),
+ btoks AS (SELECT string_split_regex(t, '\s+') AS tk FROM bench),
+ bidx AS (SELECT tk, unnest(generate_series(1, greatest(1, len(tk)-4))) AS i
+          FROM btoks),
+ bsh AS (SELECT DISTINCT array_to_string(tk[i:i+4], ' ') AS s FROM bidx)
+SELECT DISTINCT doc_id AS contaminated_id
+FROM csh WHERE s IN (SELECT s FROM bsh)
+ORDER BY contaminated_id
+""",
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id >= 50) sharing any
+    5-token shingle with the held-out set (doc_id < 50) are flagged —
+    the standard eval-leakage guard in pretraining pipelines
+    (:mod:`pyblazing_spark.operators.decontam`). Hashed shingles are
+    bijective with the oracle's string shingles, so the id sets match
+    exactly."""
+    from pyblazing_spark.operators.decontam import contaminated_ids
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 50)
+    bench = docs.where(F.col("doc_id") < 50)
+    return (
+        contaminated_ids(corpus, bench, shingle_words=5)
+        .select(F.col("doc_id").alias("contaminated_id"))
+        .orderBy("contaminated_id")
+    )
+
+
+@register(
+    "text_repetition",
+    tags=("llm", "text", "quality"),
+    oracle=r"""
+WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+ toks AS (SELECT doc_id, string_split_regex(t, '\s+') AS tk FROM docs),
+ ok AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 2),
+ idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i FROM ok),
+ bg AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g FROM idx),
+ counts AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+ agg AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS total
+         FROM counts GROUP BY doc_id)
+SELECT doc_id, total AS n_bigrams,
+       round(top_c * 1.0 / total + 1e-9, 4) AS top_bigram_ratio
+FROM agg
+ORDER BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scoring: the most frequent word bigram's
+    share of all bigrams per document (high ratio = boilerplate/spam).
+
+    Bigrams are produced row-wise (explode positions, scalar hash) per
+    the no-HOF policy; the groupBy shuffles only (doc_id, xxhash64)
+    longs — bigram TEXT never shuffles. The oracle counts string bigrams;
+    hash and string bigrams are bijective."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TXT.tokens(F.col("text")).alias("__tk")).where(
+        F.size("__tk") >= 2
+    )
+    pos = toks.select(
+        "doc_id",
+        "__tk",
+        F.explode(F.sequence(F.lit(1), F.size("__tk") - F.lit(1))).alias("__i"),
+    )
+    grams = pos.select(
+        "doc_id",
+        F.xxhash64(
+            F.element_at("__tk", F.col("__i").cast("int")),
+            F.element_at("__tk", (F.col("__i") + 1).cast("int")),
+        ).alias("__g"),
+    )
+    counts = grams.groupBy("doc_id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_bigrams"),
+            F.max("__c").alias("__top"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("__top") / F.col("n_bigrams") + 1e-9, 4).alias(
+                "top_bigram_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_seq_packing",
+    tags=("llm", "pipeline", "packing"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKN} AS tok FROM documents),
+ c AS (SELECT doc_id, tok,
+       sum(tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       - tok AS prev_cum
+       FROM t),
+ b AS (SELECT prev_cum // 512 AS bin_id, doc_id, tok FROM c)
+SELECT bin_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
+FROM b
+GROUP BY bin_id
+ORDER BY bin_id
+""",
+)
+def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents are packed in
+    doc_id order into contiguous ~512-token bins (bin = prefix-sum
+    BEFORE the doc, integer-divided by the window size — deterministic
+    and engine-independent).
+
+    The prefix sum runs on the SCALE path
+    (:func:`pyblazing_spark.operators.global_window.global_running_sum`,
+    two-phase range-bucketed) — packing 100 TB of documents never
+    serializes into one task. The oracle computes the same spec with a
+    serial SQL window."""
+    from pyblazing_spark.operators.global_window import global_running_sum
+
+    docs = T(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TXT.token_count(F.col("text")).alias("__tok"))
+    c = global_running_sum(t, ["doc_id"], "__tok", out_col="__cum")
+    return (
+        c.select(
+            "doc_id",
+            "__tok",
+            # integer div, not float-div-then-cast: DuckDB CAST(float AS
+            # BIGINT) rounds half-away while Spark's cast truncates.
+            F.expr("CAST((__cum - __tok) AS BIGINT) div 512").alias("bin_id"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+@register(
     "pipeline_curation_funnel",
     tags=("llm", "pipeline", "dedup", "quality"),
     oracle=f"""

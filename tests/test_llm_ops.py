@@ -134,3 +134,28 @@ def test_ivf_full_probe_is_exact(spark, sf_dir):
     full = {(r.query_id, r.neighbor_id, r.rank) for r in SIM.ivf_ann_topk(
         corpus, queries, k=5, n_centroids=8, nprobe=8).collect()}
     assert full == exact
+
+
+def test_decontamination_semantics(spark):
+    """Flagged = corpus docs sharing a k-token shingle with the benchmark;
+    decontaminate() drops exactly those; min_hits raises the bar."""
+    from pyblazing_spark.operators.decontam import contaminated_ids, decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "a report says the quick brown fox jumps over fences"),  # 5-gram hit
+            (11, "completely unrelated text about spark partitions here"),
+            (12, "the quick brown fox jumps over the lazy dog verbatim"),  # many hits
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r.doc_id for r in contaminated_ids(corpus, bench).collect()}
+    assert flagged == {10, 12}
+    kept = {r.doc_id for r in decontaminate(corpus, bench).collect()}
+    assert kept == {11}
+    strict = {r.doc_id for r in contaminated_ids(corpus, bench, min_hits=3).collect()}
+    assert strict == {12}
