@@ -59,6 +59,11 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    # one full multi-stage query at the TARGET sf before timing: the very
+    # first sf-sized AQE execution pays one-off scheduler/memory-manager
+    # warmup (~1 s) that would otherwise bill the alphabetically-first
+    # query.
+    qs["tpch_q6"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
