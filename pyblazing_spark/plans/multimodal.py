@@ -76,6 +76,78 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_ppm",
+    tags=("multimodal", "decode", "codec", "mapInPandas"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id, substr(text, 1, 48) AS px
+  FROM documents WHERE length(text) >= 48),
+ b AS (
+  SELECT doc_id, ascii(substr(px, CAST(i AS INTEGER), 1)) AS c
+  FROM v JOIN generate_series(1, 48) t(i) ON i <= 48)
+SELECT doc_id,
+       4                        AS width,
+       4                        AS height,
+       round(avg(c) + 1e-9, 4)  AS mean_pixel
+FROM b
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (no codec library): each document's first 48
+    bytes become a 4x4 RGB P6 PPM (header + payload built JVM-side), and
+    :func:`pyblazing_spark.operators.multimodal.decode_image` takes the
+    genuine parser path — geometry from the header, mean over channel
+    bytes. The oracle recomputes the payload mean char-by-char, so a
+    header mis-parse or offset bug cannot pass."""
+    docs = T(spark, sf_dir, "documents").where(F.length("text") >= 48)
+    blobs = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
+            F.encode(F.substring("text", 1, 48), "UTF-8"),
+        ).alias("content"),
+    )
+    return MM.decode_image(blobs).orderBy("doc_id")
+
+
+@register(
+    "multimodal_transcode",
+    tags=("multimodal", "transcode", "codec", "mapInPandas"),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_blobs,
+       CAST(count(*) AS BIGINT) AS n_lossless
+FROM documents WHERE length(text) >= 48
+""",
+)
+def multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL transcoding: PPM -> BMP -> PPM per blob, then a byte-equality
+    check against the original. Property-style oracle: every blob must
+    survive the double conversion losslessly (n_lossless == n_blobs),
+    which DuckDB asserts by expecting the two counts equal."""
+    docs = T(spark, sf_dir, "documents").where(F.length("text") >= 48)
+    blobs = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
+            F.encode(F.substring("text", 1, 48), "UTF-8"),
+        ).alias("content"),
+    )
+    bmp = MM.transcode(blobs, "bmp").select("doc_id", "content")
+    back = MM.transcode(bmp, "ppm").select(
+        "doc_id", F.col("content").alias("__content_rt")
+    )
+    joined = blobs.join(back, "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(
+            F.when(F.col("content") == F.col("__content_rt"), 1).otherwise(0)
+        ).cast("long").alias("n_lossless"),
+    )
+
+
+@register(
     "multimodal_frame_sample",
     tags=("multimodal", "video", "mapInPandas"),
     oracle="""
