@@ -613,6 +613,46 @@ def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_char_entropy",
+    tags=("llm", "text", "quality"),
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE doc_id < 200),
+ e AS (SELECT doc_id, round(entropy(ch) + 1e-9, 4) AS char_entropy
+       FROM chars GROUP BY doc_id)
+SELECT doc_id, char_entropy FROM e ORDER BY doc_id
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (bits) — a classic cheap
+    quality/noise signal (low entropy = repeated boilerplate, high =
+    random noise). Spark has no entropy aggregate: explode chars,
+    map-side-combined count per (doc, char) — the shuffle carries at
+    most alphabet-size rows per doc — then -sum(p log2 p). DuckDB's
+    native ``entropy()`` (base 2) is the oracle."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("__ch")
+    )
+    counts = chars.groupBy("doc_id", "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.round(
+                (
+                    F.log2(F.sum("__c"))
+                    - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c")
+                )
+                + 1e-9,
+                4,
+            ).alias("char_entropy")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "pipeline_curation_funnel",
     tags=("llm", "pipeline", "dedup", "quality"),
     oracle=f"""
