@@ -402,6 +402,62 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    tags=("llm", "dedup", "graph"),
+    oracle=r"""
+WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+ toks AS (SELECT doc_id, string_split_regex(t, '\s+') AS tk FROM docs),
+ idx AS (SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(1, len(tk)-2))) AS i FROM toks),
+ sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s FROM idx),
+ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+ edges0 AS (SELECT id_a, id_b FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+ edges AS (SELECT id_a AS u, id_b AS v FROM edges0
+           UNION ALL SELECT id_b, id_a FROM edges0),
+ reach AS (
+   WITH RECURSIVE r(id, label) AS (
+     SELECT u, u FROM edges
+     UNION
+     SELECT e.u, r.label FROM edges e JOIN r ON r.id = e.v)
+   SELECT id, min(label) AS component FROM r GROUP BY id)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(id) AS BIGINT)  AS max_id
+FROM reach
+GROUP BY component
+ORDER BY component
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    MinHash-LSH pair graph via distributed min-label propagation
+    (:mod:`pyblazing_spark.operators.graph` — O(diameter) rounds, each
+    one (node,label)-long shuffle). Greedy pair-dropping under-merges
+    chains; components are the correct dedup primitive. The oracle
+    recomputes the same clusters with a recursive CTE over the exact
+    word-shingle Jaccard edges."""
+    from pyblazing_spark.operators.graph import connected_components
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .orderBy("component")
+    )
+
+
+@register(
     "ann_cosine_topk",
     bench=True,
     tags=("llm", "ann"),

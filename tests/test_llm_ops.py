@@ -159,3 +159,35 @@ def test_decontamination_semantics(spark):
     assert kept == {11}
     strict = {r.doc_id for r in contaminated_ids(corpus, bench, min_hits=3).collect()}
     assert strict == {12}
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation must merge transitive chains (the case
+    greedy pair-dropping under-merges) and keep separate cliques apart."""
+    from pyblazing_spark.operators.graph import connected_components, dedup_by_components
+
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21), (21, 22), (30, 31)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 5, 9, 12, 20, 21, 22, 30, 31, 99)],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_by_components(docs, edges).collect()}
+    assert kept == {1, 20, 30, 99}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from pyblazing_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
