@@ -49,3 +49,39 @@ def test_tpch_q5_broadcasts_every_dimension(spark, sf_dir):
     no shuffle until the final aggregation."""
     plan = _optimized_plan(plans.REGISTRY["tpch_q5"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan
+
+
+def test_decontam_never_shuffles_text(spark, sf_dir):
+    """The decontamination semi-join must move only (id, shingle-hash)
+    longs: no Exchange in the plan may carry the text column. At 100 TB
+    the text is the table's bulk — shuffling it is the difference
+    between a cheap hash join and re-materializing the corpus."""
+    df = plans.REGISTRY["decontam_overlap"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_repetition_shuffles_hashes_not_bigrams(spark, sf_dir):
+    """text_repetition groups on xxhash64(bigram) — bigram STRINGS must
+    never appear in an Exchange (the hash is 8 bytes; the strings are
+    the corpus)."""
+    df = plans.REGISTRY["text_repetition"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line and "__tk" not in line, line
+
+
+def test_seq_packing_window_is_bucketed(spark, sf_dir):
+    """Sequence packing must run the prefix sum on the two-phase bucketed
+    path: the big Window node partitions by the range-bucket id, never an
+    empty partitionBy over the full data."""
+    df = plans.REGISTRY["pipeline_seq_packing"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    windows = [l for l in plan.splitlines() if "Window" in l and "windowspecdefinition" in l]
+    data_windows = [l for l in windows if "__tok" in l]
+    assert data_windows, "expected a prefix-sum window over __tok"
+    for line in data_windows:
+        assert "__pid" in line, f"data window is not bucket-partitioned: {line}"
