@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyblazing_spark.plans.registry import register
-from pyblazing_spark.plans.tpch import money
 from pyblazing_spark.sources.tables import load_table as T
 
 
