@@ -214,16 +214,34 @@ class BlazingContext:
     def sql(
         self,
         query: str,
+        algebra: str | None = None,
         config_options: dict[str, Any] | None = None,
         return_token: bool = False,
         eager: bool | None = None,
     ):
         """Run SQL over the registered tables.
 
+        ``algebra`` mirrors the reference's pre-generated-plan argument
+        (`context.py:3071`: "run on a relational algebra, instead of the
+        query string"). The reference's algebra is a Calcite plan string;
+        here the planner IS Catalyst, so the only supported plan
+        interchange format is SQL itself: an ``algebra`` string is
+        executed as the statement (reference behavior: when given, it
+        replaces the query). Calcite ``LogicalProject(...)``-style input
+        is rejected loudly rather than misparsed.
+
         ``return_token=True`` mirrors the reference's async mode
         (`context.py:3328`): returns an int token; poll with
         :meth:`status` and collect with :meth:`fetch`.
         """
+        if algebra is not None:
+            if algebra.lstrip()[:7] in ("Logical", "Bindabl") or "(" == algebra.lstrip()[:1]:
+                raise ValueError(
+                    "algebra= expects a SQL statement in this engine (Catalyst "
+                    "is the planner; Calcite relational-algebra strings are a "
+                    "reference-internal format and cannot be executed here)"
+                )
+            query = algebra
         if config_options:
             self._apply_config(config_options)
         query = _prepare_sql(query)

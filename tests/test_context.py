@@ -151,3 +151,16 @@ def test_gpu_conf_assembly():
         assert gpu[k] == v
     custom = build_confs({"spark.sql.shuffle.partitions": "7"}, gpu=True)
     assert custom["spark.sql.shuffle.partitions"] == "7"
+
+
+def test_sql_algebra_param(bc, spark, sf_dir):
+    """Reference parity for sql(query, algebra=...): a SQL 'plan' string
+    replaces the query; Calcite algebra text is rejected loudly."""
+    from pyblazing_spark.sources.tables import load_table
+
+    bc.create_table("nation_alg", load_table(spark, sf_dir, "nation"))
+    out = bc.sql("SELECT 1 AS x", algebra="SELECT count(*) AS n FROM nation_alg")
+    assert out.collect()[0]["n"] == 25
+    with pytest.raises(ValueError, match="Calcite"):
+        bc.sql("SELECT 1", algebra="LogicalProject(n_nationkey=[$0])")
+    bc.drop_table("nation_alg")
