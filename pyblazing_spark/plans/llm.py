@@ -521,6 +521,75 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    tags=("join", "skew", "scale"),
+    oracle="""
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT)                 AS n_events,
+       round(sum(e.value) + 1e-4, 2)            AS total_value
+FROM events e
+JOIN nation n ON n.n_nationkey = e.user_id % 25
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe salted join (:func:`pyblazing_spark.operators.skew.
+    salted_join`): the fact side is salted into 16 sub-keys and the
+    dimension replicated, so a single hot join key spreads over 16
+    shuffle partitions instead of one executor. The oracle is the plain
+    SQL join — salting must be result-invariant."""
+    from pyblazing_spark.operators.skew import salted_join
+
+    ev = T(spark, sf_dir, "events").withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("int")
+    )
+    na = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(ev, na, on="n_nationkey", salts=16)
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-4, 2).alias("total_value"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "agg_two_phase_skew",
+    tags=("aggregate", "skew", "scale"),
+    oracle="""
+SELECT e.event_type,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe exact distinct count via two-phase salted
+    aggregation (:func:`pyblazing_spark.operators.skew.two_phase_agg`):
+    phase 1 collects per-(key, salt) distinct sets, phase 2 unions them
+    — no single reducer ever holds a hot key's full value set. Oracle:
+    plain COUNT(DISTINCT)."""
+    from pyblazing_spark.operators.skew import two_phase_agg
+
+    ev = T(spark, sf_dir, "events")
+    out = two_phase_agg(
+        ev,
+        key="event_type",
+        agg_col=F.collect_set("user_id"),
+        final_agg=lambda c: F.size(F.array_distinct(F.flatten(F.collect_list(c)))),
+        out_col="n_users",
+        salts=16,
+    )
+    return out.select(
+        "event_type", F.col("n_users").cast("long").alias("n_users")
+    ).orderBy("event_type")
+
+
+@register(
     "decontam_overlap",
     tags=("llm", "decontam", "pipeline"),
     oracle=r"""
