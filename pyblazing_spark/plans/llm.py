@@ -521,6 +521,55 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_partitioned_roundtrip",
+    tags=("sink", "write", "roundtrip"),
+    oracle="""
+SELECT CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+       CAST(count(*) AS BIGINT)         AS n,
+       round(sum(o_totalprice) + 1e-4, 2) AS total
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink round-trip (beyond reference — it has NO write path at all,
+    SURVEY.md §2.8): write the filtered orders as a Hive-partitioned
+    parquet tree (:func:`pyblazing_spark.sources.sinks.write_files`),
+    read it BACK through partition discovery, and aggregate. The oracle
+    computes the same result from the source table, so a row lost,
+    duplicated, or mistyped anywhere in the write->discover->read cycle
+    fails the equality."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.sinks import write_files
+
+    out_dir = tempfile.mkdtemp(prefix="sink_rt_")
+    try:
+        od = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+        write_files(
+            od.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+            out_dir,
+            partition_by=["o_orderpriority"],
+        )
+        back = spark.read.parquet(out_dir)
+        return (
+            back.groupBy(F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total"),
+            )
+            .orderBy("o_orderpriority")
+            # materialize BEFORE the temp dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
     "join_salted_skew",
     tags=("join", "skew", "scale"),
     oracle="""
