@@ -554,7 +554,12 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_dir,
             partition_by=["o_orderpriority"],
         )
-        back = spark.read.parquet(out_dir)
+        # explicit schema: an all-rows-filtered write leaves only
+        # _SUCCESS in the tree, and schema inference on zero files
+        # throws — empty input must round-trip to an empty result.
+        back = spark.read.schema(
+            "o_orderkey bigint, o_totalprice double, o_orderpriority string"
+        ).parquet(out_dir)
         return (
             back.groupBy(F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
             .agg(
