@@ -364,6 +364,51 @@ def oracle_translate(sql: str) -> str:
         return f"count(CASE WHEN {guard} THEN 1 END)"
 
     sql = _rewrite_calls(sql, "COUNT", _multi_count)
+
+    # Spark returns NaN for inverse-trig outside the domain; DuckDB
+    # throws Invalid Input — guard and emit NaN so values compare
+    # (the _compare treats NaN==NaN as equal).
+    for fn in ("ASIN", "ACOS"):
+        sql = _rewrite_calls(
+            sql, fn,
+            lambda a, f=fn.lower(): (
+                f"(CASE WHEN ({a[0]}) BETWEEN -1 AND 1 THEN {f}({a[0]}) "
+                f"ELSE 'NaN'::DOUBLE END)"
+            ),
+        )
+    # naming deltas: DuckDB spells CHAR_LENGTH as length and has no
+    # initcap — emulate Spark's (lowercase all, capitalize each
+    # space-delimited word's first letter).
+    sql = _rewrite_calls(sql, "CHAR_LENGTH", lambda a: f"length({a[0]})")
+    # SUBSTRING(x, 0, n): Spark/Calcite treat start 0 as 1 (n chars out);
+    # DuckDB counts from the virtual position 0 (n-1 chars out).
+    sql = _rewrite_calls(
+        sql, "SUBSTRING",
+        lambda a: (
+            f"SUBSTRING({a[0]}, 1{', ' + a[2] if len(a) > 2 else ''})"
+            if len(a) >= 2 and a[1].strip() == "0"
+            else f"SUBSTRING({', '.join(a)})"
+        ),
+    )
+    # Spark/Calcite 3-arg REGEXP_REPLACE replaces ALL matches; DuckDB's
+    # replaces only the first unless given the 'g' flag. 4-arg (position)
+    # forms pass through — DuckDB rejects them and the query stays a
+    # documented capability skip.
+    sql = _rewrite_calls(
+        sql, "REGEXP_REPLACE",
+        lambda a: (
+            f"regexp_replace({', '.join(a)}, 'g')"
+            if len(a) == 3
+            else f"REGEXP_REPLACE({', '.join(a)})"
+        ),
+    )
+    sql = _rewrite_calls(
+        sql, "INITCAP",
+        lambda a: (
+            f"array_to_string(list_transform(string_split(lower({a[0]}), ' '), "
+            f"y -> upper(y[1:1]) || y[2:]), ' ')"
+        ),
+    )
     return sql
 
 
