@@ -23,6 +23,10 @@ corpus, ``scripts/reference_replay.py``):
 - slash-format date literals ``CAST('1997/05/02' AS DATE)``
   (``castSuite/TEST_15``): the reference's cuDF cast accepts them;
   Spark's ANSI date parse does not — rewritten to a DATE literal.
+- interval-qualifier PRECISION ``INTERVAL '23:15' HOUR(2) TO MINUTE``
+  (``intervalSuite/TEST_14-23``): Calcite accepts the SQL-standard
+  leading-field precision; Spark's parser does not — the ``(n)`` is
+  dropped (Spark validates the literal against the unit span anyway).
 
 Known semantic difference, deliberately NOT shimmed: integer ``/``.
 Calcite truncates (7/2=3); Spark and DuckDB both return 3.5 — we follow
@@ -58,6 +62,12 @@ _BARE_VARCHAR = re.compile(r"(?i)\bAS\s+(?:VARCHAR|CHAR)\s*(\))")
 #: String literal in yyyy/MM/dd form cast to DATE.
 _SLASH_DATE = re.compile(
     r"(?i)\bCAST\s*\(\s*'(\d{4})/(\d{2})/(\d{2})'\s+AS\s+DATE\s*\)"
+)
+#: SQL-standard interval leading-field precision, e.g. HOUR(2) TO MINUTE
+#: or DAY(3) — Calcite-legal, Spark's interval parser rejects the parens.
+_INTERVAL_PRECISION = re.compile(
+    r"(?i)\b(INTERVAL\s+'[^']*'\s+(?:YEAR|MONTH|DAY|HOUR|MINUTE|SECOND))"
+    r"\s*\(\d+\)"
 )
 
 
@@ -104,6 +114,7 @@ def prepare(sql: str) -> str:
     """
     sql = _BARE_VARCHAR.sub(r"AS STRING\1", sql)
     sql = _SLASH_DATE.sub(r"DATE '\1-\2-\3'", sql)
+    sql = _INTERVAL_PRECISION.sub(r"\1", sql)
     out, pos = [], 0
     for m in _TO_FN_NAME.finditer(sql):
         open_idx = m.end() - 1

@@ -379,6 +379,35 @@ def oracle_translate(sql: str) -> str:
     # naming deltas: DuckDB spells CHAR_LENGTH as length and has no
     # initcap — emulate Spark's (lowercase all, capitalize each
     # space-delimited word's first letter).
+    # multi-field interval literals (INTERVAL '15:30' MINUTE TO SECOND,
+    # INTERVAL '2 10' DAY TO HOUR ...): DuckDB's parser rejects the
+    # SQL-standard span form — expand to a sum of single-unit intervals.
+    _UNIT_ORDER = ["DAY", "HOUR", "MINUTE", "SECOND"]
+
+    def _expand_interval(m: "re.Match[str]") -> str:
+        lit, u_from, u_to = m.group(1), m.group(2).upper(), m.group(3).upper()
+        if u_from == "YEAR" and u_to == "MONTH":
+            parts, units = re.split(r"-", lit.strip()), ["YEAR", "MONTH"]
+        else:
+            if u_from not in _UNIT_ORDER or u_to not in _UNIT_ORDER:
+                return m.group(0)
+            units = _UNIT_ORDER[_UNIT_ORDER.index(u_from) : _UNIT_ORDER.index(u_to) + 1]
+            parts = re.split(r"[ :]+", lit.strip())
+        if len(parts) != len(units):
+            return m.group(0)
+        terms = " + ".join(
+            f"INTERVAL {int(p)} {u}" for p, u in zip(parts, units)
+        )
+        return f"({terms})"
+
+    sql = re.sub(
+        r"(?i)\bINTERVAL\s+'([^']+)'\s+"
+        r"(YEAR|DAY|HOUR|MINUTE|SECOND)\s*(?:\(\d+\))?\s+TO\s+"
+        r"(MONTH|HOUR|MINUTE|SECOND)",
+        _expand_interval,
+        sql,
+    )
+
     sql = _rewrite_calls(sql, "CHAR_LENGTH", lambda a: f"length({a[0]})")
     # SUBSTRING(x, 0, n): Spark/Calcite treat start 0 as 1 (n chars out);
     # DuckDB counts from the virtual position 0 (n-1 chars out).
