@@ -365,9 +365,10 @@ def oracle_translate(sql: str) -> str:
 
     sql = _rewrite_calls(sql, "COUNT", _multi_count)
 
-    # Spark returns NaN for inverse-trig outside the domain; DuckDB
-    # throws Invalid Input — guard and emit NaN so values compare
-    # (the _compare treats NaN==NaN as equal).
+    # Domain deltas: Spark returns NaN (inverse trig) or NULL (logs of
+    # non-positives) outside a function's domain; DuckDB throws — guard
+    # and emit Spark's value so results compare (_compare treats
+    # NaN==NaN as equal).
     for fn in ("ASIN", "ACOS"):
         sql = _rewrite_calls(
             sql, fn,
@@ -376,6 +377,22 @@ def oracle_translate(sql: str) -> str:
                 f"ELSE 'NaN'::DOUBLE END)"
             ),
         )
+    for fn in ("LN", "LOG10", "LOG2"):
+        sql = _rewrite_calls(
+            sql, fn,
+            lambda a, f=fn.lower(): (
+                f"(CASE WHEN ({a[0]}) > 0 THEN {f}({a[0]}) END)"
+                if len(a) == 1
+                else f"{f}({', '.join(a)})"
+            ),
+        )
+    sql = _rewrite_calls(
+        sql, "SQRT",
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) >= 0 THEN sqrt({a[0]}) "
+            f"ELSE 'NaN'::DOUBLE END)"
+        ),
+    )
     # naming deltas: DuckDB spells CHAR_LENGTH as length and has no
     # initcap — emulate Spark's (lowercase all, capitalize each
     # space-delimited word's first letter).
