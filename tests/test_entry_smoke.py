@@ -67,7 +67,15 @@ def test_one_catalog_query_per_family_runs(spark):
     import __spark_entry__ as E
 
     qs = E.queries()
-    for name in ("tpch_q6", "text_stats", "win_running_sum", "stream_window_counts"):
+    for name in (
+        "tpch_q6",
+        "text_stats",
+        "win_running_sum",
+        "stream_window_counts",
+        "dedup_components",
+        "sink_partitioned_roundtrip",
+        "multimodal_decode_ppm",
+    ):
         assert name in qs, f"{name} missing from catalog"
         out = qs[name](spark, SF_SMALL)
         assert out.count() >= 0, name
