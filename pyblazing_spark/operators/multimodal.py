@@ -127,15 +127,31 @@ def extract_features(blobs: DataFrame) -> DataFrame:
 
 def _parse_pnm_header(data: bytes) -> tuple[bytes, int, int, int]:
     """(magic, width, height, data_offset) for a binary netpbm header.
-    Supports the plain ``P6\\n<w> <h>\\n255\\n`` shape (no comments)."""
-    parts = data.split(maxsplit=4)
-    magic, w, h, maxval = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
+    Supports the plain ``P6\\n<w> <h>\\n255\\n`` shape (no comments).
+
+    Parsed POSITIONALLY — three whitespace-delimited tokens scanned in
+    place after the magic, offset = one byte past the maxval token. A
+    substring search for the maxval ('255') would mis-anchor whenever a
+    dimension contains '255' as a substring (e.g. a 255-wide image)."""
+    magic = data[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary pnm: {magic!r}")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated pnm header")
+        tokens.append(int(data[start:pos]))
+    w, h, maxval = tokens
     if maxval != 255:
         raise ValueError(f"unsupported pnm maxval {maxval}")
-    # offset = position just after the single whitespace byte that
-    # terminates maxval
-    header_end = data.index(parts[3], len(parts[0])) + len(parts[3]) + 1
-    return magic, w, h, header_end
+    # pos sits on the single whitespace byte that terminates maxval;
+    # pixel data starts one byte past it.
+    return magic, w, h, pos + 1
 
 
 def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
@@ -158,7 +174,9 @@ def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
         gray = data[off : off + w * h]
         if len(gray) != w * h:
             raise ValueError("truncated pgm")
-        return w, h, bytes(b for g in gray for b in (g, g, g))
+        import numpy as np
+
+        return w, h, np.repeat(np.frombuffer(gray, dtype=np.uint8), 3).tobytes()
     raise ValueError(f"not a binary pnm: {magic!r}")
 
 
@@ -167,21 +185,18 @@ def encode_bmp24(width: int, height: int, rgb: bytes) -> bytes:
     to 4 bytes, BGR byte order) from raw RGB bytes."""
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length != w*h*3")
+    import numpy as np
+
     row_size = (width * 3 + 3) & ~3
     img_size = row_size * height
     header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
-    out = bytearray(header + info)
-    pad = b"\x00" * (row_size - width * 3)
-    for y in range(height - 1, -1, -1):  # bottom-up
-        row = rgb[y * width * 3 : (y + 1) * width * 3]
-        # RGB -> BGR per pixel
-        bgr = bytearray()
-        for x in range(width):
-            r, g, b = row[x * 3 : x * 3 + 3]
-            bgr += bytes((b, g, r))
-        out += bgr + pad
-    return bytes(out)
+    # vectorized: reshape, flip rows (bottom-up), swap channels, pad rows
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = px[::-1, :, ::-1]
+    padded = np.zeros((height, row_size), dtype=np.uint8)
+    padded[:, : width * 3] = bgr.reshape(height, width * 3)
+    return header + info + padded.tobytes()
 
 
 def decode_bmp24(data: bytes) -> tuple[int, int, bytes]:
@@ -192,17 +207,18 @@ def decode_bmp24(data: bytes) -> tuple[int, int, bytes]:
     _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", data, 14)
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    import numpy as np
+
     bottom_up = height > 0
     height = abs(height)
     row_size = (width * 3 + 3) & ~3
-    rgb = bytearray(width * height * 3)
-    for y in range(height):
-        src_y = (height - 1 - y) if bottom_up else y
-        row = data[data_offset + src_y * row_size :][: width * 3]
-        for x in range(width):
-            b, g, r = row[x * 3 : x * 3 + 3]
-            rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
-    return width, height, bytes(rgb)
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=row_size * height, offset=data_offset
+    ).reshape(height, row_size)
+    px = rows[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        px = px[::-1]
+    return width, height, px[:, :, ::-1].tobytes()
 
 
 def _sniff_decode(data: bytes) -> tuple[int, int, bytes] | None:
@@ -226,7 +242,11 @@ def decode_image(blobs: DataFrame) -> DataFrame:
     downstream schema are exercised honestly either way."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
+
+        def _mean(buf: bytes) -> float:
+            return float(np.frombuffer(buf, dtype=np.uint8).mean()) if buf else 0.0
 
         for pdf in batches:
             rows = []
@@ -235,22 +255,21 @@ def decode_image(blobs: DataFrame) -> DataFrame:
                 decoded = _sniff_decode(data)
                 if decoded is not None:
                     w, h, rgb = decoded
-                    mean = (sum(rgb) / len(rgb)) if rgb else 0.0
-                    rows.append((doc_id, w, h, round(mean + 1e-9, 4)))
+                    rows.append((doc_id, w, h, round(_mean(rgb) + 1e-9, 4)))
                     continue
                 if HAVE_PIL:  # pragma: no cover — not available here
                     from PIL import Image
 
                     img = Image.open(io.BytesIO(data)).convert("L")
-                    px = list(img.getdata())
-                    rows.append((doc_id, img.width, img.height, sum(px) / len(px)))
+                    px = np.asarray(img, dtype=np.float64)
+                    rows.append((doc_id, img.width, img.height, float(px.mean())))
                     continue
                 side = int(math.isqrt(len(data)))
-                px = data[: side * side]
-                mean = (sum(px) / len(px)) if px else 0.0
                 # +1e-9 tie-nudge before rounding, mirrored in the SQL
                 # oracle so half-even vs half-up can't flip the 4th dp.
-                rows.append((doc_id, side, side, round(mean + 1e-9, 4)))
+                rows.append(
+                    (doc_id, side, side, round(_mean(data[: side * side]) + 1e-9, 4))
+                )
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mean_pixel"])
 
     return blobs.mapInPandas(kernel, schema=IMAGE_SCHEMA)

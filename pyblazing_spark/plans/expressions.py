@@ -189,8 +189,8 @@ def expr_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey,
        round(o_totalprice, 1)                          AS r1,
        round(abs(-o_totalprice), 2)                    AS ab,
-       floor(o_totalprice)                             AS fl,
-       ceil(o_totalprice)                              AS ce,
+       CAST(floor(o_totalprice) AS BIGINT)             AS fl,
+       CAST(ceil(o_totalprice) AS BIGINT)              AS ce,
        round(sqrt(o_totalprice), 6)                    AS sq,
        round(ln(o_totalprice), 6)                      AS lg,
        round(log10(o_totalprice), 6)                   AS l10,

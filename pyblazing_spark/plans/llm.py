@@ -751,7 +751,7 @@ WITH t AS (SELECT doc_id, {_SQL_TOKN} AS tok FROM documents),
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        - tok AS prev_cum
        FROM t),
- b AS (SELECT prev_cum // 512 AS bin_id, doc_id, tok FROM c)
+ b AS (SELECT CAST(prev_cum // 512 AS BIGINT) AS bin_id, doc_id, tok FROM c)
 SELECT bin_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
 FROM b
 GROUP BY bin_id

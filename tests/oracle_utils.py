@@ -66,6 +66,42 @@ def _cells_match(a, b, atol: float, rtol: float) -> bool:
     return a == b
 
 
+def _dtype_family(dtype) -> str:
+    """Coarse dtype family for the strict check. The driver's value hash
+    is dtype-sensitive, so an int64-vs-float64 column that is value-equal
+    locally still hash-fails at the driver (round-2 ``expr_math``:
+    Spark floor/ceil -> BIGINT, DuckDB -> DOUBLE)."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
+def assert_dtypes_match(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = ""
+) -> None:
+    """Fail on int-family vs float-family (or bool/datetime) skew per
+    column. ``object`` columns are exempt — a column of Python ints from
+    DuckDB may arrive as object dtype while carrying identical values;
+    the cell compare covers those."""
+    for col in spark_pdf.columns:
+        sfam = _dtype_family(spark_pdf[col].dtype)
+        ofam = _dtype_family(oracle_pdf[col].dtype)
+        if "object" in (sfam, ofam):
+            continue
+        assert sfam == ofam, (
+            f"{name}: col {col}: dtype family mismatch "
+            f"spark={spark_pdf[col].dtype} ({sfam}) "
+            f"oracle={oracle_pdf[col].dtype} ({ofam}) — the driver's "
+            f"dtype-sensitive hash will fail even if values match"
+        )
+
+
 def assert_frames_match(
     spark_pdf: pd.DataFrame,
     oracle_pdf: pd.DataFrame,
@@ -81,6 +117,7 @@ def assert_frames_match(
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"
     )
+    assert_dtypes_match(spark_pdf, oracle_pdf, name=name)
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )

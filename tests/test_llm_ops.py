@@ -181,6 +181,28 @@ def test_connected_components_chain_and_cliques(spark):
     assert kept == {1, 20, 30, 99}
 
 
+def test_connected_components_checkpoint_truncates_lineage(spark):
+    """A long-diameter chain crosses several checkpoint intervals; the
+    final labels' plan must be O(interval) deep — the periodic
+    ``localCheckpoint`` replaces accumulated join lineage with an RDD
+    scan, so the Join count in the optimized plan stays bounded no
+    matter how many rounds ran (round-2 weak spot: O(d^2) recompute)."""
+    from pyblazing_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(14)], "id_a long, id_b long"
+    )
+    comp = connected_components(chain, checkpoint_interval=3)
+    plan = comp._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+    # 14 propagation rounds ran; without checkpointing the plan would
+    # hold ~14 joins. With interval=3 at most interval rounds of
+    # lineage (one join each) survive past the last checkpoint.
+    assert plan.count("Join") <= 3, plan
+    labels = {r.id: r.component for r in comp.collect()}
+    assert set(labels.values()) == {0} and len(labels) == 15
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from pyblazing_spark.operators.graph import connected_components
 

@@ -101,6 +101,23 @@ def test_real_image_codecs_roundtrip():
     assert (pw, ph) == (4, 3) and prgb[0:3] == bytes((0, 0, 0)) and prgb[3:6] == bytes((1, 1, 1))
 
 
+def test_pnm_header_dims_containing_255():
+    """Header offset must be found positionally: a width/height whose
+    decimal text contains '255' (the maxval token) used to mis-anchor a
+    substring search and return header bytes as pixels."""
+    for w, h in ((255, 1), (1, 255), (255, 2), (2551 % 300, 255)):
+        rgb = bytes((i * 7) % 256 for i in range(w * h * 3))
+        assert MM.decode_ppm(MM.encode_ppm(w, h, rgb)) == (w, h, rgb)
+    # P5 with a 255-wide image too
+    gray = bytes((i * 3) % 256 for i in range(255 * 2))
+    pgm = b"P5\n255 2\n255\n" + gray
+    pw, ph, prgb = MM.decode_ppm(pgm)
+    assert (pw, ph) == (255, 2) and prgb[:3] == bytes((gray[0],) * 3)
+    # BMP round-trip at the same awkward width
+    rgb = bytes((i * 11) % 256 for i in range(255 * 2 * 3))
+    assert MM.decode_bmp24(MM.encode_bmp24(255, 2, rgb)) == (255, 2, rgb)
+
+
 def test_decode_image_real_formats(spark):
     """decode_image takes the REAL parse path for PPM/BMP buffers:
     header-declared geometry (not sqrt-of-length) and channel-byte mean."""
