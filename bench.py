@@ -54,7 +54,11 @@ def main() -> None:
     ).collect()
     parent = os.path.dirname(sf_dir.rstrip("/"))
     warm_candidate = os.path.join(parent, "sf0.001")
-    warm_dir = warm_candidate if os.path.isdir(warm_candidate) else sf_dir
+    # When no smaller sibling SF exists, SKIP the per-query warm pass
+    # entirely rather than silently warming on the timed dataset (that
+    # would measure hot-cache second executions). The JSON records which
+    # mode ran so the methodology is visible in the results.
+    warm_dir = warm_candidate if os.path.isdir(warm_candidate) else None
     from pyblazing_spark.sources.tables import TABLES, load_table
 
     for t in TABLES:
@@ -70,7 +74,8 @@ def main() -> None:
         # warm THIS query's codegen immediately before timing it (a
         # single distant warm pass lets later compilations evict earlier
         # cache entries, re-billing the JIT).
-        qs[name](spark, warm_dir).collect()
+        if warm_dir is not None:
+            qs[name](spark, warm_dir).collect()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -83,6 +88,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "warm_dir": warm_dir or "none (no sibling sf0.001; per-query warm pass skipped)",
             }
         )
     )

@@ -146,7 +146,14 @@ class BlazingContext:
 
     # ------------------------------------------------------------- config
     def _apply_config(self, options: dict[str, Any]) -> None:
+        """Two reference options can map to ONE Spark conf (e.g. both
+        JOIN_PARTITION_SIZE_THRESHOLD and NUM_BYTES_PER_ORDER_BY_PARTITION
+        -> advisoryPartitionSizeInBytes). Later options win (caller dict
+        order); when a conflicting earlier option is overridden,
+        ``describe_config`` reports it as overridden rather than
+        claiming both were applied."""
         self._config_applied: dict[str, str] = getattr(self, "_config_applied", {})
+        setters: dict[str, tuple[str, str]] = {}  # spark conf -> (option, value)
         for key, value in options.items():
             if key == "LOGGING_LEVEL":
                 level = _LOG_LEVELS.get(str(value).lower())
@@ -159,6 +166,13 @@ class BlazingContext:
                 continue
             try:
                 self.spark.conf.set(spark_key, str(value))
+                prior = setters.get(spark_key)
+                if prior is not None and prior[1] != str(value):
+                    self._config_applied[prior[0]] = (
+                        f"{spark_key} (overridden by {key} — both options "
+                        "map to this conf)"
+                    )
+                setters[spark_key] = (key, str(value))
                 self._config_applied[key] = spark_key
             except Exception:
                 pass  # static conf on a running session — keep reference behavior (ignore)

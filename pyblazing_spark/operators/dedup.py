@@ -364,13 +364,16 @@ def embedding_pairs_lsh(
     Hyperplane buckets (map-only, one numpy matmul per Arrow batch) prune
     candidates; only same-band-bucket pairs pay the exact cosine, which
     also makes the threshold exact (LSH bounds recall, never precision).
-    At corpus scale carry only (id, band, bucket) through the join and
-    re-join vectors for the verify step; here vectors ride along because
-    the catalog entry runs on a bounded set."""
+    Only (id, band, bucket) — three ints — flow through the candidate
+    join and the pair dedup; vectors are re-joined AFTER dedup, so at
+    100 TB the wide embedding column never rides a bucket-join shuffle
+    and each surviving pair fetches its two vectors exactly once."""
     from pyblazing_spark.operators.similarity import hyperplane_buckets
 
     base = df.select(F.col(id_col), F.col(vec_col))
-    b = hyperplane_buckets(base, vec_col, dim, n_bits, bands)
+    b = hyperplane_buckets(base, vec_col, dim, n_bits, bands).select(
+        id_col, "band", "bucket"
+    )
     a, c = b.alias("a"), b.alias("b")
     cand = (
         a.join(
@@ -382,13 +385,15 @@ def embedding_pairs_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        cand.withColumn("cos", VEC.cosine_udf(F.col("__va"), F.col("__vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", VEC.cosine_udf(F.col("__va"), F.col("__vb")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )

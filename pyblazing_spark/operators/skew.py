@@ -74,3 +74,35 @@ def two_phase_agg(
         .agg(agg_col.alias("__partial"))
     )
     return phase1.groupBy(key).agg(final_agg(F.col("__partial")).alias(out_col))
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    key: str,
+    value: str,
+    out_col: str = "n_distinct",
+    salts: int = 64,
+) -> DataFrame:
+    """Exact distinct count per key where NO reducer ever materializes a
+    key's full value set (the failure mode of finishing a salted
+    ``collect_set`` with ``flatten(collect_list(...))`` — that funnels
+    every distinct value of a hot key back into one phase-2 row).
+
+    Phase 1 bounds partial state: per-(key, salt) ``collect_set`` holds
+    at most 1/salts of a hot key's values. Phase 2 explodes the partials
+    back to (key, value) ROWS and counts via distinct -> count: the
+    dedup shuffle hashes on (key, value), so a hot key's values spread
+    across the whole cluster, and the final count per key aggregates
+    longs, not sets."""
+    salt = (F.rand(seed=42) * salts).cast("int")
+    partials = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(F.collect_set(value).alias("__set"))
+    )
+    return (
+        partials.select(key, F.explode("__set").alias("__v"))
+        .distinct()
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )

@@ -622,21 +622,17 @@ ORDER BY e.event_type
 """,
 )
 def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-safe exact distinct count via two-phase salted
-    aggregation (:func:`pyblazing_spark.operators.skew.two_phase_agg`):
-    phase 1 collects per-(key, salt) distinct sets, phase 2 unions them
-    — no single reducer ever holds a hot key's full value set. Oracle:
-    plain COUNT(DISTINCT)."""
-    from pyblazing_spark.operators.skew import two_phase_agg
+    """Hot-key-safe exact distinct count
+    (:func:`pyblazing_spark.operators.skew.salted_distinct_count`):
+    phase 1 bounds per-(key, salt) partial sets; phase 2 explodes the
+    partials back to rows and dedups on a (key, value) shuffle — no
+    single reducer ever holds a hot key's full value set in EITHER
+    phase. Oracle: plain COUNT(DISTINCT)."""
+    from pyblazing_spark.operators.skew import salted_distinct_count
 
     ev = T(spark, sf_dir, "events")
-    out = two_phase_agg(
-        ev,
-        key="event_type",
-        agg_col=F.collect_set("user_id"),
-        final_agg=lambda c: F.size(F.array_distinct(F.flatten(F.collect_list(c)))),
-        out_col="n_users",
-        salts=16,
+    out = salted_distinct_count(
+        ev, key="event_type", value="user_id", out_col="n_users", salts=16
     )
     return out.select(
         "event_type", F.col("n_users").cast("long").alias("n_users")

@@ -99,8 +99,12 @@ def read_files(
         if ".psv" in paths[0] or ".tbl" in paths[0]:
             options.setdefault("sep", "|")
         if kwargs.get("dayfirst"):
-            # pandas-style day-first parsing: no Spark reader flag, but an
-            # explicit day-leading pattern has the same effect.
+            # pandas-style day-first parsing: no Spark reader flag. On the
+            # schema-inference path only a single pattern can be given to
+            # the reader (slash-separated, the common case); when dtypes
+            # are DECLARED, date/timestamp columns are instead read as
+            # string and parsed against the separator variants pandas'
+            # dayfirst accepts (/, -, .) — see post_dayfirst below.
             options.setdefault("dateFormat", "d/M/yyyy")
             options.setdefault("timestampFormat", "d/M/yyyy H:m:s")
         names = kwargs.get("names")
@@ -113,6 +117,7 @@ def read_files(
         # read them as string, rewrite after the scan.
         post_numeric: list[tuple[str, str]] = []
         post_bool: list[str] = []
+        post_dayfirst: list[tuple[str, str]] = []
         if names and dtypes:
             parts = []
             for n, t in zip(names, dtypes):
@@ -122,6 +127,13 @@ def read_files(
                     st = "string"
                 elif (true_values or false_values) and st == "boolean":
                     post_bool.append(n)
+                    st = "string"
+                elif kwargs.get("dayfirst") and st in (
+                    "date",
+                    "timestamp",
+                    "timestamp_ntz",
+                ):
+                    post_dayfirst.append((n, st))
                     st = "string"
                 parts.append(f"`{n}` {st}")
             reader = reader.schema(", ".join(parts))
@@ -142,6 +154,16 @@ def read_files(
                 base = expr if expr is not None else F.when(F.lit(False), F.lit(True))
                 expr = base.when(col.isin(false_values), F.lit(False))
             df = df.withColumn(n, expr.otherwise(col.try_cast("boolean")).alias(n))
+        for n, st in post_dayfirst:
+            # pandas dayfirst accepts any common separator; try each
+            # day-leading pattern and take the first that parses.
+            if st == "date":
+                pats = ("d/M/yyyy", "d-M-yyyy", "d.M.yyyy")
+                attempts = [F.expr(f"try_to_date(`{n}`, '{p}')") for p in pats]
+            else:
+                pats = ("d/M/yyyy H:m:s", "d-M-yyyy H:m:s", "d.M.yyyy H:m:s")
+                attempts = [F.expr(f"try_to_timestamp(`{n}`, '{p}')") for p in pats]
+            df = df.withColumn(n, F.coalesce(*attempts).cast(st))
         return df, "csv"
     if fmt == "json":
         options = {"multiLine": "false" if kwargs.get("lines", True) else "true"}

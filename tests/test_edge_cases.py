@@ -177,7 +177,7 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
     import pyblazing_spark.plans as plans
 
     for row in plans.REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect():
-        assert row["approx_within_2pct"], f"HLL too far off: {row}"
+        assert row["approx_within_5pct"], f"HLL too far off: {row}"
 
     for row in plans.REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect():
         assert row["approx_within_1pct"], f"sketch percentile off: {row}"

@@ -64,6 +64,24 @@ def test_two_phase_agg_matches_plain(spark, sf_dir):
         assert abs(two[k] - plain[k]) < 1e-6
 
 
+def test_salted_distinct_count_matches_plain(spark, sf_dir):
+    """Exact per-key distinct count via the two-phase salted form must
+    equal COUNT(DISTINCT), and its plan must finish with a count over
+    rows (no collect_list/flatten funneling sets into one reducer)."""
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    out = skew.salted_distinct_count(ev, "event_type", "user_id", salts=8)
+    got = {r.event_type: r.n_distinct for r in out.collect()}
+    assert got == plain
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan and "flatten" not in plan, plan
+
+
 def test_salted_join_rejects_unsupported_how(spark, sf_dir):
     import pytest
 

@@ -166,6 +166,25 @@ def test_csv_thousands_bools_dayfirst(bc, tmp_path):
     bc.drop_table("kw")
 
 
+def test_csv_dayfirst_dash_dot_separators(bc, tmp_path):
+    """pandas ``dayfirst`` applies to any separator; dash/dot-separated
+    day-first dates must parse to the same dates as slash-separated
+    (they used to come back NULL — only 'd/M/yyyy' was tried)."""
+    p = tmp_path / "df.csv"
+    p.write_text("1;17-11-2021\n2;05.03.2020\n3;01/02/2022\n")
+    bc.create_table(
+        "df_sep",
+        str(p),
+        delimiter=";",
+        names=["id", "d"],
+        dtype=["int32", "date32"],
+        dayfirst=True,
+    )
+    rows = bc.sql("SELECT * FROM df_sep ORDER BY id").collect()
+    assert [str(r["d"]) for r in rows] == ["2021-11-17", "2020-03-05", "2022-02-01"]
+    bc.drop_table("df_sep")
+
+
 def test_config_options_breadth(bc):
     """Every reference config option is either mapped to a real Spark
     conf or explicitly listed as having no analogue — nothing silently
