@@ -335,6 +335,69 @@ def frame_sample(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
     return blobs.mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
+RESAMPLE_SCHEMA = (
+    "doc_id bigint, content binary, sample_rate int, n_samples int"
+)
+
+
+def encode_wav_pcm16(samples, rate: int, n_channels: int = 1) -> bytes:
+    """PCM-16 mono/stereo WAV container from an int16 numpy array."""
+    import numpy as np
+
+    raw = np.asarray(samples, dtype="<i2").tobytes()
+    data_size = len(raw)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, rate, rate * 2 * n_channels,
+            2 * n_channels, 16,
+        )
+        + b"data"
+        + struct.pack("<I", data_size)
+        + raw
+    )
+
+
+def resample_wav(blobs: DataFrame, target_rate: int) -> DataFrame:
+    """REAL audio transcoding: decode PCM-16 WAV, linear-interpolation
+    resample to ``target_rate`` (numpy ``interp`` — no codec library
+    needed), re-encode a valid WAV container at the new rate.
+
+    Output sample j sits at source position ``j * src/target``;
+    ``n_out = n_in * target // src``, so an integer downsample factor
+    lands exactly on source samples (deterministic, oracle-checkable).
+    Narrow map — audio bytes never shuffle."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(buf))) as w:
+                    rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                if width != 2 or nch != 1:
+                    raise ValueError("only 16-bit mono PCM supported")
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                n_out = int(n * target_rate // rate)
+                pos = np.arange(n_out) * (rate / target_rate)
+                y = np.interp(pos, np.arange(n), x) if n else np.empty(0)
+                out = encode_wav_pcm16(np.round(y).astype("<i2"), target_rate)
+                rows.append((doc_id, out, target_rate, n_out))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "sample_rate", "n_samples"]
+            )
+
+    return blobs.mapInPandas(kernel, schema=RESAMPLE_SCHEMA)
+
+
 TRANSCODE_SCHEMA = "doc_id bigint, content binary, content_type string, n_bytes int"
 
 _TRANSCODE_TARGETS = {

@@ -206,6 +206,51 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resample_audio",
+    tags=("multimodal", "audio", "codec", "transcode", "mapInPandas"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id, substr(text, 1, 64) AS px
+  FROM documents WHERE length(text) >= 64),
+ s AS (
+  -- kept sample i (0..15) = source sample 2i = little-endian int16 from
+  -- char pair (4i+1, 4i+2); ASCII (< 128) keeps the high byte below the
+  -- sign bit.
+  SELECT doc_id,
+         ascii(substr(px, CAST(4 * i + 1 AS INTEGER), 1))
+         + 256 * ascii(substr(px, CAST(4 * i + 2 AS INTEGER), 1)) AS smp
+  FROM v JOIN generate_series(0, 15) t(i) ON i <= 15)
+SELECT doc_id,
+       4000                 AS sample_rate,
+       1                    AS n_channels,
+       16                   AS n_samples,
+       round(16.0 / 4000 + 1e-9, 6) AS duration_s,
+       round(sqrt(avg((smp / 32768.0) * (smp / 32768.0))) + 1e-9, 6) AS rms
+FROM s
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio transcoding: the 8 kHz PCM blobs are resampled to
+    4 kHz (:func:`pyblazing_spark.operators.multimodal.resample_wav` —
+    linear interpolation; a 2:1 downsample lands exactly on the even
+    source samples), re-encoded as a valid WAV container, and decoded
+    AGAIN by ``audio_features`` — so the oracle checks the whole
+    decode -> resample -> encode -> decode chain arithmetically from
+    char pairs."""
+    docs = T(spark, sf_dir, "documents").where(F.length("text") >= 64)
+    blobs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_wav_header(32)), F.encode(F.substring("text", 1, 64), "UTF-8")
+        ).alias("content"),
+    )
+    down = MM.resample_wav(blobs, target_rate=4000).select("doc_id", "content")
+    return MM.audio_features(down).orderBy("doc_id")
+
+
+@register(
     "multimodal_frame_sample",
     tags=("multimodal", "video", "mapInPandas"),
     oracle="""

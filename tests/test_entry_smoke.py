@@ -75,6 +75,7 @@ def test_one_catalog_query_per_family_runs(spark):
         "dedup_components",
         "sink_partitioned_roundtrip",
         "multimodal_decode_ppm",
+        "multimodal_resample_audio",
     ):
         assert name in qs, f"{name} missing from catalog"
         out = qs[name](spark, SF_SMALL)

@@ -101,6 +101,29 @@ def test_real_image_codecs_roundtrip():
     assert (pw, ph) == (4, 3) and prgb[0:3] == bytes((0, 0, 0)) and prgb[3:6] == bytes((1, 1, 1))
 
 
+def test_resample_wav_interpolates(spark):
+    """Non-integer rate ratio takes the true linear-interpolation path:
+    8000 -> 6000 Hz places output sample j at source position 4j/3, so
+    every third output lands on a source sample and the rest are exact
+    midway/thirds blends — recomputed here with numpy as the oracle."""
+    import numpy as np
+
+    samples = np.array([0, 3000, -6000, 9000, -12000, 15000, -18000, 21000], dtype="<i2")
+    wav = MM.encode_wav_pcm16(samples, 8000)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, content binary")
+    out = MM.resample_wav(df, target_rate=6000).collect()[0]
+    assert out.sample_rate == 6000 and out.n_samples == 6
+    n_out = 8 * 6000 // 8000
+    pos = np.arange(n_out) * (8000 / 6000)
+    expected = np.round(np.interp(pos, np.arange(8), samples.astype(float))).astype("<i2")
+    feats = MM.audio_features(
+        spark.createDataFrame([(1, bytearray(out.content))], "doc_id long, content binary")
+    ).collect()[0]
+    assert feats.sample_rate == 6000 and feats.n_samples == 6
+    got = np.frombuffer(bytes(out.content)[44:], dtype="<i2")
+    assert np.array_equal(got, expected), (got, expected)
+
+
 def test_pnm_header_dims_containing_255():
     """Header offset must be found positionally: a width/height whose
     decimal text contains '255' (the maxval token) used to mis-anchor a
