@@ -12,6 +12,7 @@ from pyblazing_spark.plans.registry import (
 # Import for side effects: each module registers its queries.
 from pyblazing_spark.plans import (  # noqa: E402,F401
     aggregates,
+    curation,
     events,
     expressions,
     joins,

@@ -1,0 +1,300 @@
+"""Round-3 training-data curation operators (driver extensions;
+BASELINE.json north-star: the operations a large-scale LLM data
+pipeline needs beyond dedup/ANN — PII scrubbing, context-window
+chunking, vocabulary statistics, snapshot-incremental dedup, domain
+mixture re-weighting).
+
+Scale notes (each entry's docstring carries specifics):
+
+- PII redaction and mixture sampling are pure narrow maps/filters —
+  they push into the scan stage and never shuffle text.
+- Chunking is a JVM-side 1->N explode; only (doc_id, idx, digest) leave
+  the map stage here (real pipelines would sink the chunk text
+  partition-wise without shuffling it either).
+- Top-token statistics shuffle (token, partial count) pairs after
+  map-side partial aggregation — the classic word-count shape; the text
+  itself never crosses the wire.
+- Incremental dedup is a broadcast-able anti-join on 16-byte content
+  keys: the new batch streams, the old snapshot ships as (key) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.plans.sampling import hash_bucket
+from pyblazing_spark.sources.tables import load_table as T
+
+#: Identical regex source for Spark (Java) and DuckDB (RE2) — the subset
+#: syntax below means the same thing in both engines.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+\d{2}-\d{3}-\d{4}"
+
+#: JVM-side synthetic PII (the corpus ships none): one email per doc,
+#: a phone on every third doc. Both sides build the exact same string.
+_SQL_ENRICH = (
+    "text || ' reach user' || doc_id || '@ex' || (doc_id % 5) || '.org'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' or +' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0')"
+    " || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+def _enrich_spark() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".org"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" or +"),
+                F.lpad((F.col("doc_id") % 90 + 10).cast("string"), 2, "0"),
+                F.lit("-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "text_pii_redaction",
+    tags=("llm", "curation", "pii"),
+    oracle=f"""
+WITH enriched AS (
+  SELECT doc_id, {_SQL_ENRICH} AS t FROM documents),
+ red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{EMAIL_RE}'))  AS n_emails,
+         len(regexp_extract_all(t, '{PHONE_RE}'))  AS n_phones,
+         regexp_replace(regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{PHONE_RE}', '[PHONE]', 'g') AS r
+  FROM enriched)
+SELECT doc_id,
+       CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_phones AS INTEGER) AS n_phones,
+       md5(r)                    AS redacted_md5
+FROM red
+ORDER BY doc_id
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count then redact email/phone patterns
+    (JVM ``regexp_replace``/``regexp_count`` — no Python). The oracle
+    hashes the fully redacted text, so a missed match or a wrong
+    replacement span cannot pass. Narrow map: at 100 TB this runs in the
+    scan stage; nothing shuffles."""
+    docs = T(spark, sf_dir, "documents")
+    t = _enrich_spark()
+    red = F.regexp_replace(
+        F.regexp_replace(t, F.lit(EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+            F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+            F.md5(red.cast("binary")).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_chunking",
+    tags=("llm", "curation", "chunking"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, (length(text) + 79) // 80 AS n_chunks
+  FROM documents),
+ c AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         substr(text, CAST(i * 80 + 1 AS INTEGER), 100) AS chunk
+  FROM d JOIN generate_series(0, 4096) t(i) ON i < n_chunks)
+SELECT doc_id, chunk_idx,
+       CAST(length(chunk) AS INTEGER) AS chunk_len,
+       md5(chunk)                     AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_idx
+""",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: fixed 100-char windows at stride 80
+    (20-char overlap), the standard RAG/pretraining doc-splitting shape.
+    1->N explode of chunk indices, substring per chunk — all JVM
+    expressions; only (doc_id, idx, len, digest) leave the map here.
+    Guard: ``n_chunks >= 1`` always holds (min doc length 48 > 0), and
+    the sequence bound is ``n-1 >= 0`` so Spark's descending-sequence
+    trap (n < 1) cannot trigger."""
+    docs = T(spark, sf_dir, "documents")
+    n_chunks = F.expr("(length(text) + 79) div 80")
+    chunk = F.col("text").substr(F.col("chunk_idx") * 80 + 1, F.lit(100))
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk.cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "text_top_tokens",
+    tags=("llm", "curation", "vocab"),
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+ counts AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT)              AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM tok WHERE token <> ''
+  GROUP BY token),
+ ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+  FROM counts)
+SELECT CAST(rank AS INTEGER) AS rank, token, n_occurrences, n_docs
+FROM ranked WHERE rank <= 20
+ORDER BY rank
+""",
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-20 tokens by occurrence count
+    (vocab/BPE-prep shape). Word-count plan: explode is map-side, the
+    groupBy does partial aggregation before the shuffle, so only
+    (token, partial count) pairs cross the wire — never text. The final
+    top-k is a single-partition window over the aggregated (tiny)
+    token set."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = W.orderBy(F.desc("n_occurrences"), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("rank", "token", "n_occurrences", "n_docs")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "dedup_incremental",
+    tags=("llm", "dedup", "incremental"),
+    oracle="""
+WITH old AS (
+  SELECT DISTINCT md5(substr(text, 1, 40)) AS k
+  FROM documents WHERE doc_id % 2 = 0),
+ new AS (
+  SELECT doc_id, md5(substr(text, 1, 40)) AS k
+  FROM documents WHERE doc_id % 2 = 1),
+ tagged AS (
+  SELECT doc_id,
+         CASE WHEN k IN (SELECT k FROM old) THEN 'dropped' ELSE 'kept' END AS status
+  FROM new)
+SELECT status,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM tagged
+GROUP BY status
+ORDER BY status
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental dedup: a new batch (odd doc_ids) is deduped
+    against an existing corpus snapshot (even doc_ids) on a 40-char
+    content-prefix fingerprint — the shape of nightly crawl ingestion,
+    where re-hashing the whole historical corpus is off the table. The
+    join ships only 16-byte keys (broadcast-able when the snapshot key
+    set fits; hash-join on keys otherwise); the text column never
+    shuffles. ``id_sum`` makes the oracle sensitive to WHICH docs were
+    dropped, not just how many."""
+    docs = T(spark, sf_dir, "documents")
+    key = F.md5(F.substring("text", 1, 40).cast("binary")).alias("k")
+    old_keys = docs.where(F.col("doc_id") % 2 == 0).select(key).distinct()
+    new = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", key)
+    tagged = new.join(old_keys.withColumn("__hit", F.lit(1)), "k", "left").select(
+        "doc_id",
+        F.when(F.col("__hit").isNotNull(), "dropped").otherwise("kept").alias("status"),
+    )
+    return (
+        tagged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "sample_source_mixture",
+    tags=("llm", "curation", "sampling"),
+    oracle=f"""
+WITH rated AS (
+  SELECT source, doc_id, n_chars,
+         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+              THEN 60 ELSE 25 END AS rate,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              AS BIGINT) % 100 AS b
+  FROM documents)
+SELECT source,
+       CAST(max(rate) AS INTEGER)      AS rate_pct,
+       CAST(count(*) AS BIGINT)        AS n_total,
+       CAST(sum(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN b < rate THEN n_chars ELSE 0 END) AS BIGINT)
+                                       AS kept_chars
+FROM rated
+GROUP BY source
+ORDER BY source
+""",
+)
+def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture re-weighting: per-source deterministic sampling
+    rates (even-numbered sources 60%, odd 25%) keyed on md5(doc_id) —
+    how a training mix up-weights curated domains and down-weights
+    crawl. Membership is a per-row expression (no RNG, no shuffle of
+    text); adding data never resamples existing docs. Rates live in a
+    CASE here; production would broadcast-join a (source, rate) table —
+    identical plan shape."""
+    docs = T(spark, sf_dir, "documents")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, 60
+    ).otherwise(25)
+    b = hash_bucket("doc_id")
+    kept = b < F.col("rate")
+    return (
+        docs.select("source", "doc_id", "n_chars", rate.alias("rate"))
+        .withColumn("__kept", kept)
+        .groupBy("source")
+        .agg(
+            F.max("rate").cast("int").alias("rate_pct"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("__kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("__kept"), F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -76,6 +76,8 @@ def test_one_catalog_query_per_family_runs(spark):
         "sink_partitioned_roundtrip",
         "multimodal_decode_ppm",
         "multimodal_resample_audio",
+        "text_pii_redaction",
+        "dedup_incremental",
     ):
         assert name in qs, f"{name} missing from catalog"
         out = qs[name](spark, SF_SMALL)
