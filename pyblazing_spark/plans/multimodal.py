@@ -113,6 +113,57 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_png",
+    tags=("multimodal", "decode", "codec", "mapInPandas"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id, substr(text, 1, 48) AS px
+  FROM documents WHERE length(text) >= 48),
+ b AS (
+  SELECT doc_id, ascii(substr(px, CAST(i AS INTEGER), 1)) AS c
+  FROM v JOIN generate_series(1, 48) t(i) ON i <= 48)
+SELECT doc_id,
+       4                        AS width,
+       4                        AS height,
+       round(avg(c) + 1e-9, 4)  AS mean_pixel
+FROM b
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: each document's first 48 bytes are
+    zlib-compressed into a genuine 4x4 RGB PNG (IHDR/IDAT/IEND, CRCs —
+    an Arrow-batched encode kernel), then
+    :func:`pyblazing_spark.operators.multimodal.decode_image` takes the
+    PNG parser path: chunk walk, inflate, un-filter. The oracle
+    recomputes the payload mean char-by-char, so a compression or
+    filter bug on either side cannot pass."""
+    from collections.abc import Iterator as _It
+
+    docs = T(spark, sf_dir, "documents").where(F.length("text") >= 48)
+    payload = docs.select(
+        "doc_id", F.encode(F.substring("text", 1, 48), "UTF-8").alias("content")
+    )
+
+    def enc(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        MM.encode_png(4, 4, bytes(b)) for b in pdf["content"]
+                    ],
+                }
+            )
+
+    blobs = payload.mapInPandas(enc, schema="doc_id bigint, content binary")
+    return MM.decode_image(blobs).orderBy("doc_id")
+
+
+@register(
     "multimodal_transcode",
     tags=("multimodal", "transcode", "codec", "mapInPandas"),
     oracle="""
@@ -122,10 +173,12 @@ FROM documents WHERE length(text) >= 48
 """,
 )
 def multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL transcoding: PPM -> BMP -> PPM per blob, then a byte-equality
-    check against the original. Property-style oracle: every blob must
-    survive the double conversion losslessly (n_lossless == n_blobs),
-    which DuckDB asserts by expecting the two counts equal."""
+    """REAL transcoding: PPM -> PNG -> BMP -> PPM per blob (PNG via the
+    stdlib-zlib codec in ``operators/multimodal.py``), then a
+    byte-equality check against the original. Property-style oracle:
+    every blob must survive the triple conversion losslessly
+    (n_lossless == n_blobs), which DuckDB asserts by expecting the two
+    counts equal."""
     docs = T(spark, sf_dir, "documents").where(F.length("text") >= 48)
     blobs = docs.select(
         "doc_id",
@@ -134,7 +187,8 @@ def multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode(F.substring("text", 1, 48), "UTF-8"),
         ).alias("content"),
     )
-    bmp = MM.transcode(blobs, "bmp").select("doc_id", "content")
+    png = MM.transcode(blobs, "png").select("doc_id", "content")
+    bmp = MM.transcode(png, "bmp").select("doc_id", "content")
     back = MM.transcode(bmp, "ppm").select(
         "doc_id", F.col("content").alias("__content_rt")
     )

@@ -101,6 +101,90 @@ def test_real_image_codecs_roundtrip():
     assert (pw, ph) == (4, 3) and prgb[0:3] == bytes((0, 0, 0)) and prgb[3:6] == bytes((1, 1, 1))
 
 
+def _png_with_filters(width, height, rgb, filters):
+    """Hand-build a PNG whose scanlines use the GIVEN filter types,
+    computing each filter transform independently with numpy — the
+    decoder must invert every one of them."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    raw = np.frombuffer(rgb, np.uint8).reshape(height, width * 3).astype(np.int16)
+    scan = bytearray()
+    prev = np.zeros(width * 3, np.int16)
+    for y in range(height):
+        line, f = raw[y], filters[y % len(filters)]
+        if f == 0:
+            filt = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
+            filt = line - left
+        elif f == 2:
+            filt = line - prev
+        elif f == 3:
+            left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
+            filt = line - (left + prev) // 2
+        else:  # Paeth
+            left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
+            ul = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = line - pred
+        scan += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = line
+    def chunk(typ, data):
+        return (_struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (MM.PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b""))
+
+
+def test_png_codec_roundtrip_and_all_filters():
+    """encode_png -> decode_png is lossless, and the decoder inverts all
+    five RFC 2083 scanline filters on a hand-filtered PNG."""
+    w, h = 7, 5  # odd width
+    rgb = bytes((i * 31) % 256 for i in range(w * h * 3))
+    assert MM.decode_png(MM.encode_png(w, h, rgb)) == (w, h, rgb)
+    # every filter type appears at least once across the scanlines
+    png = _png_with_filters(w, h, rgb, filters=[0, 1, 2, 3, 4])
+    assert MM.decode_png(png) == (w, h, rgb)
+    # grayscale (color type 0) replicates to RGB like PGM does
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+    gray = bytes(range(12))
+    scan = b"".join(b"\x00" + gray[y * 4 : (y + 1) * 4] for y in range(3))
+    def chunk(typ, data):
+        return (_struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    gpng = (MM.PNG_SIG + chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    gw, gh, grgb = MM.decode_png(gpng)
+    assert (gw, gh) == (4, 3)
+    assert np.array_equal(
+        np.frombuffer(grgb, np.uint8), np.repeat(np.frombuffer(gray, np.uint8), 3)
+    )
+
+
+def test_transcode_via_png_lossless(spark):
+    """ppm -> png -> bmp -> ppm through the Spark transcode kernels is
+    byte-identical to the original ppm."""
+    w, h = 5, 4
+    rgb = bytes((i * 13) % 256 for i in range(w * h * 3))
+    src = spark.createDataFrame(
+        [(9, MM.encode_ppm(w, h, rgb))], "doc_id long, content binary"
+    )
+    png = MM.transcode(src, "png").select("doc_id", "content")
+    bmp = MM.transcode(png, "bmp").select("doc_id", "content")
+    back = MM.transcode(bmp, "ppm").collect()[0]
+    assert bytes(back.content) == MM.encode_ppm(w, h, rgb)
+    assert back.content_type == "image/x-portable-pixmap"
+
+
 def test_resample_wav_interpolates(spark):
     """Non-integer rate ratio takes the true linear-interpolation path:
     8000 -> 6000 Hz places output sample j at source position 4j/3, so
