@@ -102,6 +102,104 @@ def connected_components(
         sym.unpersist()
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the high-diameter scale path min-label propagation's error message
+    points at. Converges in O(log^2 n) rounds worst case (O(log n) in
+    practice) regardless of graph DIAMETER, where plain propagation
+    needs O(diameter) rounds: a million-node path graph finishes in ~20
+    rounds instead of a million.
+
+    Per round: large-star hangs every neighbor v > u off m = min of
+    u's closed neighborhood; small-star re-points the v <= u side at m.
+    Both are one groupBy + one join over (long, long) edges; the edge
+    set is deduped, persisted, and periodically ``localCheckpoint``ed
+    exactly like the propagation variant. Convergence = edge-set
+    checksum (count + sum of a 64-bit edge hash) unchanged after a full
+    large+small round."""
+    E = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        E.select(F.col("u").alias("id"))
+        .unionAll(E.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    def _closed_neighborhood(e: DataFrame) -> DataFrame:
+        return (
+            e.select("u", "v")
+            .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .unionAll(nodes.select(F.col("id").alias("u"), F.col("id").alias("v")))
+        )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        g = _closed_neighborhood(e)
+        m = (
+            g.groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        joined = g.join(m, "u")
+        side = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        return (
+            joined.where(side & (F.col("v") != F.col("m")))
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .distinct()
+        )
+
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(E)
+    try:
+        for i in range(max_iter):
+            new_e = _star(_star(E, large=True), large=False)
+            if (i + 1) % checkpoint_interval == 0:
+                new_e = new_e.localCheckpoint()
+            else:
+                new_e = new_e.persist()
+            cur = _checksum(new_e)
+            E.unpersist()
+            E = new_e
+            if cur == prev:
+                # stars: every edge is (center, member) with center = min
+                members = E.select(
+                    F.col("v").alias("id"), F.col("u").alias("component")
+                )
+                return (
+                    nodes.join(members, "id", "left")
+                    .select(
+                        "id",
+                        F.coalesce("component", F.col("id")).alias("component"),
+                    )
+                )
+            prev = cur
+        E.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    finally:
+        pass  # nodes stays persisted for the returned plan; evicted LRU
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

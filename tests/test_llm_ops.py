@@ -203,6 +203,57 @@ def test_connected_components_checkpoint_truncates_lineage(spark):
     assert set(labels.values()) == {0} and len(labels) == 15
 
 
+def test_connected_components_star_high_diameter(spark):
+    """large-star/small-star must solve a diameter-60 path in O(log n)
+    rounds — min-label propagation would need 60 rounds (> its default
+    cap); this is the promised high-diameter scale path."""
+    from pyblazing_spark.operators.graph import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components_star(chain, max_iter=12).collect()}
+    assert len(comp) == 61 and set(comp.values()) == {0}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Star and propagation variants must produce identical components
+    on a random clustered graph (seeded union-find recomputed in Python
+    as the ground truth)."""
+    import random
+
+    from pyblazing_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(0, 120), rng.randrange(0, 120)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(121))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = sorted({n for e in edges for n in e})
+    truth = {}
+    for n in nodes:
+        root = find(n)
+        truth.setdefault(root, []).append(n)
+    want = {n: min(group) for group in truth.values() for n in group}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {r.id: r.component for r in connected_components_star(df).collect()}
+    prop = {r.id: r.component for r in connected_components(df).collect()}
+    assert star == want
+    assert prop == want
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from pyblazing_spark.operators.graph import connected_components
 

@@ -74,6 +74,39 @@ def test_repetition_shuffles_hashes_not_bigrams(spark, sf_dir):
             assert "text" not in line and "__tk" not in line, line
 
 
+def test_pii_redaction_is_a_narrow_map(spark, sf_dir):
+    """PII scrubbing must run in the scan stage: apart from the final
+    presentation sort, the plan holds no Exchange at all — at 100 TB
+    a redaction pass that shuffles the corpus is unusable."""
+    df = plans.REGISTRY["text_pii_redaction"].fn(spark, sf_dir)
+    plan = _optimized_plan(df)
+    # the only Sort-induced exchange is for the ORDER BY presentation;
+    # no Exchange may appear below it in the optimized plan string.
+    assert "Join" not in plan and "Aggregate" not in plan, plan
+
+
+def test_incremental_dedup_exchanges_only_keys(spark, sf_dir):
+    """The snapshot anti-join must move only 16-byte content keys and
+    ids: no Exchange may carry the text column."""
+    df = plans.REGISTRY["dedup_incremental"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_top_tokens_partial_aggregates_before_shuffle(spark, sf_dir):
+    """The vocab count must map-side combine: a partial_count over the
+    token must appear BEFORE the exchange, and no Exchange may carry
+    the text column (only tokens/partial counts shuffle)."""
+    df = plans.REGISTRY["text_top_tokens"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "partial_count" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
 def test_seq_packing_window_is_bucketed(spark, sf_dir):
     """Sequence packing must run the prefix sum on the two-phase bucketed
     path: the big Window node partitions by the range-bucket id, never an
