@@ -204,10 +204,18 @@ def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    method: str = "propagation",
 ) -> DataFrame:
     """Transitive near-dup dedup: keep the min-id member of every
-    connected component, plus every unpaired doc."""
-    comp = connected_components(pairs)
+    connected component, plus every unpaired doc.
+
+    ``method='propagation'`` (default) is O(diameter) rounds — right for
+    near-dup graphs (unions of small cliques/chains); ``'star'`` picks
+    the large-star/small-star variant, O(log n) rounds on any graph."""
+    if method not in ("propagation", "star"):
+        raise ValueError("method must be 'propagation' or 'star'")
+    cc = connected_components_star if method == "star" else connected_components
+    comp = cc(pairs)
     losers = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
