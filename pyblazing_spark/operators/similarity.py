@@ -198,6 +198,62 @@ def centroid_assign(vec: Column, centroids: np.ndarray, nprobe: int = 1) -> Colu
     return _assign(vec)
 
 
+def centroid_assign_with_dist(vec: Column, centroids: np.ndarray) -> Column:
+    """struct<cluster int, d2 double>: nearest centroid id plus the
+    squared L2 distance to it (one numpy matmul per Arrow batch — the
+    Lloyd-iteration assignment kernel).
+
+    Determinism contract: ``d2`` is rounded to 3 dp BEFORE the argmin and
+    ties break to the lowest cluster id (``np.argmin`` returns the first
+    minimum), so the assignment matches a single-node oracle ordering by
+    ``(round(d2, 3), cluster)`` exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids.astype(np.float64)
+    Cn2 = (C**2).sum(axis=1)
+
+    @pandas_udf("cluster int, d2 double")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                 "d2": pd.Series([], dtype="float64")})
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        d = np.round((V**2).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + Cn2[None, :], 3)
+        idx = d.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": idx.astype(np.int32), "d2": d[np.arange(len(V)), idx]}
+        )
+
+    return _assign(vec)
+
+
+def centroid_means(
+    df: DataFrame, vec_col: str, cluster_col: str, k: int
+) -> np.ndarray:
+    """(k, dim) per-cluster mean vectors, computed DISTRIBUTED: posexplode
+    the vector into (cluster, dim, x) rows and groupBy(cluster, dim).
+
+    Scale shape: the explode is map-side JVM work and hash aggregation is
+    partial-before-shuffle, so the exchange carries only
+    ``k x dim x n_partitions`` partial sums — never data-sized traffic.
+    The k x dim result (a few KB) is collected to the driver to become the
+    next iteration's broadcast centroids, the standard distributed-Lloyd
+    round trip."""
+    rows = (
+        df.select(F.col(cluster_col).alias("__c"), F.posexplode(vec_col).alias("__i", "__x"))
+        .groupBy("__c", "__i")
+        .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+        .collect()
+    )
+    if not rows:
+        return np.empty((0, 0))
+    dim = max(r["__i"] for r in rows) + 1
+    C = np.zeros((k, dim))
+    for r in rows:
+        C[r["__c"], r["__i"]] = r["__m"]
+    return C
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -332,3 +332,43 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("grain", F.asc_nulls_first("day_bucket"), F.asc_nulls_first("hour_bucket"))
         .limit(1000)
     )
+
+
+@register(
+    "events_retention",
+    tags=("events", "cohort", "aggregate"),
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+ c AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each subsequent day-offset — the product-analytics retention-curve
+    query. Two aggregations on the same user_id key: Spark reuses one
+    shuffle partitioning for the distinct, the min-cohort, and the join
+    back (all hash on user_id); the final (cohort, offset) rollup is
+    tiny."""
+    ev = T(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(c, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

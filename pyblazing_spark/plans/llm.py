@@ -942,3 +942,55 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_lm_unigram",
+    tags=("llm", "text", "scoring"),
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+ t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+ freq AS (SELECT token, count(*) AS n FROM t2 GROUP BY token),
+ tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM freq)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(n / tot)) + 1e-9, 4) AS avg_logp
+FROM t2 JOIN freq USING (token) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_lm_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM scoring: per-document mean token
+    log-probability under the corpus's own empirical unigram
+    distribution — the classic cheap perplexity proxy for quality
+    filtering (low avg_logp = rare-token gibberish; suspiciously high =
+    boilerplate).
+
+    Scale: token frequencies are the word-count shape (partial agg
+    before the shuffle, only (token, count) pairs cross the wire); the
+    score pass joins tokens to the frequency table — Zipf makes the hot
+    keys a tiny head, and the vocabulary ships broadcast when it fits
+    (here: asserted broadcast), falling back to a hash join keyed on
+    token otherwise. The corpus total is a one-row broadcast scalar.
+    ln(n/tot) is exact-rational input -> double, identical across
+    engines; avg is rounded to 4 dp to absorb summation order."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("tot"))
+    scored = tok.join(F.broadcast(freq), "token").crossJoin(F.broadcast(tot))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("tot"))) + 1e-9, 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )

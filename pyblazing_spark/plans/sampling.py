@@ -149,3 +149,69 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@register(
+    "sample_epoch_shuffle",
+    tags=("sampling", "llm", "shuffle"),
+    oracle="""
+WITH e AS (
+  SELECT doc_id, e.epoch
+  FROM documents CROSS JOIN (VALUES (0), (1)) e(epoch)),
+ k AS (
+  SELECT doc_id, epoch,
+         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM e),
+ s AS (
+  SELECT doc_id, epoch,
+         CAST(('0x' || substring(skey, 1, 8))::BIGINT % 4 AS INTEGER) AS shard,
+         skey
+  FROM k)
+SELECT doc_id, epoch, shard,
+       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY skey)
+            AS INTEGER) AS pos
+FROM s
+ORDER BY epoch, shard, pos
+""",
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: each epoch permutes the
+    corpus by ``md5(epoch:doc_id)`` and splits it into 4 shards (the
+    data-loader sharding shape). Different epochs yield independent
+    permutations from the same pure expression — no RNG, no state, so
+    any worker can locate any document's (shard, pos) without
+    coordination, and a rerun or a resized cluster reproduces the exact
+    order.
+
+    Scale: shard assignment is a narrow per-row map; the per-shard
+    ordering is a window PARTITIONED BY (epoch, shard), so each shard
+    sorts independently in parallel — no global single-reducer sort. At
+    100 TB you'd raise the shard count to O(executors); the plan shape
+    is unchanged."""
+    d = T(spark, sf_dir, "documents")
+    e = d.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    )
+    skey = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    s = e.select(
+        "doc_id",
+        "epoch",
+        skey.alias("skey"),
+        (F.conv(F.substring(skey, 1, 8), 16, 10).cast("long") % 4)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = W.partitionBy("epoch", "shard").orderBy("skey")
+    return (
+        s.select(
+            "doc_id",
+            "epoch",
+            "shard",
+            F.row_number().over(w).cast("int").alias("pos"),
+        )
+        .orderBy("epoch", "shard", "pos")
+    )

@@ -129,3 +129,36 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_enrich_join",
+    tags=("streaming", "join"),
+    oracle="""
+SELECT c_mktsegment, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2)     AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+""",
+)
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension on user_id, then aggregates per (segment, type) —
+    the canonical streaming-ETL enrich-then-rollup. Spark plans the
+    static side as a broadcast per micro-batch (dimension tables are
+    small by contract); state is bounded by the aggregation keys, not
+    the stream. Drained with AvailableNow, the result must equal the
+    batch join + group-by the oracle runs."""
+    from pyblazing_spark.sources.tables import load_table as T
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(dim, "user_id").groupBy(
+        "c_mktsegment", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    out = run_available_now(enriched, output_mode="complete")
+    return out.orderBy("c_mktsegment", "event_type")

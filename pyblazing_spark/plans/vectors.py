@@ -1,0 +1,167 @@
+"""Distributed vector-pipeline operators over the ``embeddings`` table
+(driver extension — the training-data north-star: clustering for corpus
+bucketing / IVF index builds, and scalar quantization for embedding
+storage compression).
+
+Scale notes:
+
+- **k-means (one distributed Lloyd step)**: the centroid update is the
+  classic two-phase mean — posexplode to (cluster, dim, x), hash-agg
+  with map-side partial aggregation so the exchange carries only
+  ``k x dim x n_partitions`` partial sums; the k x dim result (KBs) is
+  collected and re-broadcast in the assignment kernel's closure (one
+  numpy matmul per Arrow batch). Per iteration at 100 TB: one map-only
+  pass + one tiny shuffle — the textbook distributed-Lloyd shape. The
+  registered entry runs ONE full iteration from a deterministic init so
+  DuckDB can replay it exactly; production loops the same two calls.
+- **int8 scalar quantization**: pass 1 computes per-dimension min/max
+  (shuffle = 64 partial rows per partition); pass 2 quantizes in the
+  scan stage against the broadcast 64-row stats table. Codes are exact
+  integers, so ``code_sum`` is an order-independent, hash-stable
+  checksum of every quantized value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.sources.tables import load_table as T
+
+_K = 8  # registered-entry cluster count (production: 2^8-2^12)
+
+
+@register(
+    "vector_kmeans",
+    tags=("vector", "clustering", "llm"),
+    oracle=f"""
+WITH init AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST(vec_id % {_K} AS INTEGER) AS c0
+  FROM embeddings),
+ cent AS (
+  SELECT c0, i, avg(v[i]) AS m
+  FROM init JOIN generate_series(1, 64) t(i) ON true
+  GROUP BY c0, i),
+ cl AS (
+  SELECT c0 AS cand, list(m ORDER BY i) AS cv FROM cent GROUP BY c0),
+ dist AS (
+  SELECT v.vec_id, c.cand,
+         round(list_dot_product(v.v, v.v)
+               - 2 * list_dot_product(v.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 3) AS d2
+  FROM init v CROSS JOIN cl c),
+ best AS (
+  SELECT vec_id, cand, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+  FROM dist)
+SELECT cand AS cluster,
+       CAST(count(*) AS BIGINT)    AS n_points,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       round(sum(d2) + 1e-6, 2)    AS inertia
+FROM best WHERE rn = 1
+GROUP BY cand ORDER BY cluster
+""",
+)
+def vector_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration from the deterministic init
+    ``cluster0 = vec_id % k``: per-cluster per-dim means (distributed
+    two-phase aggregate), then every vector re-assigned to its nearest
+    centroid (numpy kernel, broadcast centroids). Output: per-cluster
+    size, id checksum, and inertia (sum of squared distances).
+
+    Determinism: init is hash-free and RNG-free; ``d2`` is rounded to
+    3 dp before the argmin with ties to the lowest cluster id in BOTH
+    engines, so assignment is bit-stable across engines and partition
+    layouts. ``id_sum`` makes the oracle sensitive to WHICH vectors
+    landed in each cluster."""
+    from pyblazing_spark.operators.similarity import (
+        centroid_assign_with_dist,
+        centroid_means,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    init = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % _K).cast("int").alias("c0")
+    )
+    C = centroid_means(init, "embedding", "c0", _K)
+    a = centroid_assign_with_dist(F.col("embedding"), C)
+    assigned = init.select("vec_id", a.alias("a")).select(
+        "vec_id", F.col("a.cluster").alias("cluster"), F.col("a.d2").alias("d2")
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("vec_id").alias("id_sum"),
+            # +1e-6 tie-nudge: the 3dp-rounded d2 values are not exact
+            # binary decimals, so their sum can straddle a .005 boundary
+            # differently per engine (CLAUDE.md rounding convention).
+            F.round(F.sum("d2") + 1e-6, 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "vector_quantize",
+    tags=("vector", "quantization", "llm"),
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings JOIN generate_series(1, 64) t(i) ON true),
+ st AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+ q AS (
+  SELECT vec_id, x, mn, mx,
+         CAST(round((x - mn) / (mx - mn) * 255, 0) AS INTEGER) AS code
+  FROM ex JOIN st USING (i)),
+ d AS (
+  SELECT vec_id, code, x, mn + code * (mx - mn) / 255 AS deq FROM q)
+SELECT vec_id,
+       CAST(count(*) AS INTEGER) AS n_dims,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       round(sqrt(avg((x - deq) * (x - deq))) + 1e-12, 6) AS rmse
+FROM d GROUP BY vec_id ORDER BY vec_id
+""",
+)
+def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8-style scalar quantization (the embedding-store
+    compression pass: 64 floats -> 64 uint8 codes + a 64-row codebook).
+    Pass 1 aggregates per-dim min/max; pass 2 maps each value to
+    ``round((x - mn) / (mx - mn) * 255)`` against the BROADCAST stats
+    and measures reconstruction RMSE per vector.
+
+    ``code_sum`` (an exact integer over all 64 codes) is the
+    order-independent proof that every code matches the oracle; rmse is
+    rounded to 6 dp to absorb float summation order. Both engines round
+    half-away-from-zero on nonnegative doubles, and codes 0/255 land on
+    exact endpoints, so no half-way ties exist in practice."""
+    emb = T(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    st = ex.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = F.round((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255, 0).cast(
+        "int"
+    )
+    q = ex.join(F.broadcast(st), "i").select(
+        "vec_id", "x", "mn", "mx", code.alias("code")
+    )
+    deq = F.col("mn") + F.col("code") * (F.col("mx") - F.col("mn")) / 255
+    d = q.select("vec_id", "code", "x", deq.alias("deq"))
+    err = (F.col("x") - F.col("deq")) * (F.col("x") - F.col("deq"))
+    return (
+        d.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            F.sum("code").alias("code_sum"),
+            F.round(F.sqrt(F.avg(err)) + 1e-12, 6).alias("rmse"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,9 +1,10 @@
 """Driver-style verification: plain SparkSession + side-by-side DuckDB
 compare of every queries()/oracle_sql() entry at a given SF.
 
-Usage: python scripts/driver_check.py [sf_dir]
-Mirrors the correctness gate (CORRECTNESS_r{N}.json): row count, column
-names, order-insensitive value compare.
+Usage: python scripts/driver_check.py [sf_dir] [name_prefix ...]
+With name prefixes given, only matching entries run (fast iteration on
+new entries). Mirrors the correctness gate (CORRECTNESS_r{N}.json): row
+count, column names, order-insensitive value compare.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ TABLES = (
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = tuple(sys.argv[2:])
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -45,6 +47,8 @@ def main() -> int:
     qs, osql = E.queries(), E.oracle_sql()
     n_ok = n_bad = 0
     for name in sorted(qs):
+        if prefixes and not name.startswith(prefixes):
+            continue
         t0 = time.time()
         try:
             spdf = qs[name](spark, sf_dir).toPandas()

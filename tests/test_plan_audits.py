@@ -118,3 +118,72 @@ def test_seq_packing_window_is_bucketed(spark, sf_dir):
     assert data_windows, "expected a prefix-sum window over __tok"
     for line in data_windows:
         assert "__pid" in line, f"data window is not bucket-partitioned: {line}"
+
+
+def test_kmeans_centroid_update_partial_aggregates(spark, sf_dir):
+    """The Lloyd centroid update must map-side combine: partial averages
+    over the exploded (cluster, dim) rows appear BEFORE the exchange, so
+    the shuffle carries k x dim x n_partitions partial sums, never the
+    data-sized explode output. The assignment pass must hold no join at
+    all (centroids travel in the kernel closure)."""
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.operators.similarity import centroid_assign_with_dist
+    from pyblazing_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % 8).cast("int").alias("__c")
+    )
+    upd = (
+        init.select("__c", F.posexplode("embedding").alias("__i", "__x"))
+        .groupBy("__c", "__i")
+        .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+    )
+    plan = _executed_plan(upd)
+    assert "partial_avg" in plan, plan
+    import numpy as np
+
+    assigned = init.select(
+        "vec_id", centroid_assign_with_dist(F.col("embedding"), np.zeros((8, 64)))
+    )
+    assert "Join" not in _optimized_plan(assigned)
+
+
+def test_quantize_broadcasts_dim_stats(spark, sf_dir):
+    """The quantization pass joins each exploded value to the 64-row
+    per-dimension stats table — that join must be broadcast (pass 2 stays
+    embarrassingly parallel); a shuffle join on dim id would funnel the
+    corpus through 64 reducers."""
+    df = plans.REGISTRY["vector_quantize"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lm_unigram_broadcasts_vocab_and_never_shuffles_text(spark, sf_dir):
+    """The token->frequency join must broadcast the vocabulary (Zipf head
+    fits by contract at this setting) and no Exchange may carry the text
+    column — only (token, count) pairs shuffle in the frequency pass."""
+    df = plans.REGISTRY["text_lm_unigram"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_epoch_shuffle_has_no_global_sort_before_ranking(spark, sf_dir):
+    """The per-shard ordering window must partition by (epoch, shard) —
+    never an empty partitionBy (single-reducer global sort) over the
+    permutation keys."""
+    df = plans.REGISTRY["sample_epoch_shuffle"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    windows = [
+        l for l in plan.splitlines() if "Window" in l and "windowspecdefinition" in l
+    ]
+    assert windows, plan
+    for line in windows:
+        assert "epoch" in line and "shard" in line, (
+            f"ranking window is not shard-partitioned: {line}"
+        )
