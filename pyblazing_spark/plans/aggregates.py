@@ -434,3 +434,72 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_sketch_rollup",
+    tags=("aggregate", "approx", "sketch"),
+    oracle="""
+WITH per AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type),
+ total AS (
+  SELECT '__ALL__' AS event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events)
+SELECT event_type, exact_users, TRUE AS sketch_within_5pct
+FROM (SELECT * FROM per UNION ALL SELECT * FROM total)
+ORDER BY event_type
+""",
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL via
+    ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``):
+    per-event-type distinct-user sketches, then the GLOBAL estimate
+    computed by UNIONING the per-type sketches — never re-scanning the
+    events.
+
+    This mergeability is the 100 TB property exact COUNT(DISTINCT)
+    lacks: sketches roll up along any dimension hierarchy (hour -> day,
+    type -> all) with bytes-sized state, so a 1000-executor rollup tree
+    shuffles KBs instead of re-shuffling user ids per level. lgConfigK=14
+    bounds relative error ~0.8% << the asserted 5%; at test-corpus
+    cardinalities the sketch is in exact (sparse) mode.
+
+    Property-style oracle (sketch bytes aren't portable): exact counts
+    plus a boolean asserting every estimate — including the merged
+    '__ALL__' row — landed within 5% of DuckDB's exact recompute."""
+    ev = T(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    typed = per.select(
+        "event_type",
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("__est"),
+    )
+    merged = (
+        per.agg(
+            F.hll_union_agg("sk").alias("msk"),
+        )
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_users")))
+        .select(
+            F.lit("__ALL__").alias("event_type"),
+            "exact_users",
+            F.hll_sketch_estimate("msk").alias("__est"),
+        )
+    )
+    out = typed.unionByName(merged)
+    return (
+        out.select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("sketch_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
