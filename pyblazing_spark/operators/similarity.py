@@ -254,6 +254,55 @@ def centroid_means(
     return C
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int,
+    iterations: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    checkpoint_every: int = 4,
+) -> tuple[DataFrame, np.ndarray, list[float]]:
+    """Full distributed Lloyd k-means: ``iterations`` rounds of
+    (two-phase centroid means -> broadcast-closure reassignment) from the
+    deterministic init ``cluster = id % k``.
+
+    Returns (assignments DataFrame [id, cluster, d2], final centroids,
+    per-round inertia history — non-increasing by Lloyd's monotonicity,
+    unit-tested).
+
+    Scale shape per round (cf. :func:`centroid_means` /
+    :func:`centroid_assign_with_dist`): one map-only assignment pass +
+    one k x dim partial-sum shuffle; assignments are ``persist``ed and
+    the predecessor unpersisted so round *i* never re-executes rounds
+    1..i-1, with an eager ``localCheckpoint`` every ``checkpoint_every``
+    rounds truncating the lineage (the connected-components lesson —
+    ``operators/graph.py``). The driver holds only k x dim floats."""
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        (F.col(id_col) % k).cast("int").alias("cluster"),
+        F.lit(0.0).alias("d2"),
+    ).persist()
+    history: list[float] = []
+    C = np.empty((0, 0))
+    for i in range(iterations):
+        C = centroid_means(assigned, "vec", "cluster", k)
+        if C.size == 0:  # empty input
+            break
+        a = centroid_assign_with_dist(F.col("vec"), C)
+        new = assigned.select("id", "vec", a.alias("a")).select(
+            "id", "vec", F.col("a.cluster").alias("cluster"), F.col("a.d2").alias("d2")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint()  # eager; truncates lineage
+        else:
+            new = new.persist()
+        history.append(new.agg(F.sum("d2")).collect()[0][0] or 0.0)
+        assigned.unpersist()
+        assigned = new
+    return assigned.select("id", "cluster", "d2"), C, history
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

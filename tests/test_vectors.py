@@ -1,0 +1,70 @@
+"""Semantic tests for the vector-pipeline operators (beyond the oracle
+sweep in test_queries.py): Lloyd monotonicity, assignment-kernel
+equivalence to a numpy brute force, and quantization invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import pyblazing_spark.plans as plans
+from pyblazing_spark.operators.similarity import (
+    centroid_assign_with_dist,
+    kmeans_lloyd,
+)
+from pyblazing_spark.sources.tables import load_table
+
+
+def test_lloyd_inertia_is_non_increasing(spark, sf_dir):
+    """Lloyd's algorithm monotonically decreases inertia; the 3dp
+    rounding inside the kernel can add at most 5e-4 per point per
+    round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assigned, C, history = kmeans_lloyd(emb, k=8, iterations=4, checkpoint_every=2)
+    assert len(history) == 4
+    slack = 1e-3 * n
+    for a, b in zip(history, history[1:]):
+        assert b <= a + slack, f"inertia increased: {history}"
+    assert C.shape == (8, 64)
+    # every vector assigned exactly once, clusters in range
+    rows = assigned.groupBy().agg(
+        F.count("id").alias("n"), F.min("cluster").alias("lo"), F.max("cluster").alias("hi")
+    ).collect()[0]
+    assert rows["n"] == n and 0 <= rows["lo"] and rows["hi"] < 8
+    assigned.unpersist()
+
+
+def test_assign_kernel_matches_numpy_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(7)
+    C = rng.standard_normal((5, V.shape[1]))
+    d = np.round(((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 3)
+    expect_cluster = d.argmin(axis=1)
+    expect_d2 = d[np.arange(len(V)), expect_cluster]
+
+    out = (
+        emb.select("vec_id", centroid_assign_with_dist(F.col("embedding"), C).alias("a"))
+        .select("vec_id", "a.cluster", "a.d2")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    order = pdf["vec_id"].argsort().to_numpy()
+    np.testing.assert_array_equal(out["cluster"].to_numpy(), expect_cluster[order])
+    np.testing.assert_allclose(out["d2"].to_numpy(), expect_d2[order], atol=2e-3)
+
+
+def test_quantize_codes_reconstruct_within_step(spark, sf_dir):
+    """Every reconstruction error must be bounded by half a quantization
+    step of that dimension's range — the defining invariant of round-to-
+    nearest scalar quantization (rmse per vector << max step / 2)."""
+    df = plans.REGISTRY["vector_quantize"].fn(spark, sf_dir).toPandas()
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    max_step = (V.max(axis=0) - V.min(axis=0)).max() / 255
+    assert (df["rmse"] <= max_step / 2 + 1e-9).all()
+    assert (df["n_dims"] == V.shape[1]).all()
+    assert df["code_sum"].between(0, 255 * V.shape[1]).all()
