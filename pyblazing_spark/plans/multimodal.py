@@ -327,3 +327,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per frame with the frame digest."""
     blobs = _blobs(spark, sf_dir).where(F.col("meta.modality") == "video")
     return MM.frame_sample(blobs, n_frames=4).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_resize",
+    tags=("multimodal", "resize", "codec", "mapInPandas"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id, substr(text, 1, 64) AS px
+  FROM documents WHERE length(text) >= 64),
+ r AS (
+  SELECT doc_id,
+         substr(px, 1,1)||substr(px, 3,1)||substr(px, 5,1)||substr(px, 7,1)||
+         substr(px,17,1)||substr(px,19,1)||substr(px,21,1)||substr(px,23,1)||
+         substr(px,33,1)||substr(px,35,1)||substr(px,37,1)||substr(px,39,1)||
+         substr(px,49,1)||substr(px,51,1)||substr(px,53,1)||substr(px,55,1) AS rz
+  FROM v),
+ b AS (
+  SELECT doc_id, rz, ascii(substr(rz, CAST(i AS INTEGER), 1)) AS c
+  FROM r JOIN generate_series(1, 16) t(i) ON true)
+SELECT doc_id,
+       4                        AS width,
+       4                        AS height,
+       round(avg(c) + 1e-9, 4)  AS mean_pixel,
+       md5(min(rz))             AS digest
+FROM b
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: each doc's first 64 bytes become an 8x8
+    grayscale P5 PGM (header built JVM-side), and
+    :func:`pyblazing_spark.operators.multimodal.resize_image` decodes it
+    and keeps every 2nd row/column via numpy slicing — a genuine
+    nearest-neighbor downsample, no per-pixel Python. The oracle
+    reconstructs the exact 16-byte stride grid with substr arithmetic
+    and compares the md5 of the resized buffer, so an off-by-one in
+    either the header offset or the stride cannot pass."""
+    docs = T(spark, sf_dir, "documents").where(F.length("text") >= 64)
+    blobs = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P5\n8 8\n255\n"), "UTF-8"),
+            F.encode(F.substring("text", 1, 64), "UTF-8"),
+        ).alias("content"),
+    )
+    return MM.resize_image(blobs, factor=2).orderBy("doc_id")

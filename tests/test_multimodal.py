@@ -286,3 +286,24 @@ def test_read_binary_dir_reads_real_files(spark, tmp_path):
     (p / "b.bin").write_bytes(payload * 2)
     out = {r.length: bytes(r.content) for r in MM.read_binary_dir(spark, str(p)).collect()}
     assert out[256] == payload and out[512] == payload * 2
+
+
+def test_resize_image_p6_matches_numpy_slicing(spark):
+    """resize_image on a color P6: every 2nd row/col of each channel,
+    verified against direct numpy slicing of the source pixels."""
+    import hashlib
+
+    import numpy as np
+
+    from pyblazing_spark.operators.multimodal import encode_ppm, resize_image
+
+    rng = np.random.RandomState(3)
+    w, h = 6, 4
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    blob = encode_ppm(w, h, rgb.tobytes())
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, content binary")
+    out = resize_image(df, factor=2).collect()[0]
+    expect = rgb[::2, ::2, :]
+    assert (out["width"], out["height"]) == (expect.shape[1], expect.shape[0])
+    assert out["digest"] == hashlib.md5(expect.tobytes()).hexdigest()
+    assert abs(out["mean_pixel"] - round(float(expect.mean()) + 1e-9, 4)) < 1e-9
