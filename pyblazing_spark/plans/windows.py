@@ -324,14 +324,12 @@ def win_global_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~.global_running_sum`) — full parallelism, no single-task
     collapse. The oracle is identical to ``win_no_partition``'s, so the
     driver proves the parallel form equals the serial semantics."""
-    from pyblazing_spark.operators.global_window import (
-        global_row_number,
-        global_running_sum,
-    )
+    from pyblazing_spark.operators.global_window import global_prefix_stats
 
     ev = T(spark, sf_dir, "events").select("event_id", "ts", "value")
-    rn = global_row_number(ev, ["ts", "event_id"], out_col="seq")
-    rs = global_running_sum(rn, ["ts", "event_id"], "value", out_col="__rsum")
+    rs = global_prefix_stats(
+        ev, ["ts", "event_id"], "value", rn_col="seq", sum_col="__rsum"
+    )
     return (
         rs.select(
             "event_id",
