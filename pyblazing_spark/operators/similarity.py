@@ -198,19 +198,34 @@ def centroid_assign(vec: Column, centroids: np.ndarray, nprobe: int = 1) -> Colu
     return _assign(vec)
 
 
-def centroid_assign_with_dist(vec: Column, centroids: np.ndarray) -> Column:
+def centroid_assign_with_dist(
+    vec: Column, centroids: np.ndarray, cluster_ids: np.ndarray | None = None
+) -> Column:
     """struct<cluster int, d2 double>: nearest centroid id plus the
     squared L2 distance to it (one numpy matmul per Arrow batch — the
-    Lloyd-iteration assignment kernel).
+    Lloyd-iteration assignment kernel). ``cluster_ids`` maps centroid row
+    positions back to cluster labels (identity when omitted) — pass the
+    ids from :func:`centroid_means` so vanished clusters leave no phantom
+    candidate.
 
     Determinism contract: ``d2`` is rounded to 3 dp BEFORE the argmin and
-    ties break to the lowest cluster id (``np.argmin`` returns the first
-    minimum), so the assignment matches a single-node oracle ordering by
-    ``(round(d2, 3), cluster)`` exactly."""
+    ties break to the lowest cluster id (rows are id-sorted and
+    ``np.argmin`` returns the first minimum), matching a single-node
+    oracle ordering by ``(round(d2, 3), cluster)``. Note on the rounding
+    rule: numpy rounds half-to-even, DuckDB half-away-from-zero, but no
+    IEEE double sits exactly on a 3 dp half boundary (0.0005 is not
+    representable), so the rules only differ through the ~1e-13
+    cross-engine drift of the pre-round value — the same residual risk
+    any rounded float compare carries."""
     from pyspark.sql.functions import pandas_udf
 
     C = centroids.astype(np.float64)
     Cn2 = (C**2).sum(axis=1)
+    ids = (
+        np.arange(len(C), dtype=np.int32)
+        if cluster_ids is None
+        else np.asarray(cluster_ids, dtype=np.int32)
+    )
 
     @pandas_udf("cluster int, d2 double")
     def _assign(vs: pd.Series) -> pd.DataFrame:
@@ -221,17 +236,21 @@ def centroid_assign_with_dist(vec: Column, centroids: np.ndarray) -> Column:
         d = np.round((V**2).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + Cn2[None, :], 3)
         idx = d.argmin(axis=1)
         return pd.DataFrame(
-            {"cluster": idx.astype(np.int32), "d2": d[np.arange(len(V)), idx]}
+            {"cluster": ids[idx], "d2": d[np.arange(len(V)), idx]}
         )
 
     return _assign(vec)
 
 
 def centroid_means(
-    df: DataFrame, vec_col: str, cluster_col: str, k: int
-) -> np.ndarray:
-    """(k, dim) per-cluster mean vectors, computed DISTRIBUTED: posexplode
-    the vector into (cluster, dim, x) rows and groupBy(cluster, dim).
+    df: DataFrame, vec_col: str, cluster_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster_ids, means) for every NON-EMPTY cluster, computed
+    DISTRIBUTED: posexplode the vector into (cluster, dim, x) rows and
+    groupBy(cluster, dim). Rows of ``means`` are sorted by cluster id;
+    clusters with no members simply do not appear (fabricating e.g.
+    zero-vector centroids for them would create phantom assignment
+    candidates no serial implementation has).
 
     Scale shape: the explode is map-side JVM work and hash aggregation is
     partial-before-shuffle, so the exchange carries only
@@ -246,12 +265,14 @@ def centroid_means(
         .collect()
     )
     if not rows:
-        return np.empty((0, 0))
+        return np.empty((0,), dtype=np.int32), np.empty((0, 0))
     dim = max(r["__i"] for r in rows) + 1
-    C = np.zeros((k, dim))
+    ids = np.array(sorted({r["__c"] for r in rows}), dtype=np.int32)
+    pos = {c: p for p, c in enumerate(ids)}
+    C = np.zeros((len(ids), dim))
     for r in rows:
-        C[r["__c"], r["__i"]] = r["__m"]
-    return C
+        C[pos[r["__c"]], r["__i"]] = r["__m"]
+    return ids, C
 
 
 def kmeans_lloyd(
@@ -266,9 +287,12 @@ def kmeans_lloyd(
     (two-phase centroid means -> broadcast-closure reassignment) from the
     deterministic init ``cluster = id % k``.
 
-    Returns (assignments DataFrame [id, cluster, d2], final centroids,
-    per-round inertia history — non-increasing by Lloyd's monotonicity,
-    unit-tested).
+    Returns (assignments DataFrame [id, vec, cluster, d2], final
+    centroids, per-round inertia history — non-increasing by Lloyd's
+    monotonicity, unit-tested). The returned DataFrame is the LIVE
+    persisted/checkpointed handle — call ``.unpersist()`` on it when
+    done (selecting columns first would hand back a derived plan whose
+    ``unpersist`` is a no-op, leaking a corpus-sized cache).
 
     Scale shape per round (cf. :func:`centroid_means` /
     :func:`centroid_assign_with_dist`): one map-only assignment pass +
@@ -276,7 +300,9 @@ def kmeans_lloyd(
     the predecessor unpersisted so round *i* never re-executes rounds
     1..i-1, with an eager ``localCheckpoint`` every ``checkpoint_every``
     rounds truncating the lineage (the connected-components lesson —
-    ``operators/graph.py``). The driver holds only k x dim floats."""
+    ``operators/graph.py``). The driver holds only k x dim floats.
+    Clusters that empty out between rounds die (no phantom zero-vector
+    centroids — see :func:`centroid_means`)."""
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -286,10 +312,10 @@ def kmeans_lloyd(
     history: list[float] = []
     C = np.empty((0, 0))
     for i in range(iterations):
-        C = centroid_means(assigned, "vec", "cluster", k)
+        ids, C = centroid_means(assigned, "vec", "cluster")
         if C.size == 0:  # empty input
             break
-        a = centroid_assign_with_dist(F.col("vec"), C)
+        a = centroid_assign_with_dist(F.col("vec"), C, cluster_ids=ids)
         new = assigned.select("id", "vec", a.alias("a")).select(
             "id", "vec", F.col("a.cluster").alias("cluster"), F.col("a.d2").alias("d2")
         )
@@ -300,7 +326,7 @@ def kmeans_lloyd(
         history.append(new.agg(F.sum("d2")).collect()[0][0] or 0.0)
         assigned.unpersist()
         assigned = new
-    return assigned.select("id", "cluster", "d2"), C, history
+    return assigned, C, history
 
 
 def ivf_ann_topk(

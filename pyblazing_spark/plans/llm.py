@@ -972,10 +972,12 @@ def text_lm_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: token frequencies are the word-count shape (partial agg
     before the shuffle, only (token, count) pairs cross the wire); the
-    score pass joins tokens to the frequency table — Zipf makes the hot
-    keys a tiny head, and the vocabulary ships broadcast when it fits
-    (here: asserted broadcast), falling back to a hash join keyed on
-    token otherwise. The corpus total is a one-row broadcast scalar.
+    score pass joins tokens to the frequency table. This entry PINS the
+    broadcast (plan-audited) because the corpus vocabulary is small by
+    construction; the hint is a hard pin, not an adaptive fallback — at
+    a scale where the distinct-token set outgrows driver/executor
+    memory, drop the explicit ``F.broadcast`` and Spark plans a hash
+    join keyed on token. The corpus total is a one-row broadcast scalar.
     ln(n/tot) is exact-rational input -> double, identical across
     engines; avg is rounded to 4 dp to absorb summation order."""
     docs = T(spark, sf_dir, "documents")

@@ -75,7 +75,10 @@ def vector_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 dp before the argmin with ties to the lowest cluster id in BOTH
     engines, so assignment is bit-stable across engines and partition
     layouts. ``id_sum`` makes the oracle sensitive to WHICH vectors
-    landed in each cluster."""
+    landed in each cluster. Both engines consider only NON-EMPTY init
+    clusters as candidates (the oracle's ``cl`` CTE has no row for an
+    empty cluster; :func:`centroid_means` likewise emits none), so the
+    candidate sets agree even on degenerate inputs."""
     from pyblazing_spark.operators.similarity import (
         centroid_assign_with_dist,
         centroid_means,
@@ -85,8 +88,8 @@ def vector_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = emb.select(
         "vec_id", "embedding", (F.col("vec_id") % _K).cast("int").alias("c0")
     )
-    C = centroid_means(init, "embedding", "c0", _K)
-    a = centroid_assign_with_dist(F.col("embedding"), C)
+    ids, C = centroid_means(init, "embedding", "c0")
+    a = centroid_assign_with_dist(F.col("embedding"), C, cluster_ids=ids)
     assigned = init.select("vec_id", a.alias("a")).select(
         "vec_id", F.col("a.cluster").alias("cluster"), F.col("a.d2").alias("d2")
     )

@@ -319,11 +319,12 @@ LIMIT 300
 )
 def win_global_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME unpartitioned window as ``win_no_partition``, computed on
-    the scale path: two-phase range-bucketed row numbers and prefix sums
-    (:func:`pyblazing_spark.operators.global_window.global_row_number` /
-    :func:`~.global_running_sum`) — full parallelism, no single-task
-    collapse. The oracle is identical to ``win_no_partition``'s, so the
-    driver proves the parallel form equals the serial semantics."""
+    the scale path: ONE fused two-phase pass producing range-bucketed row
+    numbers and prefix sums together
+    (:func:`pyblazing_spark.operators.global_window.global_prefix_stats`)
+    — full parallelism, no single-task collapse. The oracle is identical
+    to ``win_no_partition``'s, so the driver proves the parallel form
+    equals the serial semantics."""
     from pyblazing_spark.operators.global_window import global_prefix_stats
 
     ev = T(spark, sf_dir, "events").select("event_id", "ts", "value")

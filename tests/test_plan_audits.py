@@ -15,6 +15,44 @@ def _optimized_plan(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def _exchange_inputs(df) -> list[str]:
+    """The ``Input [n]: [cols]`` attribute list of every Exchange node in
+    the EXECUTED formatted plan — i.e. the columns each shuffle actually
+    carries. (`executedPlan().toString()` Exchange lines show only the
+    partitioning expressions, so asserting on them can never catch a
+    shuffle that CARRIES a wide column while partitioning on another key
+    — this helper exists so the 'nothing wide ever shuffles' audits bite.)
+    """
+    df.collect()
+    spark = df.sparkSession
+    s = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    inputs = []
+    lines = s.splitlines()
+    for i, line in enumerate(lines):
+        if ") Exchange" in line or line.strip().endswith("Exchange"):
+            for follow in lines[i + 1 : i + 4]:
+                if follow.startswith("Input"):
+                    inputs.append(follow)
+                    break
+    return inputs
+
+
+def test_exchange_input_audit_is_not_vacuous(spark, sf_dir):
+    """Positive control: a shuffle partitioned on doc_id while CARRYING
+    the text column must be visible to _exchange_inputs (guards the
+    audit mechanism itself)."""
+    from pyblazing_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").repartition(4, "doc_id")
+    leaked = docs.select("doc_id", F.length("text").alias("l"), "text")
+    carried = _exchange_inputs(leaked)
+    assert carried and any("text" in c for c in carried), carried
+
+
 def test_bernoulli_sample_is_a_scan_stage_filter(spark, sf_dir):
     """The hash-sample predicate must evaluate pre-shuffle (a narrow
     filter over the scan) and the scan must prune to the 3 used columns —
@@ -57,10 +95,8 @@ def test_decontam_never_shuffles_text(spark, sf_dir):
     the text is the table's bulk — shuffling it is the difference
     between a cheap hash join and re-materializing the corpus."""
     df = plans.REGISTRY["decontam_overlap"].fn(spark, sf_dir)
-    plan = _executed_plan(df)
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "text" not in line, line
+    for inp in _exchange_inputs(df):
+        assert "text" not in inp, inp
 
 
 def test_repetition_shuffles_hashes_not_bigrams(spark, sf_dir):
@@ -68,10 +104,8 @@ def test_repetition_shuffles_hashes_not_bigrams(spark, sf_dir):
     never appear in an Exchange (the hash is 8 bytes; the strings are
     the corpus)."""
     df = plans.REGISTRY["text_repetition"].fn(spark, sf_dir)
-    plan = _executed_plan(df)
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "text" not in line and "__tk" not in line, line
+    for inp in _exchange_inputs(df):
+        assert "text" not in inp and "__tk" not in inp, inp
 
 
 def test_pii_redaction_is_a_narrow_map(spark, sf_dir):
@@ -89,10 +123,8 @@ def test_incremental_dedup_exchanges_only_keys(spark, sf_dir):
     """The snapshot anti-join must move only 16-byte content keys and
     ids: no Exchange may carry the text column."""
     df = plans.REGISTRY["dedup_incremental"].fn(spark, sf_dir)
-    plan = _executed_plan(df)
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "text" not in line, line
+    for inp in _exchange_inputs(df):
+        assert "text" not in inp, inp
 
 
 def test_top_tokens_partial_aggregates_before_shuffle(spark, sf_dir):
@@ -102,9 +134,8 @@ def test_top_tokens_partial_aggregates_before_shuffle(spark, sf_dir):
     df = plans.REGISTRY["text_top_tokens"].fn(spark, sf_dir)
     plan = _executed_plan(df)
     assert "partial_count" in plan, plan
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "text" not in line, line
+    for inp in _exchange_inputs(df):
+        assert "text" not in inp, inp
 
 
 def test_seq_packing_window_is_bucketed(spark, sf_dir):
@@ -168,9 +199,8 @@ def test_lm_unigram_broadcasts_vocab_and_never_shuffles_text(spark, sf_dir):
     df = plans.REGISTRY["text_lm_unigram"].fn(spark, sf_dir)
     plan = _executed_plan(df)
     assert "BroadcastHashJoin" in plan, plan
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "text" not in line, line
+    for inp in _exchange_inputs(df):
+        assert "text" not in inp, inp
 
 
 def test_epoch_shuffle_has_no_global_sort_before_ranking(spark, sf_dir):

@@ -21,7 +21,10 @@ def test_lloyd_inertia_is_non_increasing(spark, sf_dir):
     round."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    assigned, C, history = kmeans_lloyd(emb, k=8, iterations=4, checkpoint_every=2)
+    # checkpoint_every=3: round 3 localCheckpoints (lineage truncation on
+    # the path), round 4 persists — so the returned handle's storage
+    # level is observable below.
+    assigned, C, history = kmeans_lloyd(emb, k=8, iterations=4, checkpoint_every=3)
     assert len(history) == 4
     slack = 1e-3 * n
     for a, b in zip(history, history[1:]):
@@ -32,6 +35,22 @@ def test_lloyd_inertia_is_non_increasing(spark, sf_dir):
         F.count("id").alias("n"), F.min("cluster").alias("lo"), F.max("cluster").alias("hi")
     ).collect()[0]
     assert rows["n"] == n and 0 <= rows["lo"] and rows["hi"] < 8
+    # the handle returned IS the persisted DataFrame — unpersist must
+    # actually release it (a derived select would be a silent no-op)
+    assert assigned.storageLevel.useMemory or assigned.rdd.is_checkpointed
+    assigned.unpersist()
+    assert not assigned.storageLevel.useMemory
+
+
+def test_kmeans_has_no_phantom_clusters(spark, sf_dir):
+    """With k=8 but only 3 vectors (init clusters 0..2), no vector may
+    land in clusters 3..7: empty clusters must not contribute fabricated
+    zero-vector centroids to the candidate set (the DuckDB oracle has no
+    row for them either)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 3)
+    assigned, C, _ = kmeans_lloyd(emb, k=8, iterations=2)
+    assert C.shape[0] <= 3
+    assert assigned.agg(F.max("cluster")).collect()[0][0] <= 2
     assigned.unpersist()
 
 
