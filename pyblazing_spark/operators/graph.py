@@ -107,7 +107,6 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
-    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """(id, component) via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -119,11 +118,28 @@ def connected_components_star(
 
     Per round: large-star hangs every neighbor v > u off m = min of
     u's closed neighborhood; small-star re-points the v <= u side at m.
-    Both are one groupBy + one join over (long, long) edges; the edge
-    set is deduped, persisted, and periodically ``localCheckpoint``ed
-    exactly like the propagation variant. Convergence = edge-set
-    checksum (count + sum of a 64-bit edge hash) unchanged after a full
-    large+small round."""
+    Both are one groupBy + one join over (long, long) edges; every
+    half-round's edge set is eagerly ``localCheckpoint``ed (see the loop
+    comment — plan trees grow ~9x per round, so persist alone blows up
+    Catalyst). Convergence = edge-set checksum (count + sum of a 64-bit
+    edge hash) unchanged after a full large+small round.
+
+    Constraint propagation is disabled (and restored) around the loop:
+    a ``localCheckpoint``'d plan's LogicalRDD retains constraints that
+    reference attributes pruned from its output, and the next round's
+    self-union trips ``rewriteConstraints`` on the missing attribute
+    (``NoSuchElementException: key not found: v#...``); the constraints
+    buy nothing here — every per-round filter is explicit."""
+    spark = edges.sparkSession
+    _CP = "spark.sql.constraintPropagation.enabled"
+    prev_cp = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    # localCheckpoint (not persist): the caller's edge plan (e.g. a full
+    # MinHash-LSH pipeline) must not remain the lineage LEAF — the star
+    # rounds reference E many times per round and Catalyst's Union
+    # constraint rewriting over the replicated upstream tree blows up
+    # before the first round finishes. After the checkpoint the loop
+    # operates on a two-long-column leaf.
     E = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -131,7 +147,7 @@ def connected_components_star(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     nodes = (
         E.select(F.col("u").alias("id"))
@@ -171,16 +187,28 @@ def connected_components_star(
     prev = _checksum(E)
     try:
         for i in range(max_iter):
-            new_e = _star(_star(E, large=True), large=False)
-            if (i + 1) % checkpoint_interval == 0:
-                new_e = new_e.localCheckpoint()
-            else:
-                new_e = new_e.persist()
+            # Each half-round is EAGERLY localCheckpoint'ed, unlike the
+            # propagation variant's persist-with-periodic-checkpoint:
+            # a star round references its input ~3x in each of two
+            # branches (closed-neighborhood union feeding both the min
+            # aggregate and the join), so the LOGICAL plan tree grows
+            # ~9x per round even under persist (persist caches results
+            # but not the tree) — by round 4 Catalyst canonicalization
+            # alone OOMs the driver. Checkpointing every half-round
+            # bounds the tree at one round's depth; the materialized
+            # state is two long columns.
+            half = _star(E, large=True).localCheckpoint()
+            new_e = _star(half, large=False).localCheckpoint()
             cur = _checksum(new_e)
+            half.unpersist()
             E.unpersist()
             E = new_e
             if cur == prev:
-                # stars: every edge is (center, member) with center = min
+                # stars: every edge is (center, member) with center = min.
+                # Materialized HERE (localCheckpoint) so the final plan —
+                # which still unions/joins the stale-constraint
+                # LogicalRDDs — is optimized while propagation is off,
+                # not lazily after the finally block restores it.
                 members = E.select(
                     F.col("v").alias("id"), F.col("u").alias("component")
                 )
@@ -190,6 +218,7 @@ def connected_components_star(
                         "id",
                         F.coalesce("component", F.col("id")).alias("component"),
                     )
+                    .localCheckpoint()
                 )
             prev = cur
         E.unpersist()
@@ -197,7 +226,9 @@ def connected_components_star(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
     finally:
-        pass  # nodes stays persisted for the returned plan; evicted LRU
+        # nodes stays persisted for the returned plan (evicted LRU);
+        # restore the caller's constraint-propagation setting.
+        spark.conf.set(_CP, prev_cp)
 
 
 def dedup_by_components(

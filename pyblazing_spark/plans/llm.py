@@ -401,10 +401,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register(
-    "dedup_components",
-    tags=("llm", "dedup", "graph"),
-    oracle=r"""
+#: Shared by dedup_components / dedup_components_star: both algorithms
+#: must produce the SAME clusters the recursive-CTE oracle computes.
+_COMPONENTS_ORACLE = r"""
 WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
  toks AS (SELECT doc_id, string_split_regex(t, '\s+') AS tk FROM docs),
  idx AS (SELECT doc_id, tk,
@@ -432,7 +431,13 @@ SELECT component,
 FROM reach
 GROUP BY component
 ORDER BY component
-""",
+"""
+
+
+@register(
+    "dedup_components",
+    tags=("llm", "dedup", "graph"),
+    oracle=_COMPONENTS_ORACLE,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: connected components over the
@@ -447,6 +452,33 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(docs, threshold=0.5)
     comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .orderBy("component")
+    )
+
+
+@register(
+    "dedup_components_star",
+    tags=("llm", "dedup", "graph"),
+    oracle=_COMPONENTS_ORACLE,
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME transitive clustering as ``dedup_components``, computed
+    by the alternating large-star/small-star algorithm
+    (:func:`pyblazing_spark.operators.graph.connected_components_star` —
+    O(log d) rounds instead of O(d), the right variant for long chain
+    topologies). Identical oracle: the driver proves both algorithms
+    converge to the min-label components."""
+    from pyblazing_spark.operators.graph import connected_components_star
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components_star(pairs)
     return (
         comp.groupBy("component")
         .agg(
