@@ -168,3 +168,71 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _sql_d2(p: str, c: str) -> str:
+    return (
+        f"round(list_dot_product({p}.v, {p}.v)"
+        f" - 2 * list_dot_product({p}.v, {c}.cv)"
+        f" + list_dot_product({c}.cv, {c}.cv), 3)"
+    )
+
+
+@register(
+    "vector_kmeans_iter2",
+    tags=("vector", "clustering", "llm", "iterative"),
+    oracle=f"""
+WITH init AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST(vec_id % {_K} AS INTEGER) AS c0
+  FROM embeddings),
+ cent1 AS (
+  SELECT c0, i, avg(v[i]) AS m
+  FROM init JOIN generate_series(1, 64) t(i) ON true GROUP BY c0, i),
+ cl1 AS (SELECT c0 AS cand, list(m ORDER BY i) AS cv FROM cent1 GROUP BY c0),
+ d1 AS (
+  SELECT p.vec_id, p.v, c.cand, {_sql_d2('p', 'c')} AS d2
+  FROM init p CROSS JOIN cl1 c),
+ a1 AS (
+  SELECT vec_id, v, cand AS c1
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+        FROM d1) WHERE rn = 1),
+ cent2 AS (
+  SELECT c1, i, avg(v[i]) AS m
+  FROM a1 JOIN generate_series(1, 64) t(i) ON true GROUP BY c1, i),
+ cl2 AS (SELECT c1 AS cand, list(m ORDER BY i) AS cv FROM cent2 GROUP BY c1),
+ d2t AS (
+  SELECT p.vec_id, c.cand, {_sql_d2('p', 'c')} AS d2
+  FROM a1 p CROSS JOIN cl2 c),
+ a2 AS (
+  SELECT vec_id, cand AS cluster, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+        FROM d2t) WHERE rn = 1)
+SELECT cluster,
+       CAST(count(*) AS BIGINT)    AS n_points,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       round(sum(d2) + 1e-6, 2)    AS inertia
+FROM a2 GROUP BY cluster ORDER BY cluster
+""",
+)
+def vector_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full Lloyd iterations through the production loop
+    (:func:`pyblazing_spark.operators.similarity.kmeans_lloyd` — the
+    persist/localCheckpoint round-trip, not the single-step path), with
+    DuckDB replaying both rounds via chained CTEs. This driver-checks
+    the ITERATIVE machinery itself: a stale cache, a lineage bug, or a
+    drifting centroid in round 2 shows up as a cluster/inertia mismatch
+    that the one-step ``vector_kmeans`` entry cannot see."""
+    from pyblazing_spark.operators.similarity import kmeans_lloyd
+
+    emb = T(spark, sf_dir, "embeddings")
+    assigned, _C, _hist = kmeans_lloyd(emb, k=_K, iterations=2)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("id").alias("id_sum"),
+            F.round(F.sum("d2") + 1e-6, 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
