@@ -134,12 +134,24 @@ def connected_components_star(
     _CP = "spark.sql.constraintPropagation.enabled"
     prev_cp = spark.conf.get(_CP, "true")
     spark.conf.set(_CP, "false")
+    try:
+        return _star_loop(spark, edges, src, dst, max_iter)
+    finally:
+        # The checkpoint jobs in the loop AND the eager setup both run
+        # inside this scope, so any failure (analysis error, OOM) still
+        # restores the caller's constraint-propagation setting.
+        spark.conf.set(_CP, prev_cp)
+
+
+def _star_loop(spark, edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     # localCheckpoint (not persist): the caller's edge plan (e.g. a full
     # MinHash-LSH pipeline) must not remain the lineage LEAF — the star
     # rounds reference E many times per round and Catalyst's Union
     # constraint rewriting over the replicated upstream tree blows up
     # before the first round finishes. After the checkpoint the loop
-    # operates on a two-long-column leaf.
+    # operates on a two-long-column leaf. (Checkpoint blocks are freed by
+    # the ContextCleaner once the JVM RDD is unreferenced — unlike
+    # persist, an explicit unpersist() cannot release them early.)
     E = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -185,50 +197,47 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     prev = _checksum(E)
-    try:
-        for i in range(max_iter):
-            # Each half-round is EAGERLY localCheckpoint'ed, unlike the
-            # propagation variant's persist-with-periodic-checkpoint:
-            # a star round references its input ~3x in each of two
-            # branches (closed-neighborhood union feeding both the min
-            # aggregate and the join), so the LOGICAL plan tree grows
-            # ~9x per round even under persist (persist caches results
-            # but not the tree) — by round 4 Catalyst canonicalization
-            # alone OOMs the driver. Checkpointing every half-round
-            # bounds the tree at one round's depth; the materialized
-            # state is two long columns.
-            half = _star(E, large=True).localCheckpoint()
-            new_e = _star(half, large=False).localCheckpoint()
-            cur = _checksum(new_e)
-            half.unpersist()
-            E.unpersist()
-            E = new_e
-            if cur == prev:
-                # stars: every edge is (center, member) with center = min.
-                # Materialized HERE (localCheckpoint) so the final plan —
-                # which still unions/joins the stale-constraint
-                # LogicalRDDs — is optimized while propagation is off,
-                # not lazily after the finally block restores it.
-                members = E.select(
-                    F.col("v").alias("id"), F.col("u").alias("component")
+    for _ in range(max_iter):
+        # Each half-round is EAGERLY localCheckpoint'ed, unlike the
+        # propagation variant's persist-with-periodic-checkpoint:
+        # a star round references its input ~3x in each of two
+        # branches (closed-neighborhood union feeding both the min
+        # aggregate and the join), so the LOGICAL plan tree grows
+        # ~9x per round even under persist (persist caches results
+        # but not the tree) — by round 4 Catalyst canonicalization
+        # alone OOMs the driver. Checkpointing every half-round
+        # bounds the tree at one round's depth; the materialized
+        # state is two long columns per half-round, reclaimed by the
+        # ContextCleaner as each round's handles go unreferenced.
+        half = _star(E, large=True).localCheckpoint()
+        new_e = _star(half, large=False).localCheckpoint()
+        cur = _checksum(new_e)
+        E = new_e
+        if cur == prev:
+            # stars: every edge is (center, member) with center = min.
+            # Materialized HERE (localCheckpoint) so the final plan —
+            # which still unions/joins the stale-constraint
+            # LogicalRDDs — is optimized while constraint propagation
+            # is still off, not lazily after the caller's conf is
+            # restored.
+            members = E.select(
+                F.col("v").alias("id"), F.col("u").alias("component")
+            )
+            out = (
+                nodes.join(members, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("component", F.col("id")).alias("component"),
                 )
-                return (
-                    nodes.join(members, "id", "left")
-                    .select(
-                        "id",
-                        F.coalesce("component", F.col("id")).alias("component"),
-                    )
-                    .localCheckpoint()
-                )
-            prev = cur
-        E.unpersist()
-        raise RuntimeError(
-            f"connected_components_star did not converge in {max_iter} rounds"
-        )
-    finally:
-        # nodes stays persisted for the returned plan (evicted LRU);
-        # restore the caller's constraint-propagation setting.
-        spark.conf.set(_CP, prev_cp)
+                .localCheckpoint()
+            )
+            nodes.unpersist()
+            return out
+        prev = cur
+    nodes.unpersist()
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
 
 
 def dedup_by_components(

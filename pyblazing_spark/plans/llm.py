@@ -449,9 +449,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-shingle Jaccard edges."""
     from pyblazing_spark.operators.graph import connected_components
 
+    return _components_rollup(spark, sf_dir, connected_components)
+
+
+def _components_rollup(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
+    """Shared pipeline for both components entries: same pair graph,
+    same rollup — ONLY the components algorithm differs, so the shared
+    oracle genuinely proves algorithm equivalence."""
     docs = T(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(docs, threshold=0.5)
-    comp = connected_components(pairs)
+    comp = cc_fn(pairs)
     return (
         comp.groupBy("component")
         .agg(
@@ -476,17 +483,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     converge to the min-label components."""
     from pyblazing_spark.operators.graph import connected_components_star
 
-    docs = T(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5)
-    comp = connected_components_star(pairs)
-    return (
-        comp.groupBy("component")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.max("id").cast("long").alias("max_id"),
-        )
-        .orderBy("component")
-    )
+    return _components_rollup(spark, sf_dir, connected_components_star)
 
 
 @register(

@@ -32,6 +32,16 @@ from pyblazing_spark.sources.tables import load_table as T
 _K = 8  # registered-entry cluster count (production: 2^8-2^12)
 
 
+#: Shared oracle fragment: the rounded-squared-distance expression both
+#: k-means entries use — the assignment contract lives in ONE place.
+def _sql_d2(p: str, c: str) -> str:
+    return (
+        f"round(list_dot_product({p}.v, {p}.v)"
+        f" - 2 * list_dot_product({p}.v, {c}.cv)"
+        f" + list_dot_product({c}.cv, {c}.cv), 3)"
+    )
+
+
 @register(
     "vector_kmeans",
     tags=("vector", "clustering", "llm"),
@@ -47,10 +57,7 @@ WITH init AS (
  cl AS (
   SELECT c0 AS cand, list(m ORDER BY i) AS cv FROM cent GROUP BY c0),
  dist AS (
-  SELECT v.vec_id, c.cand,
-         round(list_dot_product(v.v, v.v)
-               - 2 * list_dot_product(v.v, c.cv)
-               + list_dot_product(c.cv, c.cv), 3) AS d2
+  SELECT v.vec_id, c.cand, {_sql_d2('v', 'c')} AS d2
   FROM init v CROSS JOIN cl c),
  best AS (
   SELECT vec_id, cand, d2,
@@ -167,14 +174,6 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.avg(err)) + 1e-12, 6).alias("rmse"),
         )
         .orderBy("vec_id")
-    )
-
-
-def _sql_d2(p: str, c: str) -> str:
-    return (
-        f"round(list_dot_product({p}.v, {p}.v)"
-        f" - 2 * list_dot_product({p}.v, {c}.cv)"
-        f" + list_dot_product({c}.cv, {c}.cv), 3)"
     )
 
 

@@ -538,20 +538,39 @@ _CTE_NAME = re.compile(
 #: corpus queries pick TPC-H-shaped alias names (``cust_nation``,
 #: ``col_n1``) that would otherwise trip the missing-column check.
 _ALIAS = re.compile(r"(?i)\bas\s+([a-z_][a-z0-9_]*)")
-#: Column-alias lists on CTEs / derived tables:
-#: ``as c_orders (c_custkey, c_count)`` / ``with revenue (no, total) as``.
-_COL_ALIAS_LIST = re.compile(
-    r"(?i)(?:\bas\s+[a-z_][a-z0-9_]*|\bwith\s+[a-z_][a-z0-9_]*|,"
-    r"\s*[a-z_][a-z0-9_]*)\s*\(([a-z0-9_,\s]+)\)"
+#: SQL keywords that must never be treated as an alias or a
+#: strippable function name — keeps the classifier's "runnable" verdict
+#: meaning "referenced tables/columns exist", not "a regex got lucky".
+_KEYWORDS = (
+    "select|from|join|on|where|and|or|not|in|exists|union|all|distinct|"
+    "group|order|by|having|limit|offset|when|then|else|case|end|as|with|"
+    "between|like|is|null|inner|left|right|full|outer|cross|over|"
+    "partition|rows|range|asc|desc|values"
+)
+#: Column-alias lists on derived tables (``as c_orders (c_custkey,
+#: c_count)``) and CTE headers (``with revenue (no, total) as (``) —
+#: both anchored on AS so arbitrary function-call argument lists are NOT
+#: whitelisted as local names.
+_DERIVED_COL_ALIASES = re.compile(
+    r"(?i)\bas\s+[a-z_][a-z0-9_]*\s*\(([a-z0-9_,\s]+)\)"
+)
+_CTE_COL_ALIASES = re.compile(
+    r"(?i)(?:\bwith|,)\s*[a-z_][a-z0-9_]*\s*\(([a-z0-9_,\s]+)\)\s+as\s*\("
 )
 #: Implicit (AS-less) aliases after a closing paren:
-#: ``max(x) over (...) o_max_prices``.
-_IMPLICIT_ALIAS = re.compile(r"(?i)\)\s+([a-z_][a-z0-9_]*)\b")
-#: Scalar functions whose SQL-standard argument syntax contains FROM
-#: (``extract(year from col)``, ``trim(leading 'x' from col)``,
-#: ``substring(s from 1 for 2)``) — stripped before table detection so
-#: the column is not mistaken for a table name.
-_SCALAR_FROM = re.compile(r"(?i)\b[a-z_][a-z0-9_]*\s*\([^()]*\)")
+#: ``max(x) over (...) o_max_prices`` (keywords excluded).
+_IMPLICIT_ALIAS = re.compile(
+    rf"(?i)\)\s+(?!(?:{_KEYWORDS})\b)([a-z_][a-z0-9_]*)\b"
+)
+#: Scalar-function calls (``extract(year from col)``, ``trim(leading 'x'
+#: from col)``, ``substring(s from 1 for 2)``, nested ``upper(col)``) —
+#: stripped innermost-first before table detection so SQL-standard FROM
+#: inside an argument list is not mistaken for a table reference. The
+#: keyword guard keeps ``from (subquery)`` / ``in (select ...)`` intact
+#: so missing tables inside subqueries are still detected.
+_SCALAR_FROM = re.compile(
+    rf"(?i)\b(?!(?:{_KEYWORDS})\b)[a-z_][a-z0-9_]*\s*\([^()]*\)"
+)
 
 
 def runnable(sql: str) -> bool:
@@ -565,8 +584,9 @@ def runnable(sql: str) -> bool:
         | set(_ALIAS.findall(lowered))
         | set(_IMPLICIT_ALIAS.findall(lowered))
     )
-    for cols in _COL_ALIAS_LIST.findall(lowered):
-        local |= {c.strip() for c in cols.split(",") if c.strip()}
+    for rx in (_DERIVED_COL_ALIASES, _CTE_COL_ALIASES):
+        for cols in rx.findall(lowered):
+            local |= {c.strip() for c in cols.split(",") if c.strip()}
     stripped = lowered
     while True:
         nxt = _SCALAR_FROM.sub(" ", stripped)
