@@ -162,3 +162,38 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     out = run_available_now(enriched, output_mode="complete")
     return out.orderBy("c_mktsegment", "event_type")
+
+
+@register(
+    "stream_hopping_window",
+    tags=("streaming", "window", "hopping", "watermark"),
+    oracle="""
+SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS win_start,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events JOIN generate_series(0, 1) t(i) ON true
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+LIMIT 500
+""",
+)
+def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked HOPPING (overlapping) event-time windows on the
+    stream: 2-hour windows sliding every hour, so each event lands in
+    exactly two open windows — the streaming twin of
+    ``events_hopping_window`` with the same oracle. State is bounded by
+    (open windows x types); the watermark finalizes and evicts windows
+    as event time advances, which is what keeps overlap factor x state
+    finite on an unbounded stream."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.orderBy("win_start", "event_type").limit(500)
