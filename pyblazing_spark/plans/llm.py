@@ -1025,3 +1025,54 @@ def text_lm_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sink_bucketed_join",
+    tags=("sink", "bucketing", "join"),
+    oracle="""
+SELECT o_orderstatus, l_returnflag,
+       CAST(count(*) AS BIGINT)                 AS n,
+       round(sum(l_extendedprice) + 1e-4, 2)    AS total_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus, l_returnflag
+ORDER BY o_orderstatus, l_returnflag
+""",
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join, driver-proven end-to-end: both sides
+    are written as catalog tables bucketed + sorted on the join key
+    (external location in a temp dir — the driver's CWD-relative
+    warehouse may not be writable), then joined WITHOUT any exchange on
+    either side (plan-audited in tests/test_plan_audits.py). At 100 TB
+    this is the lever that turns every recurring fact-fact join on a
+    stable key into a zero-shuffle operation: pay the layout once at
+    ingest, join for free forever after. Results must equal the plain
+    oracle join over the original parquet."""
+    import tempfile
+
+    from pyblazing_spark.sources.sinks import write_bucketed_table
+
+    od = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    base = tempfile.mkdtemp(prefix="pbs_bucketed_")
+    write_bucketed_table(
+        od, "pbs_b_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=f"{base}/orders",
+    )
+    write_bucketed_table(
+        li, "pbs_b_lineitem", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=f"{base}/lineitem",
+    )
+    bo, bl = spark.table("pbs_b_orders"), spark.table("pbs_b_lineitem")
+    return (
+        bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice") + 1e-4, 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "l_returnflag")
+    )

@@ -45,9 +45,12 @@ def write_bucketed_table(
     sort_cols: list[str] | None = None,
     file_format: str = "parquet",
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist as a catalog table bucketed (and optionally sorted) on
-    ``bucket_cols``.
+    ``bucket_cols``. ``path`` makes it an EXTERNAL table at that
+    location (needed when the session's warehouse dir — CWD-relative by
+    default — may not be writable).
 
     Joins/aggregations between tables bucketed identically on the join
     key read co-located buckets directly — no exchange on either side.
@@ -59,4 +62,6 @@ def write_bucketed_table(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)

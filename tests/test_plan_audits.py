@@ -217,3 +217,24 @@ def test_epoch_shuffle_has_no_global_sort_before_ranking(spark, sf_dir):
         assert "epoch" in line and "shard" in line, (
             f"ranking window is not shard-partitioned: {line}"
         )
+
+
+def test_bucketed_join_entry_is_exchange_free(spark, sf_dir):
+    """The sink_bucketed_join entry's JOIN must read co-located buckets
+    with no Exchange on either input (the final groupBy may shuffle its
+    tiny aggregates; the join itself must not). Broadcast is disabled so
+    co-location, not broadcast, is what the audit proves."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = plans.REGISTRY["sink_bucketed_join"].fn(spark, sf_dir)
+        # final AQE plan only — the trailing "== Initial Plan ==" echo
+        # repeats the whole tree and would false-positive the assert.
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+        join_section = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_section, (
+            f"bucketed join still shuffles:\n{join_section}"
+        )
+        assert join_section.count("Bucketed: true") == 2, join_section
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
