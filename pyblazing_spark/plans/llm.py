@@ -1058,15 +1058,21 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
     base = tempfile.mkdtemp(prefix="pbs_bucketed_")
+    # A dedicated database with an explicit temp LOCATION: saving into
+    # the default database would mkdir the session's CWD-relative
+    # spark-warehouse dir, which may not be writable where the driver
+    # runs. Everything this entry touches lives under the temp dir.
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS pbs_bucket_db LOCATION '{base}/db'")
     write_bucketed_table(
-        od, "pbs_b_orders", ["o_orderkey"], 8,
+        od, "pbs_bucket_db.pbs_b_orders", ["o_orderkey"], 8,
         sort_cols=["o_orderkey"], path=f"{base}/orders",
     )
     write_bucketed_table(
-        li, "pbs_b_lineitem", ["l_orderkey"], 8,
+        li, "pbs_bucket_db.pbs_b_lineitem", ["l_orderkey"], 8,
         sort_cols=["l_orderkey"], path=f"{base}/lineitem",
     )
-    bo, bl = spark.table("pbs_b_orders"), spark.table("pbs_b_lineitem")
+    bo = spark.table("pbs_bucket_db.pbs_b_orders")
+    bl = spark.table("pbs_bucket_db.pbs_b_lineitem")
     return (
         bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
         .groupBy("o_orderstatus", "l_returnflag")
