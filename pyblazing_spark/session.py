@@ -54,7 +54,46 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
                 spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf not recognized
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``pyblazing_spark`` importable on Python WORKERS regardless
+    of the driver process's CWD/PYTHONPATH.
+
+    cloudpickle serializes module-level functions BY REFERENCE, so every
+    ``mapInPandas``/pandas-UDF kernel that calls a helper from this
+    package needs the package importable inside the worker. When the
+    harness happens to run from the repo root the workers find it via
+    CWD — but from any other directory they raise ModuleNotFoundError.
+    Shipping a zip via ``addPyFile`` (cached per session) removes the
+    working-directory dependence; tested by running the full catalog
+    from a read-only CWD."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pbs_pkg_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    import pyblazing_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(pyblazing_spark.__file__))
+    fd, zpath = tempfile.mkstemp(prefix="pyblazing_spark_ship_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:  # pragma: no cover — e.g. a stopped context
+        return
+    sc._pbs_pkg_shipped = True
 
 
 #: GPU execution (the reference's entire C++/cuDF layer) arrives in Spark
