@@ -503,3 +503,48 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_mode",
+    tags=("aggregate", "mode"),
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag, l_quantity),
+ ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY n DESC, l_quantity) AS rn
+  FROM counts)
+SELECT l_returnflag,
+       round(l_quantity, 2) AS mode_qty,
+       n                    AS n_occurrences
+FROM ranked WHERE rn = 1
+ORDER BY l_returnflag
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent l_quantity; ties to
+    the smallest value). Spark 3.4+ has a native ``mode()`` aggregate
+    but its tie-breaking is engine-arbitrary, so the portable
+    formulation — count + windowed rank with an explicit tie order — is
+    used on BOTH sides; it is also the scale-correct shape (two
+    partial-aggregated shuffles on (group, value) then (group), never a
+    per-group value collection)."""
+    li = T(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), F.col("l_quantity"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("l_quantity", 2).alias("mode_qty"),
+            F.col("n").alias("n_occurrences"),
+        )
+        .orderBy("l_returnflag")
+    )

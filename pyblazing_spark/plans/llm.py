@@ -1082,3 +1082,58 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "l_returnflag")
     )
+
+
+@register(
+    "source_jdbc_roundtrip",
+    tags=("source", "jdbc"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)              AS n,
+       round(sum(o_totalprice) + 1e-4, 2)    AS total_price
+FROM orders
+WHERE o_orderkey < 1000 AND o_totalprice > 50000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable external-DB path, driver-proven end-to-end: an orders
+    slice is WRITTEN into an embedded Derby database over JDBC (the
+    Derby driver ships with Spark — no network, no extra jar), then read
+    back through the package's ``from_sql``-style
+    :func:`pyblazing_spark.sources.files.read_jdbc` route, filtered
+    (predicate pushes into the JDBC scan — asserted in
+    tests/test_sources.py), and aggregated; the result must equal the
+    same query over the original parquet. mysql/postgresql/sqlite build
+    the identical reader with only a different URL/driver jar
+    (reference parity: AbstractSQLDataProvider.cpp:42-86)."""
+    import tempfile
+
+    from pyblazing_spark.sources.files import read_jdbc
+
+    db = tempfile.mkdtemp(prefix="pbs_derby_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    od = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    (
+        od.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "ORDERS_RT")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("overwrite")
+        .save()
+    )
+    back = read_jdbc(spark, "ORDERS_RT", from_sql="derby", database=db, table="ORDERS_RT")
+    return (
+        back.where(F.col("o_totalprice") > 50000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -455,3 +455,33 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .limit(1000)
     )
+
+
+@register(
+    "win_cume_dist",
+    tags=("window", "rank"),
+    oracle="""
+SELECT c_custkey,
+       round(cume_dist() OVER w + 1e-9, 4)    AS cd,
+       round(percent_rank() OVER w + 1e-9, 4) AS pr
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+LIMIT 500
+""",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST alongside PERCENT_RANK (both absent from the reference,
+    SURVEY.md §2.4) over a deterministic total order — the ratio
+    convention (round 4dp, +1e-9 nudge) applies on both sides."""
+    cu = T(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cu.select(
+            "c_custkey",
+            F.round(F.cume_dist().over(w) + 1e-9, 4).alias("cd"),
+            F.round(F.percent_rank().over(w) + 1e-9, 4).alias("pr"),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )
