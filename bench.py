@@ -69,16 +69,27 @@ def main() -> None:
     # query.
     qs["tpch_q6"](spark, sf_dir).collect()
 
+    # Median-of-3 per query: a single run cannot distinguish a ±0.25 s
+    # scheduler wobble from a plan regression, so each query is timed
+    # three times and the MEDIAN is the headline number. The full spread
+    # is recorded under "runs" so a future anchor comparison can tell
+    # noise from signal straight from the artifact.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in sorted(qs):
         # warm THIS query's codegen immediately before timing it (a
         # single distant warm pass lets later compilations evict earlier
         # cache entries, re-billing the JIT).
         if warm_dir is not None:
             qs[name](spark, warm_dir).collect()
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            runs.append(round(time.perf_counter() - t0, 3))
+        spreads[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]
 
     print(
         json.dumps(
@@ -87,6 +98,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": spreads,
+                "reps": reps,
+                "stat": "median",
                 "sf": sf,
                 "warm_dir": warm_dir or "none (no sibling sf0.001; per-query warm pass skipped)",
             }

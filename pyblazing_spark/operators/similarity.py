@@ -212,11 +212,14 @@ def centroid_assign_with_dist(
     ties break to the lowest cluster id (rows are id-sorted and
     ``np.argmin`` returns the first minimum), matching a single-node
     oracle ordering by ``(round(d2, 3), cluster)``. Note on the rounding
-    rule: numpy rounds half-to-even, DuckDB half-away-from-zero, but no
-    IEEE double sits exactly on a 3 dp half boundary (0.0005 is not
-    representable), so the rules only differ through the ~1e-13
-    cross-engine drift of the pre-round value — the same residual risk
-    any rounded float compare carries."""
+    rule: numpy rounds half-to-even, DuckDB half-away-from-zero, and
+    SOME IEEE doubles DO sit exactly on a 3 dp half boundary (any dyadic
+    value (2k+1)/2000 with 125 | (2k+1), e.g. 0.0625) — on those the two
+    rules genuinely disagree. A +1e-9 nudge is added before rounding on
+    BOTH engines (the repo's standard tie-nudge, see ``_sql_d2`` in
+    plans/vectors.py) so exact half boundaries are pushed off; residual
+    risk is only the ~1e-13 cross-engine drift any rounded float compare
+    carries."""
     from pyspark.sql.functions import pandas_udf
 
     C = centroids.astype(np.float64)
@@ -233,7 +236,9 @@ def centroid_assign_with_dist(
             return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
                                  "d2": pd.Series([], dtype="float64")})
         V = np.stack(vs.to_numpy()).astype(np.float64)
-        d = np.round((V**2).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + Cn2[None, :], 3)
+        d = np.round(
+            (V**2).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + Cn2[None, :] + 1e-9, 3
+        )
         idx = d.argmin(axis=1)
         return pd.DataFrame(
             {"cluster": ids[idx], "d2": d[np.arange(len(V)), idx]}

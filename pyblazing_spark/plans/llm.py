@@ -1049,6 +1049,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable key into a zero-shuffle operation: pay the layout once at
     ingest, join for free forever after. Results must equal the plain
     oracle join over the original parquet."""
+    import shutil
     import tempfile
 
     from pyblazing_spark.sources.sinks import write_bucketed_table
@@ -1062,7 +1063,18 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the default database would mkdir the session's CWD-relative
     # spark-warehouse dir, which may not be writable where the driver
     # runs. Everything this entry touches lives under the temp dir.
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS pbs_bucket_db LOCATION '{base}/db'")
+    # Repeat invocations in one session must not accumulate state: drop
+    # the previous run's database (CASCADE takes the tables with it —
+    # otherwise CREATE DATABASE IF NOT EXISTS would pin the LOCATION to
+    # the FIRST call's temp dir forever) and remove its temp root,
+    # tracked on the SparkContext like _ship_package's shipped flag.
+    sc = spark.sparkContext
+    prev = getattr(sc, "_pbs_bucket_base", None)
+    spark.sql("DROP DATABASE IF EXISTS pbs_bucket_db CASCADE")
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    sc._pbs_bucket_base = base
+    spark.sql(f"CREATE DATABASE pbs_bucket_db LOCATION '{base}/db'")
     write_bucketed_table(
         od, "pbs_bucket_db.pbs_b_orders", ["o_orderkey"], 8,
         sort_cols=["o_orderkey"], path=f"{base}/orders",

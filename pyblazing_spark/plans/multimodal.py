@@ -222,7 +222,9 @@ def _wav_header(n_samples: int, rate: int = 8000) -> bytes:
     oracle="""
 WITH v AS (
   SELECT doc_id, substr(text, 1, 64) AS px
-  FROM documents WHERE length(text) >= 64),
+  FROM documents
+  WHERE length(text) >= 64
+    AND regexp_matches(substr(text, 1, 64), '^[ -~]{64}$')),
  s AS (
   -- sample i (0..31) = little-endian int16 from char pair (2i+1, 2i+2);
   -- ASCII (< 128) keeps the high byte below the sign bit.
@@ -249,7 +251,14 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the stdlib ``wave`` module and computes normalized RMS. The
     oracle rebuilds every sample arithmetically from char pairs, so a
     header mis-parse, endianness, or normalization bug cannot pass."""
-    docs = T(spark, sf_dir, "documents").where(F.length("text") >= 64)
+    # ASCII-prefix filter (same regex as the oracle): the kernel packs
+    # UTF-8 BYTES while the oracle's char-pair arithmetic assumes one
+    # byte per char below 0x80 — only printable-ASCII prefixes keep the
+    # two representations identical.
+    docs = T(spark, sf_dir, "documents").where(
+        (F.length("text") >= 64)
+        & F.substring("text", 1, 64).rlike("^[ -~]{64}$")
+    )
     blobs = docs.select(
         "doc_id",
         F.concat(
@@ -265,7 +274,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT doc_id, substr(text, 1, 64) AS px
-  FROM documents WHERE length(text) >= 64),
+  FROM documents
+  WHERE length(text) >= 64
+    AND regexp_matches(substr(text, 1, 64), '^[ -~]{64}$')),
  s AS (
   -- kept sample i (0..15) = source sample 2i = little-endian int16 from
   -- char pair (4i+1, 4i+2); ASCII (< 128) keeps the high byte below the
@@ -293,7 +304,14 @@ def multimodal_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     AGAIN by ``audio_features`` — so the oracle checks the whole
     decode -> resample -> encode -> decode chain arithmetically from
     char pairs."""
-    docs = T(spark, sf_dir, "documents").where(F.length("text") >= 64)
+    # ASCII-prefix filter (same regex as the oracle): the kernel packs
+    # UTF-8 BYTES while the oracle's char-pair arithmetic assumes one
+    # byte per char below 0x80 — only printable-ASCII prefixes keep the
+    # two representations identical.
+    docs = T(spark, sf_dir, "documents").where(
+        (F.length("text") >= 64)
+        & F.substring("text", 1, 64).rlike("^[ -~]{64}$")
+    )
     blobs = docs.select(
         "doc_id",
         F.concat(
@@ -335,7 +353,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT doc_id, substr(text, 1, 64) AS px
-  FROM documents WHERE length(text) >= 64),
+  FROM documents
+  WHERE length(text) >= 64
+    AND regexp_matches(substr(text, 1, 64), '^[ -~]{64}$')),
  r AS (
   SELECT doc_id,
          substr(px, 1,1)||substr(px, 3,1)||substr(px, 5,1)||substr(px, 7,1)||
@@ -364,8 +384,17 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-neighbor downsample, no per-pixel Python. The oracle
     reconstructs the exact 16-byte stride grid with substr arithmetic
     and compares the md5 of the resized buffer, so an off-by-one in
-    either the header offset or the stride cannot pass."""
-    docs = T(spark, sf_dir, "documents").where(F.length("text") >= 64)
+    either the header offset or the stride cannot pass.
+
+    Both sides restrict to docs whose first 64 CHARS are printable ASCII
+    (identical ``^[ -~]{64}$`` regex): the kernel slices UTF-8 BYTES
+    while the oracle's substr/ascii work on CHARS, and only on ASCII do
+    the two coincide — without the filter a fixture refresh introducing
+    a multi-byte char in a prefix would diverge the engines."""
+    docs = T(spark, sf_dir, "documents").where(
+        (F.length("text") >= 64)
+        & F.substring("text", 1, 64).rlike("^[ -~]{64}$")
+    )
     blobs = docs.select(
         "doc_id",
         F.concat(

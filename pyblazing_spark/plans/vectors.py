@@ -38,7 +38,7 @@ def _sql_d2(p: str, c: str) -> str:
     return (
         f"round(list_dot_product({p}.v, {p}.v)"
         f" - 2 * list_dot_product({p}.v, {c}.cv)"
-        f" + list_dot_product({c}.cv, {c}.cv), 3)"
+        f" + list_dot_product({c}.cv, {c}.cv) + 1e-9, 3)"
     )
 
 

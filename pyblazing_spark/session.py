@@ -79,16 +79,42 @@ def _ship_package(spark: SparkSession) -> None:
 
     import pyblazing_spark
 
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(pyblazing_spark.__file__))
-    fd, zpath = tempfile.mkstemp(prefix="pyblazing_spark_ship_", suffix=".zip")
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for fname in files:
-                if fname.endswith(".py"):
-                    full = os.path.join(root, fname)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    z.write(full, rel)
+    # Collect the source list deterministically and hash the contents:
+    # the zip lives at a CONTENT-ADDRESSED stable path, so repeated
+    # sessions on one host reuse a single file instead of accumulating
+    # one mkstemp zip per SparkContext. (The zip cannot be deleted right
+    # after addPyFile: Spark's fileserver serves the ORIGINAL path and
+    # executors fetch it lazily at first task launch.)
+    entries = []
+    h = hashlib.sha256()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in sorted(files):
+            if fname.endswith(".py"):
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                entries.append((full, rel))
+                h.update(rel.encode())
+                with open(full, "rb") as fh:
+                    h.update(fh.read())
+    entries.sort(key=lambda e: e[1])
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pyblazing_spark_ship_{h.hexdigest()[:16]}.zip"
+    )
+    if not os.path.exists(zpath):
+        # Write-then-rename keeps a concurrent session from reading a
+        # half-written zip at the shared path.
+        fd, tmp = tempfile.mkstemp(
+            prefix="pyblazing_spark_ship_tmp_", suffix=".zip",
+            dir=tempfile.gettempdir(),
+        )
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full, rel in entries:
+                z.write(full, rel)
+        os.replace(tmp, zpath)
     try:
         sc.addPyFile(zpath)
     except Exception:  # pragma: no cover — e.g. a stopped context
