@@ -33,10 +33,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _label_sum(labels: DataFrame):
-    return labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+def _label_stats(labels: DataFrame):
+    """(row_count, exact label sum) in one job."""
+    row = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return row["n"], row["s"]
+
+
+#: Per-round shuffle sizing: a CC round shuffles two-long-column rows, so
+#: ~100k rows (~1.6 MB) is the floor worth one task. The width is derived
+#: from the MEASURED node/edge count (known from the convergence probe's
+#: same job), clamped to 4x cluster parallelism: fixture-sized graphs run
+#: single-task rounds (scheduling, not data, dominates them), 100 TB pair
+#: graphs get full width.
+_ROWS_PER_TASK = 100_000
+
+
+def _loop_width(spark, n_rows: int) -> int:
+    import math
+
+    cap = max(1, spark.sparkContext.defaultParallelism * 4)
+    return max(1, min(cap, math.ceil(max(1, n_rows) / _ROWS_PER_TASK)))
 
 
 def connected_components(
@@ -56,50 +75,65 @@ def connected_components(
     Raises if the label propagation hasn't converged after ``max_iter``
     rounds (diameter > max_iter) rather than returning a wrong answer.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .persist()
-    )
-    labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
-    )
-    prev_sum = _label_sum(labels)
-    try:
-        for i in range(max_iter):
-            # min over self + neighbors in ONE join + one aggregation:
-            # neighbor labels (v's label keyed back to u) unioned with
-            # the node's own label, then groupBy min.
-            prop = sym.join(labels, sym["v"] == labels["id"]).select(
-                sym["u"].alias("id"), "label"
-            )
-            new_labels = (
-                prop.unionAll(labels)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
-            )
-            if (i + 1) % checkpoint_interval == 0:
-                # eager: materializes AND truncates lineage.
-                new_labels = new_labels.localCheckpoint()
-            else:
-                new_labels = new_labels.persist()
-            new_sum = _label_sum(new_labels)  # materializes the persist
-            labels.unpersist()
-            labels = new_labels
-            if new_sum == prev_sum:
-                return labels.select("id", F.col("label").alias("component"))
-            prev_sum = new_sum
-        labels.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(graph diameter too large — raise max_iter or switch to "
-            "large-star/small-star)"
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    spark = edges.sparkSession
+    # The per-round (node,label) shuffles are sized to CLUSTER
+    # PARALLELISM for the loop's duration (see loop_shuffle_confs) —
+    # inheriting a fact-table-width spark.sql.shuffle.partitions makes
+    # task scheduling, not data, the round cost. Restored on exit.
+    with scoped_conf(spark, loop_shuffle_confs(spark)):
+        sym = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+            .persist()
         )
-    finally:
-        sym.unpersist()
+        labels = (
+            sym.select(F.col("u").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .persist()
+        )
+        n_nodes, prev_sum = _label_stats(labels)
+        # Narrow the round shuffles to the measured graph size (the edge
+        # pipeline above already materialized at cluster parallelism).
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_loop_width(spark, n_nodes))
+        )
+        try:
+            for i in range(max_iter):
+                # min over self + neighbors in ONE join + one aggregation:
+                # neighbor labels (v's label keyed back to u) unioned with
+                # the node's own label, then groupBy min.
+                prop = sym.join(labels, sym["v"] == labels["id"]).select(
+                    sym["u"].alias("id"), "label"
+                )
+                new_labels = (
+                    prop.unionAll(labels)
+                    .groupBy("id")
+                    .agg(F.min("label").alias("label"))
+                )
+                if (i + 1) % checkpoint_interval == 0:
+                    # lazy checkpoint: the label-sum action below both
+                    # MATERIALIZES it and truncates lineage — one job
+                    # per round, not a checkpoint job plus a sum job.
+                    new_labels = new_labels.localCheckpoint(eager=False)
+                else:
+                    new_labels = new_labels.persist()
+                _n, new_sum = _label_stats(new_labels)  # materializes persist/checkpoint
+                labels.unpersist()
+                labels = new_labels
+                if new_sum == prev_sum:
+                    return labels.select("id", F.col("label").alias("component"))
+                prev_sum = new_sum
+            labels.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(graph diameter too large — raise max_iter or switch to "
+                "large-star/small-star)"
+            )
+        finally:
+            sym.unpersist()
 
 
 def connected_components_star(
@@ -130,17 +164,16 @@ def connected_components_star(
     self-union trips ``rewriteConstraints`` on the missing attribute
     (``NoSuchElementException: key not found: v#...``); the constraints
     buy nothing here — every per-round filter is explicit."""
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
     spark = edges.sparkSession
-    _CP = "spark.sql.constraintPropagation.enabled"
-    prev_cp = spark.conf.get(_CP, "true")
-    spark.conf.set(_CP, "false")
-    try:
+    confs = dict(loop_shuffle_confs(spark))
+    confs["spark.sql.constraintPropagation.enabled"] = "false"
+    # The checkpoint jobs in the loop AND the eager setup both run
+    # inside this scope, so any failure (analysis error, OOM) still
+    # restores the caller's constraint-propagation + shuffle settings.
+    with scoped_conf(spark, confs):
         return _star_loop(spark, edges, src, dst, max_iter)
-    finally:
-        # The checkpoint jobs in the loop AND the eager setup both run
-        # inside this scope, so any failure (analysis error, OOM) still
-        # restores the caller's constraint-propagation setting.
-        spark.conf.set(_CP, prev_cp)
 
 
 def _star_loop(spark, edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
@@ -176,15 +209,18 @@ def _star_loop(spark, edges: DataFrame, src: str, dst: str, max_iter: int) -> Da
         )
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
+        # m = min of u's closed neighborhood via a WINDOW min, not
+        # groupBy + self-join: one exchange on u instead of two, halving
+        # the sequential stage depth of every round (the rounds are
+        # latency-bound — each is a handful of two-long-column tasks).
+        from pyspark.sql import Window
+
         g = _closed_neighborhood(e)
-        m = (
-            g.groupBy("u")
-            .agg(F.min("v").alias("m"))
-        )
-        joined = g.join(m, "u")
+        w = Window.partitionBy("u")
+        withm = g.select("u", "v", F.min("v").over(w).alias("m"))
         side = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
         return (
-            joined.where(side & (F.col("v") != F.col("m")))
+            withm.where(side & (F.col("v") != F.col("m")))
             .select(F.col("m").alias("u"), F.col("v").alias("v"))
             .distinct()
         )
@@ -197,21 +233,37 @@ def _star_loop(spark, edges: DataFrame, src: str, dst: str, max_iter: int) -> Da
         return (row["n"], row["h"])
 
     prev = _checksum(E)
+    # Narrow the round shuffles to the measured edge count (the caller's
+    # edge pipeline already materialized at cluster parallelism above);
+    # the scoped_conf wrapper restores the session value on exit.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_loop_width(spark, prev[0]))
+    )
     for _ in range(max_iter):
-        # Each half-round is EAGERLY localCheckpoint'ed, unlike the
-        # propagation variant's persist-with-periodic-checkpoint:
-        # a star round references its input ~3x in each of two
-        # branches (closed-neighborhood union feeding both the min
-        # aggregate and the join), so the LOGICAL plan tree grows
-        # ~9x per round even under persist (persist caches results
-        # but not the tree) — by round 4 Catalyst canonicalization
-        # alone OOMs the driver. Checkpointing every half-round
-        # bounds the tree at one round's depth; the materialized
-        # state is two long columns per half-round, reclaimed by the
-        # ContextCleaner as each round's handles go unreferenced.
-        half = _star(E, large=True).localCheckpoint()
-        new_e = _star(half, large=False).localCheckpoint()
+        # Each FULL round is localCheckpoint'ed, unlike the propagation
+        # variant's persist-with-periodic-checkpoint: a star round
+        # references its input ~3x in each of two branches
+        # (closed-neighborhood union feeding both the min aggregate and
+        # the join), so the LOGICAL plan tree grows ~9x per round even
+        # under persist (persist caches results but not the tree) — by
+        # round 4 Catalyst canonicalization alone OOMs the driver.
+        # The large-star half is PERSISTED (not fused away): the
+        # small-star plan references it twice (closed-neighborhood union
+        # feeding both the min aggregate and the join), physical
+        # common-subtree reuse is not guaranteed, and fusing both stars
+        # into one lazy plan was measured to recompute the large-star
+        # 2x. persist (lazy) rather than an eager checkpoint keeps the
+        # whole round at ONE job: the checksum action computes the half
+        # once into cache, reuses it for the second reference, and
+        # materializes the round-end LAZY localCheckpoint, which
+        # truncates lineage so the per-round plan tree stays a bounded
+        # ~9x of an RDD leaf. Materialized state is two long columns per
+        # round; the half cache is dropped explicitly, checkpoint blocks
+        # by the ContextCleaner as round handles go unreferenced.
+        half = _star(E, large=True).persist()
+        new_e = _star(half, large=False).localCheckpoint(eager=False)
         cur = _checksum(new_e)
+        half.unpersist()
         E = new_e
         if cur == prev:
             # stars: every edge is (center, member) with center = min.

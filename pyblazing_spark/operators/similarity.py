@@ -308,30 +308,39 @@ def kmeans_lloyd(
     ``operators/graph.py``). The driver holds only k x dim floats.
     Clusters that empty out between rounds die (no phantom zero-vector
     centroids — see :func:`centroid_means`)."""
-    assigned = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        (F.col(id_col) % k).cast("int").alias("cluster"),
-        F.lit(0.0).alias("d2"),
-    ).persist()
-    history: list[float] = []
-    C = np.empty((0, 0))
-    for i in range(iterations):
-        ids, C = centroid_means(assigned, "vec", "cluster")
-        if C.size == 0:  # empty input
-            break
-        a = centroid_assign_with_dist(F.col("vec"), C, cluster_ids=ids)
-        new = assigned.select("id", "vec", a.alias("a")).select(
-            "id", "vec", F.col("a.cluster").alias("cluster"), F.col("a.d2").alias("d2")
-        )
-        if (i + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint()  # eager; truncates lineage
-        else:
-            new = new.persist()
-        history.append(new.agg(F.sum("d2")).collect()[0][0] or 0.0)
-        assigned.unpersist()
-        assigned = new
-    return assigned, C, history
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    spark = df.sparkSession
+    # Round shuffles (k x dim partial sums) are sized to cluster
+    # parallelism for the loop, not the session's fact-table shuffle
+    # width — same rationale as operators/graph.py; restored on exit.
+    with scoped_conf(spark, loop_shuffle_confs(spark)):
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            (F.col(id_col) % k).cast("int").alias("cluster"),
+            F.lit(0.0).alias("d2"),
+        ).persist()
+        history: list[float] = []
+        C = np.empty((0, 0))
+        for i in range(iterations):
+            ids, C = centroid_means(assigned, "vec", "cluster")
+            if C.size == 0:  # empty input
+                break
+            a = centroid_assign_with_dist(F.col("vec"), C, cluster_ids=ids)
+            new = assigned.select("id", "vec", a.alias("a")).select(
+                "id", "vec", F.col("a.cluster").alias("cluster"), F.col("a.d2").alias("d2")
+            )
+            if (i + 1) % checkpoint_every == 0:
+                # lazy: the inertia action below materializes AND
+                # truncates — one job per round.
+                new = new.localCheckpoint(eager=False)
+            else:
+                new = new.persist()
+            history.append(new.agg(F.sum("d2")).collect()[0][0] or 0.0)
+            assigned.unpersist()
+            assigned = new
+        return assigned, C, history
 
 
 def ivf_ann_topk(

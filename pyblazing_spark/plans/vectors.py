@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyblazing_spark.plans.registry import register
+from pyblazing_spark.session import materialize_bounded
 from pyblazing_spark.sources.tables import load_table as T
 
 _K = 8  # registered-entry cluster count (production: 2^8-2^12)
@@ -95,12 +96,15 @@ def vector_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = emb.select(
         "vec_id", "embedding", (F.col("vec_id") % _K).cast("int").alias("c0")
     )
-    ids, C = centroid_means(init, "embedding", "c0")
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    with scoped_conf(spark, loop_shuffle_confs(spark)):
+        ids, C = centroid_means(init, "embedding", "c0")
     a = centroid_assign_with_dist(F.col("embedding"), C, cluster_ids=ids)
     assigned = init.select("vec_id", a.alias("a")).select(
         "vec_id", F.col("a.cluster").alias("cluster"), F.col("a.d2").alias("d2")
     )
-    return (
+    return materialize_bounded(
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
@@ -226,7 +230,7 @@ def vector_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = T(spark, sf_dir, "embeddings")
     assigned, _C, _hist = kmeans_lloyd(emb, k=_K, iterations=2)
-    return (
+    return materialize_bounded(
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_points"),

@@ -18,6 +18,7 @@ Scale stance: these defaults are written for a real cluster (100 TB /
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -171,3 +172,75 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return ensure_runtime_confs(spark)
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Set runtime confs for a bounded scope and restore the caller's
+    values afterwards (unset keys are re-unset). Used by iterative
+    operators and fixture-bounded catalog entries that must size their
+    shuffles themselves instead of inheriting the session's
+    fact-table-scale shuffle width."""
+    saved: dict[str, str | None] = {}
+    for key, value in confs.items():
+        try:
+            saved[key] = spark.conf.get(key, None)
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover — unknown conf
+            saved.pop(key, None)
+    try:
+        yield spark
+    finally:
+        for key, old in saved.items():
+            try:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
+            except Exception:  # pragma: no cover
+                pass
+
+
+def loop_shuffle_confs(spark: SparkSession) -> dict[str, str]:
+    """Shuffle confs for iterative / fixture-bounded computations: size
+    each round's exchanges to CLUSTER PARALLELISM (defaultParallelism =
+    total cores) rather than the session's ``spark.sql.shuffle.partitions``,
+    which is tuned for fact-table scans. A label-propagation round over a
+    pair graph shuffles two long columns — at any scale the right task
+    count is ~cores, and a 200-wide shuffle of a 25-edge fixture graph
+    spends 10x the round time on task scheduling. AQE is disabled inside
+    the scope: the round plans are fixed two-stage shapes whose sizing is
+    already derived from the materialized input, and AQE's per-stage
+    re-planning adds a scheduling barrier per exchange that dominates
+    sub-second rounds."""
+    return {
+        "spark.sql.shuffle.partitions": str(spark.sparkContext.defaultParallelism),
+        "spark.sql.adaptive.enabled": "false",
+    }
+
+
+def materialize_bounded(df: DataFrame) -> "DataFrame":
+    """Eagerly execute a FIXTURE-BOUNDED plan at cluster-parallelism
+    shuffle width and return the materialized (localCheckpoint'd)
+    result.
+
+    Catalog entries whose output is small by construction (bounded
+    candidate sets, top-k, drained streams) call this so their many-stage
+    pipelines run under entry-appropriate shuffle sizing even on the
+    correctness driver's plain 200-partition session; the operator
+    functions themselves stay declarative and inherit the session width
+    at production scale. Row order is preserved by the checkpoint, so a
+    trailing orderBy survives.
+
+    Unlike the iterative loops (loop_shuffle_confs), AQE stays ON here:
+    one-shot pipelines keep their runtime broadcast-join conversions and
+    skew splitting — only the shuffle width is narrowed (measured: LSH
+    bucket joins regress 2-3x without AQE's broadcast conversion)."""
+    spark = df.sparkSession
+    confs = {
+        "spark.sql.shuffle.partitions": str(
+            spark.sparkContext.defaultParallelism
+        )
+    }
+    with scoped_conf(spark, confs):
+        return df.localCheckpoint()

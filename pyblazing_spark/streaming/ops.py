@@ -185,21 +185,36 @@ def run_available_now(
     into a memory sink and return the materialized result as a batch
     DataFrame. Test/driver harness plumbing — production sinks are
     ``writeStream.format("parquet"/"kafka"/...)``."""
+    from pyblazing_spark.session import scoped_conf
+
+    spark = result.sparkSession
     name = f"__stream_sink_{next(_sink_counter)}"
-    query = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = query.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"stream drain did not finish within {timeout_sec}s — "
-                "the memory sink would hold a PARTIAL result"
-            )
-    finally:
-        query.stop()
-    return result.sparkSession.table(name)
+    # State-store partition count is frozen from spark.sql.shuffle.partitions
+    # at query START; a plain driver session's fact-table-width default
+    # (200) means 200 state-store instances per stateful operator for a
+    # memory-sink drain. Scope it to cluster parallelism for the drain —
+    # production writeStream sinks are started by the caller and inherit
+    # the session's own sizing.
+    confs = {
+        "spark.sql.shuffle.partitions": str(
+            spark.sparkContext.defaultParallelism
+        )
+    }
+    with scoped_conf(spark, confs):
+        query = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = query.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"stream drain did not finish within {timeout_sec}s — "
+                    "the memory sink would hold a PARTIAL result"
+                )
+        finally:
+            query.stop()
+    return spark.table(name)
