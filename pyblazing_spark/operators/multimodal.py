@@ -225,10 +225,46 @@ def decode_bmp24(data: bytes) -> tuple[int, int, bytes]:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+def _png_filter_row(
+    f: int, row: "list[int]", prev: "list[int]", bpp: int = 3
+) -> list[int]:
+    """Apply PNG filter ``f`` to a reconstructed scanline (encoder side;
+    RFC 2083 §6). Scalar-int scan, same shape as the decoder's inverse."""
+    n = len(row)
+    out = [0] * n
+    for i in range(n):
+        a = row[i - bpp] if i >= bpp else 0
+        b_ = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b_
+        elif f == 3:
+            pred = (a + b_) >> 1
+        else:  # Paeth
+            p = a + b_ - c
+            pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+        out[i] = (row[i] - pred) & 0xFF
+    return out
+
+
+def encode_png(
+    width: int, height: int, rgb: bytes, filter_mode: str = "none"
+) -> bytes:
     """REAL PNG encode — stdlib ``zlib`` is the only compression a PNG
-    needs (RFC 2083): 8-bit RGB (color type 2), filter 0 scanlines,
-    one IDAT, CRC32 per chunk. No codec library involved."""
+    needs (RFC 2083): 8-bit RGB (color type 2), one IDAT, CRC32 per
+    chunk. No codec library involved.
+
+    ``filter_mode='none'`` emits filter-0 scanlines (fully vectorized —
+    the fast bulk path). ``filter_mode='mixed'`` cycles row filters
+    Sub/Up/Average/Paeth (``(y % 4) + 1``), the shape real encoders
+    produce — used by the catalog entry so the decoder's entire filter
+    matrix is driver-checked, not just the filters our own default
+    writes."""
     import zlib
 
     import numpy as np
@@ -236,8 +272,20 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length != w*h*3")
     raw = np.frombuffer(rgb, np.uint8).reshape(height, width * 3)
-    scan = np.zeros((height, width * 3 + 1), np.uint8)
-    scan[:, 1:] = raw  # leading 0 = filter None per scanline
+    if filter_mode == "mixed":
+        scan = np.zeros((height, width * 3 + 1), np.uint8)
+        prev = [0] * (width * 3)
+        for y in range(height):
+            f = (y % 4) + 1
+            row = raw[y].tolist()
+            scan[y, 0] = f
+            scan[y, 1:] = np.array(_png_filter_row(f, row, prev), np.uint8)
+            prev = row
+    elif filter_mode == "none":
+        scan = np.zeros((height, width * 3 + 1), np.uint8)
+        scan[:, 1:] = raw  # leading 0 = filter None per scanline
+    else:
+        raise ValueError(f"unknown filter_mode {filter_mode!r}")
     idat = zlib.compress(scan.tobytes(), 9)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
@@ -307,27 +355,39 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             ).reshape(stride)
         elif f == 2:  # Up
             rec = line + prev  # uint8 wraps mod 256, as the spec requires
-        elif f in (3, 4):  # Average / Paeth: sequential in x
-            rec = np.empty(stride, np.uint8)
-            zero = np.zeros(bpp, np.uint16)
-            for x in range(width):
-                sl = slice(x * bpp, (x + 1) * bpp)
-                left = rec[(x - 1) * bpp : x * bpp].astype(np.uint16) if x else zero
-                up = prev[sl].astype(np.uint16)
-                if f == 3:
-                    pred = (left + up) // 2
-                else:
-                    ul = (
-                        prev[(x - 1) * bpp : x * bpp].astype(np.int16) if x
-                        else zero.astype(np.int16)
-                    )
-                    a, b_, c = left.astype(np.int16), up.astype(np.int16), ul
+        elif f in (3, 4):  # Average / Paeth: sequential in x — scalar scan
+            # The left-neighbor data dependence makes full vectorization
+            # impossible; a per-byte scan over PLAIN PYTHON INTS (list
+            # in, list out) is ~40x faster than the per-pixel numpy
+            # slicing it replaced (each np slice = an allocation plus
+            # dtype churn for 3 bytes of work). Measured throughput is
+            # recorded in SCALE.md ("PNG filter decode cost").
+            ln, pv = line.tolist(), prev.tolist()
+            rl = [0] * stride
+            if f == 3:  # Average: floor((left + up) / 2)
+                for i in range(bpp):
+                    rl[i] = (ln[i] + (pv[i] >> 1)) & 0xFF
+                for i in range(bpp, stride):
+                    rl[i] = (ln[i] + ((rl[i - bpp] + pv[i]) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(bpp):
+                    # paeth(a=0, b, c=0) == b for every b (p = b, and
+                    # either pb = 0 wins or b = 0 makes all three equal).
+                    rl[i] = (ln[i] + pv[i]) & 0xFF
+                for i in range(bpp, stride):
+                    a, b_, c = rl[i - bpp], pv[i], pv[i - bpp]
                     p = a + b_ - c
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b_), np.abs(p - c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b_, c)
-                    ).astype(np.uint16)
-                rec[sl] = (line[sl].astype(np.uint16) + pred).astype(np.uint8)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b_ if p >= b_ else b_ - p
+                    pc = p - c if p >= c else c - p
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b_
+                    else:
+                        pred = c
+                    rl[i] = (ln[i] + pred) & 0xFF
+            rec = np.array(rl, np.uint8)
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = rec

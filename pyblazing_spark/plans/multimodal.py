@@ -134,11 +134,13 @@ ORDER BY doc_id
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode: each document's first 48 bytes are
     zlib-compressed into a genuine 4x4 RGB PNG (IHDR/IDAT/IEND, CRCs —
-    an Arrow-batched encode kernel), then
+    an Arrow-batched encode kernel) with MIXED row filters
+    (Sub/Up/Average/Paeth cycling per scanline — the shape real encoders
+    emit), then
     :func:`pyblazing_spark.operators.multimodal.decode_image` takes the
-    PNG parser path: chunk walk, inflate, un-filter. The oracle
-    recomputes the payload mean char-by-char, so a compression or
-    filter bug on either side cannot pass."""
+    PNG parser path: chunk walk, inflate, un-filter all four predictor
+    filters. The oracle recomputes the payload mean char-by-char, so a
+    compression or filter bug on either side cannot pass."""
     from collections.abc import Iterator as _It
 
     docs = T(spark, sf_dir, "documents").where(F.length("text") >= 48)
@@ -154,7 +156,8 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "content": [
-                        MM.encode_png(4, 4, bytes(b)) for b in pdf["content"]
+                        MM.encode_png(4, 4, bytes(b), filter_mode="mixed")
+                        for b in pdf["content"]
                     ],
                 }
             )

@@ -307,3 +307,31 @@ def test_resize_image_p6_matches_numpy_slicing(spark):
     assert (out["width"], out["height"]) == (expect.shape[1], expect.shape[0])
     assert out["digest"] == hashlib.md5(expect.tobytes()).hexdigest()
     assert abs(out["mean_pixel"] - round(float(expect.mean()) + 1e-9, 4)) < 1e-9
+
+
+def test_png_mixed_filter_encoder_roundtrip():
+    """encode_png(filter_mode='mixed') emits Sub/Up/Average/Paeth rows
+    ((y % 4) + 1 — what the catalog entry now ships to the decoder) and
+    decode_png inverts them losslessly, including a 255-px-wide image
+    (the PNM header-parse regression width) and a 1-row edge case where
+    Paeth/Average see an all-zero prior row."""
+    import struct as _struct
+    import zlib as _zlib
+
+    for w, h in [(4, 4), (255, 3), (5, 1), (1, 6)]:
+        rgb = bytes((i * 97 + 13) % 256 for i in range(w * h * 3))
+        png = MM.encode_png(w, h, rgb, filter_mode="mixed")
+        assert MM.decode_png(png) == (w, h, rgb)
+        # the emitted scanlines genuinely carry the advertised filters
+        pos = 8
+        idat = bytearray()
+        while pos < len(png):
+            (length,) = _struct.unpack_from(">I", png, pos)
+            typ = png[pos + 4 : pos + 8]
+            if typ == b"IDAT":
+                idat += png[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+        scan = _zlib.decompress(bytes(idat))
+        stride = w * 3 + 1
+        filters = [scan[y * stride] for y in range(h)]
+        assert filters == [(y % 4) + 1 for y in range(h)]
