@@ -23,6 +23,7 @@ from pyblazing_spark.plans import (  # noqa: E402,F401
     setops,
     streaming,
     tpch,
+    tpch_ps,
     vectors,
     windows,
 )
