@@ -1,0 +1,158 @@
+"""Scale probe: deterministic ~Kx self-replication of the sf0.1 fixtures
+(~sf1 equivalent) + the full bench-query correctness/timing sweep there.
+
+Usage: PYSPARK_SUBMIT_ARGS="--driver-memory 16g pyspark-shell" \\
+           python scripts/scale_probe.py [K] [probe_dir]
+
+What it does (VERDICT r3 #4 — the cheapest way to catch scale-dependent
+bugs above the sf0.1 sweep):
+
+1. Derives a Kx (default 10x) dataset from /root/testdata/sf0.1:
+   fact tables (customer, orders, lineitem, events, documents,
+   embeddings) are replicated K times with key offsets that preserve
+   referential integrity (o_custkey tracks c_custkey, l_orderkey tracks
+   o_orderkey, events.user_id tracks c_custkey); dimension tables
+   (region, nation, supplier, part) are copied once — at 100 TB the
+   dims stay dimension-sized, so replicating them would distort join
+   plans away from the broadcast shapes the audits assert.
+2. Writes the derived tables as parquet under the probe dir (Spark
+   writes; DuckDB oracles then read the SAME files — no cross-engine
+   derivation to disagree on).
+3. Runs every bench=True catalog query there, timed, AND compares each
+   against its DuckDB oracle over the same parquet (the driver's
+   rows/schema/values contract via tests.oracle_utils).
+
+Plan audits at probe scale: run separately with
+    SPARK_GRAFT_TEST_SF_DIR=<probe_dir> python -m pytest tests/test_plan_audits.py
+
+Key-offset scheme (fact keys stay in BIGINT range; replica k shifts by
+k * OFFSET): customer/user 10_000_000; orders 100_000_000; documents
+10_000_000; embeddings 10_000_000. Offsets are multiples of 4 and of
+1000 so key-derived bucketing/modality expressions keep their
+distributions. event ts is NOT shifted: replicas are distinct users
+with identical activity patterns, which multiplies sessionization state
+without moving the watermark window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+C_OFF = 10_000_000
+O_OFF = 100_000_000
+D_OFF = 10_000_000
+V_OFF = 10_000_000
+
+DIMS = ("region", "nation", "supplier", "part")
+#: fact table -> {column: per-replica offset}
+FACT_SHIFTS: dict[str, dict[str, int]] = {
+    "customer": {"c_custkey": C_OFF},
+    "orders": {"o_orderkey": O_OFF, "o_custkey": C_OFF},
+    "lineitem": {"l_orderkey": O_OFF},
+    "events": {"user_id": C_OFF},
+    "documents": {"doc_id": D_OFF},
+    "embeddings": {"vec_id": V_OFF},
+}
+
+
+def build_probe(spark, src_dir: str, probe_dir: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.sources.tables import load_table
+
+    os.makedirs(probe_dir, exist_ok=True)
+    for name in DIMS:
+        load_table(spark, src_dir, name).write.mode("overwrite").parquet(
+            f"{probe_dir}/{name}.parquet"
+        )
+    replicas = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__k")
+    for name, shifts in FACT_SHIFTS.items():
+        df = load_table(spark, src_dir, name)
+        dtypes = dict(df.dtypes)
+        rep = df.select("*", replicas)
+        for col, off in shifts.items():
+            rep = rep.withColumn(
+                col, (F.col(col) + F.col("__k") * off).cast(dtypes[col])
+            )
+        rep.drop("__k").write.mode("overwrite").parquet(
+            f"{probe_dir}/{name}.parquet"
+        )
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    probe_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_probe_{k}x"
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from tests.oracle_utils import assert_frames_match
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    build_probe(spark, src_dir, probe_dir, k)
+    print(f"probe build ({k}x {src_dir} -> {probe_dir}): {time.time()-t0:.1f}s")
+
+    import __spark_entry__ as E
+    from pyblazing_spark.plans import REGISTRY
+
+    con = duckdb.connect()
+    from pyblazing_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        # Spark writes each table as a DIRECTORY of part files.
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{probe_dir}/{t}.parquet/*.parquet'"
+        )
+    osql = E.oracle_sql()
+
+    timings: dict[str, float] = {}
+    n_ok = n_bad = 0
+    for name, spec in sorted(REGISTRY.items()):
+        if not spec.bench:
+            continue
+        t0 = time.time()
+        try:
+            spdf = spec.fn(spark, probe_dir).toPandas()
+            timings[name] = round(time.time() - t0, 2)
+            if name in osql:
+                ddf = con.execute(osql[name]).df()
+                assert_frames_match(spdf, ddf, name=name)
+                print(f"  {name:24s} OK rows={len(spdf):>8} ({timings[name]:.1f}s)")
+            else:
+                print(f"  {name:24s} rows-only rows={len(spdf)} ({timings[name]:.1f}s)")
+            n_ok += 1
+        except Exception as exc:
+            n_bad += 1
+            print(f"  {name:24s} FAIL: {str(exc).splitlines()[0][:140]}")
+    print(
+        json.dumps(
+            {
+                "probe": f"{k}x {os.path.basename(src_dir.rstrip('/'))}",
+                "total_sec": round(sum(timings.values()), 2),
+                "queries": timings,
+                "ok": n_ok,
+                "failed": n_bad,
+            }
+        )
+    )
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
