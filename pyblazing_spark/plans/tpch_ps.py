@@ -1,10 +1,10 @@
 """Verbatim-shape reference TPC-H queries over a derived ``partsupp``.
 
-The reference's own E2E suite runs TPC-H Q2/Q11/Q16/Q20 against a real
-partsupp table
+The reference's own E2E suite runs TPC-H Q2/Q9/Q11/Q16/Q20 against a
+real partsupp table
 (``/root/reference/tests/BlazingSQLTest/EndToEndTests/TestSuites/TPCHSuite.yaml``
-TEST_02/TEST_16 live, TEST_11/TEST_20 in-suite but commented for Drill
-validation issues). TESTDATA ships no partsupp (FIXTURES.md), so these
+TEST_02/TEST_09/TEST_16 live, TEST_11/TEST_20 in-suite but commented
+for Drill validation issues). TESTDATA ships no partsupp (FIXTURES.md), so these
 entries derive one deterministically — 4 supplier slots per part, the
 same derivation ``scripts/reference_replay.py`` already proves identical
 in Spark and DuckDB — and then run the REFERENCE'S EXACT QUERY SHAPE
@@ -434,4 +434,91 @@ def tpch_q20_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qualified, sup.s_suppkey == qualified.ps_suppkey, "left_semi")
         .select("s_name", "s_address")
         .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q9_ps",
+    tags=("tpch", "partsupp", "join", "aggregate", "datetime"),
+    oracle=_ORACLE_PRELUDE
+    + """
+select nationl, o_year, round(sum_profit + 1e-4, 2) AS sum_profit FROM (
+select
+          nationl,
+          o_year,
+          sum(amount) as sum_profit
+      from (
+          select
+              n.n_name as nationl,
+              CAST(extract(year from o.o_orderdate) AS INTEGER) as o_year,
+              l.l_extendedprice * (1 - l.l_discount) -
+                  ps.ps_supplycost * l.l_quantity as amount
+          from
+              lineitem as l
+              inner join orders as o
+                  on o.o_orderkey = l.l_orderkey
+              inner join partsupp as ps
+                  on ps.ps_suppkey = l.l_suppkey
+              inner join part as p
+                  on p.p_partkey = l.l_partkey
+              inner join supplier as s
+                  on s.s_suppkey = l.l_suppkey
+              inner join nation as n
+                  on n.n_nationkey = s.s_nationkey
+          where
+              l.l_partkey = ps.ps_partkey
+              and p.p_name like '%red%'
+          ) as profit
+      group by
+          nationl,
+          o_year
+) order by
+          nationl,
+          o_year desc
+""",
+)
+def tpch_q9_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference TPCHSuite TEST_09 verbatim over derived partsupp
+    (literal map: green -> red; CAST on extract(year) aligns the INT
+    dtype; repo-standard outer 2-dp rounding wrapper on the profit sum,
+    both sides). Completes the reference's live partsupp queries
+    (TEST_02 / TEST_09 / TEST_16) plus the commented TEST_11 / TEST_20.
+
+    Scale: part/supplier/nation broadcast; the one fact-fact shuffle is
+    lineitem x orders on orderkey; the lineitem x partsupp pair join
+    keys on (suppkey, partkey) — partsupp is 4x part, dimension-sized,
+    so it broadcasts too. The profit aggregate partials map-side."""
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ps = F.broadcast(load_partsupp(spark, sf_dir))
+    pa = F.broadcast(
+        T(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    sup = F.broadcast(
+        T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nat = F.broadcast(T(spark, sf_dir, "nation"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(
+            ps,
+            (F.col("ps_suppkey") == li.l_suppkey)
+            & (F.col("ps_partkey") == li.l_partkey),
+        )
+        .join(pa, F.col("p_partkey") == li.l_partkey)
+        .join(sup, F.col("s_suppkey") == li.l_suppkey)
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nationl"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nationl", "o_year")
+        .agg(F.round(F.sum("amount") + 1e-4, 2).alias("sum_profit"))
+        .orderBy("nationl", F.desc("o_year"))
     )
