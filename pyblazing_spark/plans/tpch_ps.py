@@ -140,7 +140,7 @@ select
         inner join part as p on p.p_partkey = ps.ps_partkey
         inner join region as r on r.r_regionkey = n.n_regionkey
     where
-        p.p_size = 15
+        p.p_size = 12
         and p.p_type like '%A%'
         and r.r_name = 'EUROPE'
         and ps.ps_supplycost = (
@@ -168,7 +168,8 @@ select
 )
 def tpch_q2_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference TPCHSuite TEST_02 verbatim over derived partsupp
-    (literal map: BRASS -> '%A%'; EUROPE exists as-is). The correlated
+    (literal map: BRASS -> '%A%', size 15 -> 12 so the EUROPE min-cost
+    filter stays non-empty down to sf0.001; EUROPE exists as-is). The correlated
     min-cost subquery becomes a per-part min aggregate equi-joined back
     — Catalyst's own decorrelation shape, written explicitly.
 
@@ -192,7 +193,7 @@ def tpch_q2_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = F.broadcast(
         part_aug(spark, sf_dir).where(
-            (F.col("p_size") == 15) & F.col("p_type").like("%A%")
+            (F.col("p_size") == 12) & F.col("p_type").like("%A%")
         )
     )
     return (
@@ -225,7 +226,7 @@ select
       where
           ps_suppkey = s_suppkey
           and s_nationkey = n_nationkey
-          and n_name = 'NATION_7'
+          and n_name = 'NATION_3'
       group by
           ps_partkey having
               sum(ps_supplycost * ps_availqty) > (
@@ -238,7 +239,7 @@ select
                   where
                       ps_suppkey = s_suppkey
                       and s_nationkey = n_nationkey
-                      and n_name = 'NATION_7'
+                      and n_name = 'NATION_3'
               )
 ) order by
           valuep desc
@@ -246,7 +247,8 @@ select
 )
 def tpch_q11_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference TPCHSuite TEST_11 verbatim over derived partsupp
-    (literal map: GERMANY -> NATION_7; outer 2-dp rounding wrapper on
+    (literal map: GERMANY -> NATION_3, a nation with suppliers at
+    every fixture SF; outer 2-dp rounding wrapper on
     both sides per the driver float-hash contract — the HAVING itself
     compares the UNROUNDED sums, exactly as the reference query does).
 
@@ -254,7 +256,7 @@ def tpch_q11_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates partially before the single ps_partkey shuffle; the
     0.01% threshold is a broadcast 1-row cross join, not a collect."""
     nat = F.broadcast(
-        T(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+        T(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     )
     sup = T(spark, sf_dir, "supplier")
     keys = F.broadcast(
