@@ -420,3 +420,107 @@ def embedding_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
+
+
+# -------------------------------------------- duplicated-span coverage
+def duplicated_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+    sample_mod: int = 4,
+    gram_hash=None,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the exact-substring
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022, public literature): fraction of
+    each doc's characters lying inside a >=k-char substring that also
+    appears in ANOTHER document. Near-dup (MinHash) finds whole-document
+    copies; this finds boilerplate/quotation/template spans inside
+    otherwise-unique documents — complementary pipeline stages.
+
+    Pipeline (suffix arrays are the single-node exact method; this is
+    the shuffle-friendly sampled variant):
+
+    1. hash EVERY k-char window (stride 1) to a 60-bit int (default the
+       md5-derived hash DuckDB reproduces; production: ``xxhash64``);
+    2. CONTENT-DEFINED selection: keep windows with
+       ``hash % sample_mod == 0``. Selection depends only on the gram's
+       CONTENT, so every copy of a substring selects the same windows
+       regardless of its offset in the doc — a fixed-stride grid
+       silently misses copies whose offsets differ mod the stride
+       (measured: two docs sharing a 43-char block, offsets 0 and 14,
+       stride 4 -> zero matches). Same alignment-robustness idea as
+       content-defined chunking / MOSS winnowing; a shared span of
+       length L is detected with prob 1 - ((m-1)/m)^(L-k+1) (~99.7%
+       for L=43, k=24, m=4).
+    3. selected grams seen in >=2 DISTINCT docs are "duplicated" (one
+       count-distinct aggregate — only (hash, partials) shuffle);
+    4. hash-semi-join marks each doc's duplicated positions;
+    5. exact interval union of the marked windows per doc via one
+       window pass: covered chars of [pos, pos+k) minus the running
+       max end of preceding intervals — no per-doc collect, no
+       quadratic span merge.
+
+    Returns (id, n_chars, dup_chars, dup_ratio); the ratio is a
+    conservative (sampled) lower bound of true duplicated coverage.
+    Docs shorter than k have zero coverage by definition.
+
+    Scale: the stride-1 explode is scan-stage JVM work and the mod
+    filter drops (m-1)/m of rows BEFORE any exchange; nothing wider
+    than (id, pos, hash) shuffles; the interval-union window is the
+    only doc-keyed exchange.
+    """
+    from pyspark.sql import Window
+
+    hash_fn = gram_hash or md5_hash60
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+    )
+    long_enough = base.where(F.col("__len") >= k)
+    # explode positions then substring per row (never an array HOF —
+    # see _hashed_shingle_rows for the InferFiltersFromGenerate trap).
+    grams = long_enough.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.col("__len") - (k - 1))).alias("__pos"),
+        F.col("__t"),
+    ).select(
+        id_col, "__pos",
+        hash_fn(F.col("__t").substr(F.col("__pos"), F.lit(k))).alias("__hv"),
+    )
+    sel = grams.where(F.col("__hv") % sample_mod == 0)
+    dup = (
+        sel.groupBy("__hv")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__hv")
+    )
+    marks = sel.join(dup, "__hv", "left_semi").select(id_col, "__pos")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("__pos") + k).over(w)
+    add = F.greatest(
+        F.lit(0),
+        (F.col("__pos") + k)
+        - F.greatest(F.col("__pos"), F.coalesce(prev_end, F.lit(0))),
+    )
+    per_doc = (
+        marks.withColumn("__add", add)
+        .groupBy(id_col)
+        .agg(F.sum("__add").cast("long").alias("dup_chars"))
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("__len").cast("long").alias("n_chars"),
+            F.coalesce(F.col("dup_chars"), F.lit(0).cast("long")).alias("dup_chars"),
+            F.round(
+                F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("__len") + 1e-9, 4
+            ).alias("dup_ratio"),
+        )
+    )

@@ -444,6 +444,76 @@ ORDER BY component
 
 
 @register(
+    "dedup_substring_coverage",
+    tags=("llm", "dedup", "substring"),
+    oracle=f"""
+WITH base AS (SELECT doc_id, source, text, length(text) AS len
+          FROM documents WHERE doc_id < 250),
+ le AS (SELECT * FROM base WHERE len >= 24),
+ grams AS (SELECT doc_id, unnest(generate_series(1, len - 23, 1)) AS pos, text
+           FROM le),
+ g0 AS (SELECT doc_id, pos,
+        substr(text, CAST(pos AS INTEGER), 24) AS tok FROM grams),
+ g AS (SELECT doc_id, pos, ({_SQL_MD5_60}) AS hv FROM g0),
+ sel AS (SELECT doc_id, pos, hv FROM g WHERE hv % 4 = 0),
+ dup AS (SELECT hv FROM sel GROUP BY hv HAVING count(DISTINCT doc_id) >= 2),
+ marks AS (SELECT doc_id, pos FROM sel WHERE hv IN (SELECT hv FROM dup)),
+ cov AS (SELECT doc_id, pos,
+         max(pos + 24) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pe
+         FROM marks),
+ per AS (SELECT doc_id,
+         CAST(sum(greatest(0, (pos + 24) - greatest(pos, coalesce(pe, 0))))
+              AS BIGINT) AS dc
+         FROM cov GROUP BY doc_id),
+ docs AS (SELECT b.doc_id, b.source, b.len, coalesce(p.dc, 0) AS dc,
+          round(coalesce(p.dc, 0) * 1.0 / b.len + 1e-9, 4) AS r
+          FROM base b LEFT JOIN per p USING (doc_id))
+SELECT source,
+       CAST(count(*) AS BIGINT)                              AS n_docs,
+       CAST(sum(CASE WHEN r >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(dc) AS BIGINT)                               AS dup_chars,
+       round(avg(r) + 1e-9, 4)                               AS avg_dup_ratio
+FROM docs GROUP BY source ORDER BY source
+""",
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022): per-source count
+    of docs whose cross-document duplicated-span coverage exceeds 20%,
+    plus total duplicated chars and mean coverage.
+    :func:`pyblazing_spark.operators.dedup.duplicated_span_coverage`
+    hashes every 24-char window, keeps CONTENT-DEFINED samples
+    (hash % 4 == 0 — alignment-robust, unlike a stride grid), finds
+    grams shared by >=2 docs, and takes an EXACT interval union of the
+    marked spans per doc in one window pass. The oracle replays the
+    md5-derived gram hash digit-by-digit, the selection, duplicate
+    detection, and the interval union in SQL, so an off-by-one in the
+    window math or a wrong merge of overlapping spans cannot pass.
+    Complementary to MinHash whole-doc dedup: this catches
+    boilerplate/template spans inside otherwise-unique documents.
+    Entry bounded to doc_id < 250 (identically both sides): the
+    md5-digit oracle replay is the cost driver, not the operator —
+    production uses the xxhash64 gram hash."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    cov = DD.duplicated_span_coverage(docs, k=24, sample_mod=4)
+    out = (
+        cov.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("dup_ratio") >= 0.2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("dup_chars").cast("long").alias("dup_chars"),
+            F.round(F.avg("dup_ratio") + 1e-9, 4).alias("avg_dup_ratio"),
+        )
+        .orderBy("source")
+    )
+    return materialize_bounded(out)
+
+
+@register(
     "dedup_components",
     tags=("llm", "dedup", "graph"),
     oracle=_COMPONENTS_ORACLE,

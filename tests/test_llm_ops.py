@@ -264,3 +264,39 @@ def test_connected_components_nonconvergence_raises(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_duplicated_span_coverage_exact_intervals(spark):
+    """Planted-span fixture: docs 1 and 2 share one 43-char block at
+    DIFFERENT offsets (0 and 14) — the content-defined selection must
+    still match them (a fixed stride-4 grid provably cannot: 14 % 4
+    != 0); doc 3 is unique; doc 4 too short to window. Also checks the
+    interval union never double-counts overlapping marked windows."""
+    from pyblazing_spark.operators.dedup import duplicated_span_coverage
+
+    shared = "The quick brown fox jumps over the lazy dog"  # 43 chars
+    a = shared + " unique tail of document A padded out here."
+    b = "Prefix for B: " + shared + " and a different ending."
+    c = "Completely unique text with no repeated spans at all, honest."
+    d = "short"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicated_span_coverage(df, k=24, sample_mod=4).collect()
+    }
+    assert rows[3]["dup_chars"] == 0 and rows[4]["dup_chars"] == 0
+    for i in (1, 2):
+        # the shared block must be detected despite the offset mismatch
+        assert rows[i]["dup_chars"] > 0
+        # marked windows live inside the shared block, so the union is
+        # bounded by block length + one window tail, and by the doc
+        assert rows[i]["dup_chars"] <= min(43 + 24, rows[i]["n_chars"])
+        assert abs(
+            rows[i]["dup_ratio"]
+            - round(rows[i]["dup_chars"] / rows[i]["n_chars"] + 1e-9, 4)
+        ) < 1e-9
+    # the same selected grams mark both docs, so both unions cover the
+    # same content-defined sample set: equal dup_chars
+    assert rows[1]["dup_chars"] == rows[2]["dup_chars"]
