@@ -1080,6 +1080,69 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_hash_classifier",
+    tags=("llm", "text", "scoring", "classifier"),
+    oracle=rf"""
+WITH tk AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+ t2 AS (SELECT doc_id, source, tok FROM tk WHERE tok <> ''),
+ h AS (SELECT doc_id, source, ({_SQL_MD5_60}) % 1024 AS b FROM t2),
+ wt AS (SELECT doc_id, source,
+        ((b * 2654435761) % 2001 - 1000) / 1000.0 AS w FROM h),
+ scored AS (
+  SELECT doc_id, source,
+         round(0.05 + avg(w) + 1e-9, 4) AS score
+  FROM wt GROUP BY doc_id, source)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                   AS n_docs,
+       CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(avg(score) + 1e-9, 4)                                AS avg_score
+FROM scored GROUP BY source ORDER BY source
+""",
+)
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference (the fastText-style
+    quality-filter pattern: token -> hash bucket -> weight lookup ->
+    mean + bias -> threshold). Weights here are a deterministic formula
+    of the bucket id (a Knuth-multiplicative pseudo-model in [-1, 1]),
+    standing in for trained parameters so DuckDB can replay the ENTIRE
+    inference — md5-digit token hash, bucket modulo, weight, mean,
+    threshold — value-for-value; a real deployment swaps the formula
+    for a broadcast weight table (identical plan shape: scan-stage
+    math, zero joins, one doc-key shuffle).
+
+    Scale: classification is pure codegen arithmetic in the scan stage
+    — at 100 TB the quality filter costs one pass and shuffles only
+    (doc, partial sums); no model server, no Python. The linear score
+    (no sigmoid) keeps cross-engine math in exact-rational territory."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    b = DD.md5_hash60(F.col("tok")) % 1024
+    w = ((b * F.lit(2654435761)) % 2001 - 1000) / 1000.0
+    scored = (
+        tok.select("doc_id", "source", w.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.lit(0.05) + F.avg("w") + 1e-9, 4).alias("score"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") >= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            F.round(F.avg("score") + 1e-9, 4).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "text_lm_unigram",
     tags=("llm", "text", "scoring"),
     oracle=r"""
