@@ -197,3 +197,46 @@ def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(agg, output_mode="complete")
     return out.orderBy("win_start", "event_type").limit(500)
+
+
+@register(
+    "stream_stream_join",
+    tags=("streaming", "join", "stream_stream", "watermark"),
+    oracle="""
+SELECT CAST(v.user_id % 10 AS INTEGER) AS cohort,
+       CAST(count(*) AS BIGINT)        AS n_pairs,
+       round(sum(p.value) + 1e-4, 2)   AS total_value
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked interval join (the attribution shape:
+    each view paired with the same user's purchases within the next
+    hour), drained and rolled up per user cohort. The two-sided
+    event-time bound is what lets Spark evict join state as watermarks
+    advance — the capability that distinguishes a real streaming join
+    from buffering both streams forever. On bounded input the drained
+    pairs must equal the batch interval self-join the oracle runs.
+    See :func:`pyblazing_spark.streaming.ops.interval_join_streams`."""
+    from pyblazing_spark.streaming.ops import interval_join_streams
+
+    stream = read_events_stream(spark, sf_dir)
+    pairs = run_available_now(
+        interval_join_streams(
+            stream, left_type="view", right_type="purchase", within="1 hour"
+        ),
+        output_mode="append",
+    )
+    return (
+        pairs.groupBy((F.col("v_user") % 10).cast("int").alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("p_value") + 1e-4, 2).alias("total_value"),
+        )
+        .orderBy("cohort")
+    )

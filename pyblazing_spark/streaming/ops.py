@@ -218,3 +218,43 @@ def run_available_now(
         finally:
             query.stop()
     return spark.table(name)
+
+
+def interval_join_streams(
+    stream: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join with event-time bounds: pair each
+    ``left_type`` event with the same user's ``right_type`` events that
+    follow within ``within`` — the attribution-join shape (view ->
+    purchase). Both sides carry watermarks and the join condition bounds
+    event time on both sides, so Spark derives a state-eviction horizon
+    for EACH side: per-key join state is dropped once the other side's
+    watermark passes the bound, which is what makes a two-sided join
+    runnable forever on unbounded streams (an unbounded-state
+    stream-stream join is rejected by the planner in append mode).
+
+    At 100 TB/day the state held is only events inside the watermark
+    horizon per (user, side); the join itself shuffles both streams on
+    user_id exactly like the batch equi-join."""
+    v = (
+        stream.where(F.col("event_type") == left_type)
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        stream.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = F.expr(
+        f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL {within}"
+    )
+    return v.join(p, cond, "inner")
