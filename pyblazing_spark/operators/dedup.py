@@ -519,8 +519,14 @@ def duplicated_span_coverage(
             id_col,
             F.col("__len").cast("long").alias("n_chars"),
             F.coalesce(F.col("dup_chars"), F.lit(0).cast("long")).alias("dup_chars"),
-            F.round(
-                F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("__len") + 1e-9, 4
-            ).alias("dup_ratio"),
+            # empty docs (len 0) define zero coverage — a plain divide
+            # raises DIVIDE_BY_ZERO under ANSI mode (hypothesis-found).
+            F.when(F.col("__len") > 0,
+                   F.round(
+                       F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("__len")
+                       + 1e-9, 4
+                   ))
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
         )
     )

@@ -298,3 +298,68 @@ def sample_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_merge_upsert",
+    tags=("llm", "curation", "merge", "dml"),
+    oracle="""
+WITH snap AS (
+  SELECT doc_id, text AS old_text FROM documents WHERE doc_id % 2 = 0),
+ upd AS (
+  SELECT doc_id, upper(substr(text, 1, 50)) AS new_text
+  FROM documents WHERE doc_id % 4 <= 1),
+ merged AS (
+  SELECT coalesce(s.doc_id, u.doc_id) AS doc_id,
+         coalesce(u.new_text, s.old_text) AS text,
+         CASE WHEN s.doc_id IS NOT NULL AND u.doc_id IS NOT NULL THEN 'updated'
+              WHEN u.doc_id IS NOT NULL THEN 'inserted'
+              ELSE 'kept' END AS status
+  FROM snap s FULL OUTER JOIN upd u ON s.doc_id = u.doc_id)
+SELECT status,
+       CAST(count(*) AS BIGINT)            AS n_docs,
+       CAST(sum(doc_id) AS BIGINT)         AS id_sum,
+       CAST(sum(length(text)) AS BIGINT)   AS total_chars
+FROM merged GROUP BY status ORDER BY status
+""",
+)
+def pipeline_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics for snapshot maintenance, DataFrame-native:
+    an update batch (docs with ``doc_id % 4 <= 1`` carrying re-processed
+    text) merges into the existing snapshot (even ids) — matched rows
+    take the update's text, unmatched updates insert, untouched snapshot
+    rows are kept. The reference has no DML surface at all; a
+    training-data pipeline re-crawling sources needs exactly this shape
+    nightly. ``id_sum``/``total_chars`` make the oracle sensitive to
+    WHICH rows landed in each class and WHOSE text won each merge.
+
+    Scale: one full-outer hash join on the snapshot key — with a
+    bucketed snapshot layout (see ``sink_bucketed_join``) the
+    snapshot side needs no exchange at all; classification and the
+    text coalesce are scan-stage expressions. This is the computational
+    core of Delta/Iceberg MERGE, expressed on plain parquet."""
+    docs = T(spark, sf_dir, "documents")
+    snap = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("s_id"), F.col("text").alias("old_text")
+    )
+    upd = docs.where(F.col("doc_id") % 4 <= 1).select(
+        F.col("doc_id").alias("u_id"),
+        F.upper(F.substring("text", 1, 50)).alias("new_text"),
+    )
+    merged = snap.join(upd, snap.s_id == upd.u_id, "full_outer").select(
+        F.coalesce("s_id", "u_id").alias("doc_id"),
+        F.coalesce("new_text", "old_text").alias("text"),
+        F.when(F.col("s_id").isNotNull() & F.col("u_id").isNotNull(), "updated")
+        .when(F.col("u_id").isNotNull(), "inserted")
+        .otherwise("kept")
+        .alias("status"),
+    )
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .orderBy("status")
+    )

@@ -1,0 +1,123 @@
+"""Property-based equivalence tests for the iterative graph/dedup
+operators against brute-force pure-Python references: hypothesis drives
+random small inputs through the FULL distributed implementations (real
+Spark jobs), so shrinker output is a minimal failing graph/corpus, not
+a 500-doc fixture. Example counts are small — each example costs
+several Spark jobs — but the input space (arbitrary topologies,
+arbitrary shared substrings) is exactly what the fixed fixtures can't
+cover."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find with attach-larger-root-under-smaller: every node's
+    final root is the minimum id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@st.composite
+def _graph(draw):
+    n_edges = draw(st.integers(min_value=1, max_value=25))
+    edges = []
+    for _ in range(n_edges):
+        a = draw(st.integers(min_value=1, max_value=15))
+        b = draw(st.integers(min_value=1, max_value=15))
+        if a == b:
+            continue  # dedup pair graphs never contain self-pairs
+        edges.append((min(a, b), max(a, b)))
+    return edges or [(1, 2)]
+
+
+@settings(max_examples=6, deadline=None)
+@given(_graph())
+def test_connected_components_match_union_find(spark, edges):
+    from pyblazing_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long").distinct()
+    want = _ref_components(edges)
+    for fn in (connected_components, connected_components_star):
+        got = {r["id"]: r["component"] for r in fn(df).collect()}
+        assert got == want, (fn.__name__, sorted(edges))
+
+
+def _ref_span_coverage(
+    docs: list[tuple[int, str]], k: int, m: int
+) -> dict[int, int]:
+    """Single-node replay of duplicated_span_coverage: every k-gram,
+    md5-60bit hash, mod-m content selection, cross-doc duplicate
+    detection, exact interval union."""
+    def hv(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    sel: dict[int, list[tuple[int, int]]] = {}
+    by_h: dict[int, set[int]] = {}
+    for i, t in docs:
+        for p in range(len(t) - k + 1):
+            h = hv(t[p : p + k])
+            if h % m == 0:
+                sel.setdefault(i, []).append((p + 1, h))
+                by_h.setdefault(h, set()).add(i)
+    dup = {h for h, ids in by_h.items() if len(ids) >= 2}
+    out: dict[int, int] = {}
+    for i, t in docs:
+        marks = sorted(p for p, h in sel.get(i, []) if h in dup)
+        covered, end = 0, 0
+        for p in marks:
+            covered += max(0, (p + k) - max(p, end))
+            end = max(end, p + k)
+        out[i] = covered
+    return out
+
+
+@st.composite
+def _corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=4))
+    # tiny alphabet makes shared >=k substrings likely without planting
+    docs = []
+    for i in range(n):
+        t = draw(st.text(alphabet="abc ", min_size=0, max_size=48))
+        docs.append((i + 1, t))
+    # plant one shared block at arbitrary offsets so the duplicated
+    # path is exercised in most examples, not just by alphabet luck
+    block = draw(st.text(alphabet="xyz", min_size=8, max_size=16))
+    if draw(st.booleans()) and len(docs) >= 2:
+        docs[0] = (1, docs[0][1] + block)
+        docs[1] = (2, block + docs[1][1])
+    return docs
+
+
+@settings(max_examples=5, deadline=None)
+@given(_corpus())
+def test_span_coverage_matches_reference(spark, docs):
+    from pyblazing_spark.operators.dedup import duplicated_span_coverage
+
+    k, m = 8, 2
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dup_chars"]
+        for r in duplicated_span_coverage(df, k=k, sample_mod=m).collect()
+    }
+    want = _ref_span_coverage(docs, k, m)
+    assert got == want, docs
