@@ -372,3 +372,85 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "events_gap_fill",
+    tags=("events", "datetime", "gapfill", "window"),
+    oracle="""
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS b,
+         round(avg(value) + 1e-9, 4) AS v
+  FROM events
+  WHERE user_id < 40
+    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+  GROUP BY 1, 2),
+ grid AS (
+  SELECT u.user_id, g.b
+  FROM (SELECT DISTINCT user_id FROM obs) u
+  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                            TIMESTAMP '2024-01-02 23:00:00',
+                            INTERVAL 1 HOUR)) AS b) g),
+ j AS (SELECT g.user_id, g.b, o.v
+       FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+ f AS (SELECT user_id, b, v,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+       FROM j)
+SELECT user_id,
+       CAST(count(v) AS BIGINT)             AS n_observed,
+       CAST(count(fv) - count(v) AS BIGINT) AS n_filled,
+       round(sum(fv) + 1e-4, 2)             AS total_value
+FROM f GROUP BY user_id ORDER BY user_id
+""",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the hypertable ``time_bucket_gapfill`` +
+    ``locf`` shape): each user's hourly averages over a fixed 48-bucket
+    grid, missing buckets forward-filled from the last observation.
+    Grid = distinct users x a generated hour sequence; fill = one
+    IGNORE NULLS last_value window per user. Buckets before a user's
+    first observation stay NULL (locf has nothing to carry) and are
+    counted implicitly by n_observed + n_filled < 48.
+
+    Scale: the observation aggregate partials map-side on (user,
+    bucket); the grid is |users| x 48 rows of two narrow columns; the
+    fill is ONE window shuffle on user_id. At 100 TB the grid is
+    generated, never materialized from the fact table, so gap filling
+    costs one pass over observations plus a dimension-sized join."""
+    ev = T(spark, sf_dir, "events").where(
+        (F.col("user_id") < 40)
+        & (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'"))
+        & (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-03 00:00:00'"))
+    )
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.round(F.avg("value") + 1e-9, 4).alias("v"))
+    users = obs.select("user_id").distinct()
+    hours = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+                " TIMESTAMP_NTZ '2024-01-02 23:00:00', INTERVAL 1 HOUR)"
+            )
+        ).alias("b")
+    )
+    grid = users.crossJoin(F.broadcast(hours))
+    j = grid.join(obs, ["user_id", "b"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    f = j.select(
+        "user_id", "b", "v", F.last("v", ignorenulls=True).over(w).alias("fv")
+    )
+    return (
+        f.groupBy("user_id")
+        .agg(
+            F.count("v").alias("n_observed"),
+            (F.count("fv") - F.count("v")).alias("n_filled"),
+            F.round(F.sum("fv") + 1e-4, 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
