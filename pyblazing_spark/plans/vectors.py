@@ -239,3 +239,70 @@ def vector_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "vector_diversity",
+    tags=("vector", "statistics", "llm"),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(vec_id % {_K} AS INTEGER) AS g,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+ pairs AS (
+  SELECT a.g,
+         list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, b.v)
+         + list_dot_product(b.v, b.v) AS d2
+  FROM e a JOIN e b ON a.g = b.g AND a.vec_id < b.vec_id)
+SELECT g,
+       CAST(count(*) AS BIGINT)       AS n_pairs,
+       round(avg(d2) + 1e-9, 3)       AS mean_pairwise_d2
+FROM pairs GROUP BY g ORDER BY g
+""",
+)
+def vector_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity: mean pairwise squared L2 distance per vector
+    group, computed in ONE PASS via the sum-of-squares identity
+    ``sum_{{i<j}} |xi-xj|^2 = n * sum|xi|^2 - |sum xi|^2`` — the
+    standard trick that turns an O(n^2) statistic into two linear
+    aggregates (per-dim sums and a squared-norm sum). The oracle
+    computes the BRUTE-FORCE all-pairs average in DuckDB, so the entry
+    proves the identity implementation, not just its own arithmetic.
+
+    Scale: posexplode is map-side; the exchange carries only
+    (group, dim, partial sum) rows — k x 64 x n_partitions — while the
+    all-pairs formulation it replaces is quadratic in corpus size and
+    impossible at 100 TB. Diversity/dispersion per shard is a standard
+    embedding-corpus health metric (mode-collapse detection)."""
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") % _K).cast("int").alias("g"),
+        F.col("embedding").alias("v"),
+    )
+    ex = emb.select(
+        "g", F.posexplode("v").alias("i", "xf")
+    ).select("g", "i", F.col("xf").cast("double").alias("x"))
+    # per (group, dim): sum x and sum x^2 — ONE aggregation pass
+    dims = ex.groupBy("g", "i").agg(
+        F.sum("x").alias("s1"), F.sum(F.col("x") * F.col("x")).alias("s2")
+    )
+    # collapse dims: |sum xi|^2 = sum_d s1_d^2 ; sum|xi|^2 = sum_d s2_d
+    per_g = dims.groupBy("g").agg(
+        F.sum(F.col("s1") * F.col("s1")).alias("norm_sum_sq"),
+        F.sum("s2").alias("sum_norms"),
+    )
+    counts = emb.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    total_d2 = n * F.col("sum_norms") - F.col("norm_sum_sq")
+    return (
+        per_g.join(counts, "g")
+        .where(n >= 2)
+        .select(
+            "g",
+            (n * (n - 1) / 2).cast("long").alias("n_pairs"),
+            F.round(total_d2 / (n * (n - 1) / 2) + 1e-9, 3).alias(
+                "mean_pairwise_d2"
+            ),
+        )
+        .orderBy("g")
+    )
