@@ -15,8 +15,10 @@ uncompressed BMP (struct + numpy), **PNG** (8-bit gray/RGB — stdlib
 ``zlib`` inflate + RFC 2083 un-filtering, no codec library), and PCM
 WAV audio (stdlib ``wave``). :func:`transcode` genuinely converts
 between ppm/bmp/png, and :func:`resample_wav` genuinely resamples
-audio. Formats whose codecs are NOT in the stdlib (jpeg/webp/mp4) fall
-back to a **clearly-marked deterministic fake** (grayscale-square
+audio; baseline JPEG (DCT + Annex-K Huffman) is implemented from the
+spec in :mod:`pyblazing_spark.operators.jpeg`. Formats whose codecs are
+neither in the stdlib nor reimplementable at reasonable cost (webp/mp4)
+fall back to a **clearly-marked deterministic fake** (grayscale-square
 interpretation of the raw bytes) unless PIL is present, and transcode
 raises NotImplementedError. The Spark plumbing — schemas, UDF
 signatures, Arrow batch shapes, 1->N row expansion — is identical on
@@ -405,6 +407,10 @@ def _sniff_decode(data: bytes) -> tuple[int, int, bytes] | None:
         return decode_bmp24(data)
     if data[:8] == PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from pyblazing_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     return None
 
 
@@ -623,21 +629,30 @@ def resample_wav(blobs: DataFrame, target_rate: int) -> DataFrame:
 
 TRANSCODE_SCHEMA = "doc_id bigint, content binary, content_type string, n_bytes int"
 
+def _encode_jpeg_target(w: int, h: int, rgb: bytes) -> bytes:
+    from pyblazing_spark.operators.jpeg import encode_jpeg
+
+    return encode_jpeg(w, h, rgb, quality=90, subsampling="444")
+
+
 _TRANSCODE_TARGETS = {
     "ppm": ("image/x-portable-pixmap", encode_ppm),
     "bmp": ("image/bmp", encode_bmp24),
     "png": ("image/png", encode_png),
+    "jpeg": ("image/jpeg", _encode_jpeg_target),
+    "jpg": ("image/jpeg", _encode_jpeg_target),
 }
 
 
 def transcode(blobs: DataFrame, target_format: str) -> DataFrame:
     """REAL transcoding between the natively-parsed image formats: any
     PPM/PGM/BMP/PNG blob re-encodes to ``target_format`` in
-    {'ppm', 'bmp', 'png'} (decode to raw RGB, encode the target
-    container — verified by a lossless round-trip test; PNG via stdlib
-    zlib, see :func:`encode_png`). Other targets (jpeg/webp/mp4/...)
-    need codec libraries absent from this container and raise
-    NotImplementedError, as does an unrecognized source buffer."""
+    {'ppm', 'bmp', 'png', 'jpeg'} (decode to raw RGB, encode the target
+    container — PPM/BMP/PNG round-trip losslessly; JPEG is the baseline
+    DCT codec in :mod:`pyblazing_spark.operators.jpeg`, lossy by design
+    and verified by PSNR). Remaining targets (webp/mp4/...) need codec
+    libraries absent from this container and raise NotImplementedError,
+    as does an unrecognized source buffer."""
     target = target_format.lower()
     if target not in _TRANSCODE_TARGETS:
         raise NotImplementedError(
