@@ -238,3 +238,49 @@ def test_bucketed_join_entry_is_exchange_free(spark, sf_dir):
         assert join_section.count("Bucketed: true") == 2, join_section
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_span_coverage_never_shuffles_text(spark, sf_dir):
+    """duplicated_span_coverage explodes every k-char window of the
+    corpus — its exchanges must carry only (id, pos, hash): the doc text
+    appearing in any Exchange means the gram substring was deferred past
+    the scan stage, shuffling the corpus k times over."""
+    from pyblazing_spark.operators.dedup import duplicated_span_coverage
+    from pyblazing_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = duplicated_span_coverage(docs, k=24, sample_mod=4)
+    for inp in _exchange_inputs(df):
+        assert "text" not in inp and "__t" not in inp, inp
+
+
+def test_gap_fill_broadcasts_grid_and_windows_once(spark, sf_dir):
+    """events_gap_fill: the generated hour grid must join broadcast
+    (never shuffle the fact side against 48 generated rows), and the
+    locf fill must be a single Window over user_id — a second window
+    exchange would double the only doc-keyed shuffle."""
+    df = plans.REGISTRY["events_gap_fill"].fn(spark, sf_dir)
+    plan = _optimized_plan(df)
+    assert plan.count("Window") == 1, plan
+    phys = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in phys or "BroadcastHashJoin" in phys
+
+
+def test_q9_ps_broadcasts_all_dimensions(spark, sf_dir):
+    """tpch_q9_ps: partsupp (4x part — dimension-sized), part, supplier
+    and nation must all join broadcast; only lineitem x orders may ever
+    shuffle. At test scale that means >= 4 BroadcastHashJoins and zero
+    SortMergeJoin on the dimension keys."""
+    df = plans.REGISTRY["tpch_q9_ps"].fn(spark, sf_dir)
+    phys = _executed_plan(df)
+    assert phys.count("BroadcastHashJoin") >= 4, phys
+
+
+def test_vector_diversity_partial_aggregates(spark, sf_dir):
+    """The one-pass pairwise-distance identity only beats the O(n^2)
+    formulation if the per-(group, dim) sums combine map-side: the
+    executed plan must contain partial_sum aggregates feeding the
+    exchange."""
+    df = plans.REGISTRY["vector_diversity"].fn(spark, sf_dir)
+    phys = _executed_plan(df)
+    assert "partial_sum" in phys, phys
