@@ -1,0 +1,201 @@
+"""Real container-level metadata parsing for media formats whose PIXEL
+codecs are out of scope (mp4/webp) — plus builders that emit valid
+containers for tests/fixtures.
+
+At 100 TB, most video/image corpus work is METADATA work: duration
+filtering, resolution bucketing, track counting, codec inventory — none
+of which needs a frame decoded. These parsers walk the real on-disk
+structures:
+
+- **MP4 / ISO BMFF** (ISO 14496-12, public spec): size+fourcc box walk,
+  nested ``moov`` traversal, ``mvhd`` version 0/1 (timescale +
+  duration), per-``trak`` ``tkhd`` (16.16 fixed-point width/height) and
+  ``hdlr`` handler type (``vide``/``soun``) for track classification.
+- **WebP** (RIFF container, public spec): ``VP8 `` lossy frame header
+  (sync code + 14-bit dims), ``VP8L`` lossless signature (14-bit
+  minus-one dims), ``VP8X`` extended (24-bit minus-one canvas dims).
+
+The builders emit genuinely parseable containers (valid box sizes /
+RIFF framing / bitstream headers); pixel payloads are not synthesized —
+decoding them is the explicitly-documented non-goal (SCALE.md)."""
+
+from __future__ import annotations
+
+import struct
+
+
+# ------------------------------------------------------------------ mp4
+def build_mp4(
+    duration_ms: int,
+    width: int,
+    height: int,
+    n_audio_tracks: int = 1,
+    timescale: int = 1000,
+    version: int = 0,
+) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov(mvhd + video trak + N audio
+    traks) + empty mdat. ``version`` selects 32- or 64-bit mvhd."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    duration = duration_ms * timescale // 1000
+    if version == 0:
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">B3x4I", 0, 0, 0, timescale, duration) + b"\x00" * 80,
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            struct.pack(">B3xQQIQ", 1, 0, 0, timescale, duration) + b"\x00" * 80,
+        )
+
+    def trak(handler: bytes, w: int, h: int) -> bytes:
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + b"\x00" * 76
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 13)
+        return box(b"trak", tkhd + box(b"mdia", hdlr))
+
+    traks = trak(b"vide", width, height)
+    for _ in range(n_audio_tracks):
+        traks += trak(b"soun", 0, 0)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", b"")
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body_start = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body_start = pos + 16
+        if size == 0:  # to end of file
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed mp4 box")
+        yield typ, body_start, pos + size
+        pos += size
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Metadata from an ISO BMFF buffer: duration_ms, video dimensions,
+    per-kind track counts, major brand."""
+    meta = {
+        "format": "mp4", "brand": None, "duration_ms": 0,
+        "width": 0, "height": 0, "n_video_tracks": 0, "n_audio_tracks": 0,
+    }
+
+    def walk(start: int, end: int) -> None:
+        track_kind = None
+        for typ, b0, b1 in _walk_boxes(data, start, end):
+            if typ == b"ftyp":
+                meta["brand"] = data[b0 : b0 + 4].decode("ascii", "replace")
+            elif typ in (b"moov", b"trak", b"mdia"):
+                walk(b0, b1)
+            elif typ == b"mvhd":
+                ver = data[b0]
+                if ver == 1:
+                    _c, _m, ts, dur = struct.unpack_from(">QQIQ", data, b0 + 4)
+                else:
+                    _c, _m, ts, dur = struct.unpack_from(">4I", data, b0 + 4)
+                meta["duration_ms"] = dur * 1000 // ts if ts else 0
+            elif typ == b"tkhd":
+                ver = data[b0]
+                off = b1 - 8  # width/height are the LAST 8 payload bytes
+                w, h = struct.unpack_from(">II", data, off)
+                if w and h:
+                    meta["width"] = w >> 16
+                    meta["height"] = h >> 16
+            elif typ == b"hdlr":
+                handler = data[b0 + 8 : b0 + 12]
+                if handler == b"vide":
+                    meta["n_video_tracks"] += 1
+                elif handler == b"soun":
+                    meta["n_audio_tracks"] += 1
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (mp4) buffer")
+    walk(0, len(data))
+    return meta
+
+
+# ----------------------------------------------------------------- webp
+def build_webp(width: int, height: int, flavor: str = "vp8l") -> bytes:
+    """Valid WebP container framing with a real dimension header for the
+    chosen flavor ('vp8l' lossless, 'vp8' lossy, 'vp8x' extended).
+    Pixel payload is a placeholder — parsers that only read geometry
+    (this module, file(1), exif tools) accept it."""
+    if flavor == "vp8l":
+        if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+            raise ValueError("vp8l dims must fit 14 bits")
+        bits = (width - 1) | ((height - 1) << 14)  # + alpha(0) + version(000)
+        payload = b"\x2f" + struct.pack("<I", bits)[:4]
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    elif flavor == "vp8":
+        # frame tag (keyframe, version 0, show 1, partition size 0) +
+        # sync code + 14-bit dims (little-endian, scale bits 0)
+        tag = struct.pack("<I", (0 << 0) | (0 << 1) | (1 << 4) | (0 << 5))[:3]
+        payload = tag + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    elif flavor == "vp8x":
+        wh = struct.pack("<I", width - 1)[:3] + struct.pack("<I", height - 1)[:3]
+        payload = b"\x00" + b"\x00\x00\x00" + wh
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    else:
+        raise ValueError("flavor must be vp8l/vp8/vp8x")
+    if len(chunk) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def parse_webp(data: bytes) -> dict:
+    """(format, flavor, width, height) from the RIFF/WEBP framing."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP buffer")
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            if body[:1] != b"\x2f":
+                raise ValueError("bad VP8L signature")
+            (bits,) = struct.unpack_from("<I", body, 1)
+            return {
+                "format": "webp", "flavor": "vp8l",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+            }
+        if fourcc == b"VP8 ":
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 sync code")
+            w, h = struct.unpack_from("<HH", body, 6)
+            return {
+                "format": "webp", "flavor": "vp8",
+                "width": w & 0x3FFF, "height": h & 0x3FFF,
+            }
+        if fourcc == b"VP8X":
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {"format": "webp", "flavor": "vp8x", "width": w, "height": h}
+        pos += 8 + size + (size % 2)
+    raise ValueError("WebP buffer has no VP8/VP8L/VP8X chunk")
+
+
+def probe(data: bytes) -> dict | None:
+    """Container sniff over every format this engine understands at the
+    metadata level; None when unrecognized."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return parse_mp4(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return parse_webp(data)
+    return None

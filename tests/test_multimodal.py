@@ -335,3 +335,35 @@ def test_png_mixed_filter_encoder_roundtrip():
         stride = w * 3 + 1
         filters = [scan[y * stride] for y in range(h)]
         assert filters == [(y % 4) + 1 for y in range(h)]
+
+
+def test_media_container_builders_and_parsers():
+    """mp4 (both mvhd versions) and WebP (all three flavor headers)
+    round-trip their metadata through the real box/RIFF walks; garbage
+    and codec-less buffers are refused, not mis-parsed."""
+    import pytest
+
+    from pyblazing_spark.operators import media_meta as MMETA
+
+    for ver in (0, 1):
+        b = MMETA.build_mp4(
+            duration_ms=123450, width=640, height=360,
+            n_audio_tracks=2, version=ver,
+        )
+        m = MMETA.parse_mp4(b)
+        assert (
+            m["duration_ms"], m["width"], m["height"],
+            m["n_video_tracks"], m["n_audio_tracks"], m["brand"],
+        ) == (123450, 640, 360, 1, 2, "isom")
+    for fl, (w, h) in [("vp8l", (255, 31)), ("vp8", (1280, 720)),
+                       ("vp8x", (4000, 3000))]:
+        m = MMETA.parse_webp(MMETA.build_webp(w, h, flavor=fl))
+        assert (m["width"], m["height"], m["flavor"]) == (w, h, fl)
+    assert MMETA.probe(b"garbagegarbagegarbage") is None
+    with pytest.raises(ValueError):
+        MMETA.parse_mp4(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError):
+        # RIFF/WEBP framing with a bad VP8L signature byte
+        bad = bytearray(MMETA.build_webp(4, 4, flavor="vp8l"))
+        bad[20] ^= 0xFF
+        MMETA.parse_webp(bytes(bad))
