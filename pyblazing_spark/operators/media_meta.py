@@ -199,3 +199,93 @@ def probe(data: bytes) -> dict | None:
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return parse_webp(data)
     return None
+
+
+# -------------------------------------------------- mp4 sample tables
+def build_mp4_with_samples(
+    samples: list[bytes], duration_ms: int = 1000, width: int = 64,
+    height: int = 64,
+) -> bytes:
+    """ISO BMFF with a REAL sample table: one video trak whose stbl
+    (stsd/stts/stsc/stsz/stco) describes ``samples`` stored contiguously
+    in one mdat chunk — the structure a demuxer actually uses to pull
+    frames. Offsets in stco are absolute file offsets, so the mdat box
+    is laid out before moov is finalized (two-pass assembly, like real
+    muxers)."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    n = len(samples)
+    mdat_payload = b"".join(samples)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # mdat comes right after ftyp; samples start at ftyp+8 bytes header.
+    mdat = box(b"mdat", mdat_payload)
+    chunk_offset = len(ftyp) + 8
+
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 0))
+    stts = box(b"stts", struct.pack(">B3xIII", 0, 1, max(1, n), 100))
+    stsc = box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, max(1, n), 1))
+    stsz = box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = box(b"stco", struct.pack(">B3xII", 0, 1, chunk_offset))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0) + b"\x00" * 76
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+    trak = box(b"trak", tkhd + box(b"mdia", hdlr + minf))
+    timescale = 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(
+            ">B3x4I", 0, 0, 0, timescale, duration_ms * timescale // 1000
+        ) + b"\x00" * 80,
+    )
+    return ftyp + mdat + box(b"moov", mvhd + trak)
+
+
+def extract_mp4_samples(data: bytes) -> list[bytes]:
+    """Demux the video track's samples via the sample tables: stsz for
+    per-sample sizes, stco for the chunk base offset, stsc for the
+    samples-per-chunk layout (single-chunk and uniform layouts
+    supported — the shapes build_mp4_with_samples and faststart MP4s
+    emit)."""
+    sizes: list[int] = []
+    offsets: list[int] = []
+
+    def walk(start: int, end: int) -> None:
+        for typ, b0, b1 in _walk_boxes(data, start, end):
+            if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(b0, b1)
+            elif typ == b"stsz":
+                _vf, fixed, n = struct.unpack_from(">III", data, b0)
+                if fixed:
+                    sizes.extend([fixed] * n)
+                else:
+                    for i in range(n):
+                        (sz,) = struct.unpack_from(">I", data, b0 + 12 + 4 * i)
+                        sizes.append(sz)
+            elif typ == b"stco":
+                _vf, n = struct.unpack_from(">II", data, b0)
+                for i in range(n):
+                    (off,) = struct.unpack_from(">I", data, b0 + 8 + 4 * i)
+                    offsets.append(off)
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (mp4) buffer")
+    walk(0, len(data))
+    if not sizes or not offsets:
+        raise ValueError("mp4 has no sample table")
+    out = []
+    pos = offsets[0]
+    for sz in sizes:
+        out.append(data[pos : pos + sz])
+        pos += sz
+    return out

@@ -551,3 +551,79 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("doc_id")
+
+
+@register(
+    "multimodal_mp4_frame_extract",
+    tags=("multimodal", "video", "mp4", "demux", "mapInPandas"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id, text, length(text) AS L
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         (i * L) // 4 AS s, ((i + 1) * L) // 4 AS e, text
+  FROM v, generate_series(0, 3) t(i))
+SELECT doc_id, frame_idx,
+       CAST(e - s AS INTEGER) AS n_bytes,
+       md5(substr(text, CAST(s + 1 AS INTEGER), CAST(e - s AS INTEGER))) AS digest
+FROM f
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container demux: each video doc's bytes are split into 4
+    frame payloads, MUXED into a genuine ISO BMFF file with a real
+    sample table (stsd/stts/stsc/stsz/stco + mdat —
+    :func:`pyblazing_spark.operators.media_meta.build_mp4_with_samples`),
+    then DEMUXED back by walking the sample table exactly as a video
+    demuxer does (stsz sizes + stco chunk offset ->
+    :func:`extract_mp4_samples`). The oracle is the SAME byte-slice
+    arithmetic as the fake-path ``multimodal_frame_sample`` entry, so
+    the mux->demux chain must reproduce every frame byte-for-byte — a
+    wrong box size, offset base, or sample-size entry cannot pass.
+
+    Scale: frame extraction for a 100 TB video corpus is this exact
+    walk (read moov, slice mdat ranges) — no codec involved; a narrow
+    Arrow map per blob emitting (frame_idx, digest)."""
+    from collections.abc import Iterator as _It
+
+    from pyblazing_spark.operators.media_meta import (
+        build_mp4_with_samples,
+        extract_mp4_samples,
+    )
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2).select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+
+    def kernel(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(buf)
+                L = len(raw)
+                frames = [
+                    raw[(i * L) // 4 : ((i + 1) * L) // 4] for i in range(4)
+                ]
+                mp4 = build_mp4_with_samples(frames)
+                for idx, frame in enumerate(extract_mp4_samples(mp4)):
+                    rows.append(
+                        (
+                            int(doc_id), idx, len(frame),
+                            hashlib.md5(frame).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_bytes", "digest"]
+            )
+
+    out = docs.mapInPandas(
+        kernel,
+        schema="doc_id bigint, frame_idx int, n_bytes int, digest string",
+    )
+    return out.orderBy("doc_id", "frame_idx")

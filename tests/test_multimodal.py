@@ -367,3 +367,25 @@ def test_media_container_builders_and_parsers():
         bad = bytearray(MMETA.build_webp(4, 4, flavor="vp8l"))
         bad[20] ^= 0xFF
         MMETA.parse_webp(bytes(bad))
+
+
+def test_mp4_sample_table_roundtrip():
+    """Mux -> demux through the real stsz/stco/stsc walk: arbitrary
+    (including empty) sample payloads come back byte-identical, and the
+    metadata parse still sees the same file."""
+    from pyblazing_spark.operators import media_meta as MMETA
+
+    samples = [b"frame0-data", b"xx", b"the third frame payload", b""]
+    mp4 = MMETA.build_mp4_with_samples(
+        samples, duration_ms=400, width=32, height=16
+    )
+    assert MMETA.extract_mp4_samples(mp4) == samples
+    meta = MMETA.parse_mp4(mp4)
+    assert (meta["width"], meta["height"], meta["duration_ms"]) == (32, 16, 400)
+    # a metadata-only mp4 (no sample table) must refuse demux, not
+    # return garbage slices
+    import pytest
+
+    plain = MMETA.build_mp4(duration_ms=100, width=8, height=8)
+    with pytest.raises(ValueError, match="sample table"):
+        MMETA.extract_mp4_samples(plain)
