@@ -411,6 +411,10 @@ def _sniff_decode(data: bytes) -> tuple[int, int, bytes] | None:
         from pyblazing_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        from pyblazing_spark.operators.gif import decode_gif
+
+        return decode_gif(data)
     return None
 
 
@@ -629,6 +633,12 @@ def resample_wav(blobs: DataFrame, target_rate: int) -> DataFrame:
 
 TRANSCODE_SCHEMA = "doc_id bigint, content binary, content_type string, n_bytes int"
 
+def _encode_gif_target(w: int, h: int, rgb: bytes) -> bytes:
+    from pyblazing_spark.operators.gif import encode_gif
+
+    return encode_gif(w, h, rgb)
+
+
 def _encode_jpeg_target(w: int, h: int, rgb: bytes) -> bytes:
     from pyblazing_spark.operators.jpeg import encode_jpeg
 
@@ -641,14 +651,17 @@ _TRANSCODE_TARGETS = {
     "png": ("image/png", encode_png),
     "jpeg": ("image/jpeg", _encode_jpeg_target),
     "jpg": ("image/jpeg", _encode_jpeg_target),
+    "gif": ("image/gif", _encode_gif_target),
 }
 
 
 def transcode(blobs: DataFrame, target_format: str) -> DataFrame:
     """REAL transcoding between the natively-parsed image formats: any
     PPM/PGM/BMP/PNG blob re-encodes to ``target_format`` in
-    {'ppm', 'bmp', 'png', 'jpeg'} (decode to raw RGB, encode the target
-    container — PPM/BMP/PNG round-trip losslessly; JPEG is the baseline
+    {'ppm', 'bmp', 'png', 'gif', 'jpeg'} (decode to raw RGB, encode the
+    target container — PPM/BMP/PNG round-trip losslessly, GIF losslessly
+    for <=256-color images via the from-scratch LZW coder in
+    :mod:`pyblazing_spark.operators.gif`; JPEG is the baseline
     DCT codec in :mod:`pyblazing_spark.operators.jpeg`, lossy by design
     and verified by PSNR). Remaining targets (webp/mp4/...) need codec
     libraries absent from this container and raise NotImplementedError,

@@ -167,6 +167,61 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_gif",
+    tags=("multimodal", "decode", "codec", "gif", "mapInPandas"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id, substr(text, 1, 48) AS px
+  FROM documents WHERE length(text) >= 48),
+ b AS (
+  SELECT doc_id, ascii(substr(px, CAST(i AS INTEGER), 1)) AS c
+  FROM v JOIN generate_series(1, 48) t(i) ON i <= 48)
+SELECT doc_id,
+       4                        AS width,
+       4                        AS height,
+       round(avg(c) + 1e-9, 4)  AS mean_pixel
+FROM b
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette-codec decode: each document's first 48 bytes become
+    a 4x4 RGB image LZW-compressed into a genuine GIF89a (palette from
+    unique colors, variable-width GIF-LZW with clear/EOI codes and
+    sub-block framing — :mod:`pyblazing_spark.operators.gif`, no codec
+    library; the stdlib has no LZW), then decoded back through
+    :func:`decode_image`'s GIF sniff path. GIF is LOSSLESS for
+    <=256-color images, so the oracle checks the payload mean
+    char-by-char exactly, like the PNG entry — a palette mix-up, LZW
+    width-growth bug, or sub-block framing error cannot pass."""
+    from collections.abc import Iterator as _It
+
+    from pyblazing_spark.operators.gif import encode_gif
+
+    docs = T(spark, sf_dir, "documents").where(F.length("text") >= 48)
+    payload = docs.select(
+        "doc_id", F.encode(F.substring("text", 1, 48), "UTF-8").alias("content")
+    )
+
+    def enc(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        encode_gif(4, 4, bytes(b)) for b in pdf["content"]
+                    ],
+                }
+            )
+
+    blobs = payload.mapInPandas(enc, schema="doc_id bigint, content binary")
+    return MM.decode_image(blobs).orderBy("doc_id")
+
+
+@register(
     "multimodal_decode_jpeg",
     tags=("multimodal", "decode", "codec", "jpeg", "mapInPandas"),
     oracle="""
@@ -229,10 +284,12 @@ FROM documents WHERE length(text) >= 48
 """,
 )
 def multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL transcoding: PPM -> PNG -> BMP -> PPM per blob (PNG via the
-    stdlib-zlib codec in ``operators/multimodal.py``), then a
-    byte-equality check against the original. Property-style oracle:
-    every blob must survive the triple conversion losslessly
+    """REAL transcoding: PPM -> PNG -> GIF -> BMP -> PPM per blob (PNG
+    via the stdlib-zlib codec; GIF via the from-scratch LZW coder in
+    ``operators/gif.py`` — lossless here because 4x4 payloads carry at
+    most 16 distinct colors), then a byte-equality check against the
+    original. Property-style oracle: every blob must survive the
+    quadruple conversion losslessly
     (n_lossless == n_blobs), which DuckDB asserts by expecting the two
     counts equal."""
     docs = T(spark, sf_dir, "documents").where(F.length("text") >= 48)
@@ -244,7 +301,8 @@ def multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     png = MM.transcode(blobs, "png").select("doc_id", "content")
-    bmp = MM.transcode(png, "bmp").select("doc_id", "content")
+    gif = MM.transcode(png, "gif").select("doc_id", "content")
+    bmp = MM.transcode(gif, "bmp").select("doc_id", "content")
     back = MM.transcode(bmp, "ppm").select(
         "doc_id", F.col("content").alias("__content_rt")
     )

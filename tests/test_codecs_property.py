@@ -81,3 +81,27 @@ def test_wav_resample_matches_numpy(n, seed, target):
         assert (w.getframerate(), w.getnframes()) == (target, n_out)
         got = np.frombuffer(w.readframes(n_out), dtype="<i2")
     assert np.array_equal(got, expected)
+
+
+@st.composite
+def _paletted_image(draw):
+    w = draw(st.integers(min_value=1, max_value=48))
+    h = draw(st.integers(min_value=1, max_value=16))
+    nc = draw(st.integers(min_value=1, max_value=256))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.RandomState(seed)
+    colors = rng.randint(0, 256, (nc, 3), dtype=np.uint8)
+    img = colors[rng.randint(0, nc, (h, w))]
+    return w, h, img.tobytes()
+
+
+@settings(max_examples=40, deadline=None)
+@given(_paletted_image())
+def test_gif_roundtrip(img):
+    """Any <=256-color image round-trips the from-scratch GIF-LZW coder
+    losslessly (palette build, variable code widths, dictionary growth
+    and reset, sub-block framing)."""
+    from pyblazing_spark.operators import gif as G
+
+    w, h, rgb = img
+    assert G.decode_gif(G.encode_gif(w, h, rgb)) == (w, h, rgb)
