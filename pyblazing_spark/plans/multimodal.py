@@ -685,3 +685,63 @@ def multimodal_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, frame_idx int, n_bytes int, digest string",
     )
     return out.orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "dedup_image_phash",
+    tags=("multimodal", "dedup", "phash", "mapInPandas"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id, substr(text, 1, 72) AS px
+  FROM documents WHERE length(text) >= 72),
+ b AS (
+  SELECT doc_id, CAST(k AS INTEGER) AS k,
+         CASE WHEN ascii(substr(px, CAST((k // 8) * 9 + (k % 8) + 1 AS INTEGER), 1))
+               < ascii(substr(px, CAST((k // 8) * 9 + (k % 8) + 2 AS INTEGER), 1))
+              THEN '1' ELSE '0' END AS bit
+  FROM v JOIN generate_series(0, 63) t(k) ON true),
+ hsh AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY k) AS dhash
+  FROM b GROUP BY doc_id)
+SELECT dhash,
+       CAST(count(*) AS BIGINT)    AS n_images,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM hsh GROUP BY dhash HAVING count(*) >= 2
+ORDER BY dhash
+""",
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: each doc's first 72 bytes become a 9x8
+    grayscale PGM, :func:`pyblazing_spark.operators.multimodal.image_dhash`
+    decodes it through the real parser path and computes the standard
+    difference hash (one bit per horizontal gradient sign on an 8x8
+    lattice), and images sharing a dHash collapse into duplicate
+    clusters — the image-corpus analogue of text fingerprinting; the
+    same fingerprint band-joins for hamming-near pairs exactly like
+    SimHash. The oracle recomputes every gradient bit from char
+    arithmetic and rebuilds the 64-bit fingerprint string, so a decode
+    offset, sampling-lattice, or bit-order bug cannot pass. ``id_sum``
+    makes the check sensitive to WHICH images share each cluster.
+
+    Scale: pixels never shuffle — only (doc_id, 64-char hash) leaves
+    the scan stage; clustering is a fingerprint groupBy."""
+    docs = T(spark, sf_dir, "documents").where(F.length("text") >= 72)
+    blobs = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P5\n9 8\n255\n"), "UTF-8"),
+            F.encode(F.substring("text", 1, 72), "UTF-8"),
+        ).alias("content"),
+    )
+    hashes = MM.image_dhash(blobs, grid=8)
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("keep_id"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .where(F.col("n_images") >= 2)
+        .orderBy("dhash")
+    )
