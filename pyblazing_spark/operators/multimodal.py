@@ -415,6 +415,8 @@ def _sniff_decode(data: bytes) -> tuple[int, int, bytes] | None:
         from pyblazing_spark.operators.gif import decode_gif
 
         return decode_gif(data)
+    if data[:4] in (TIFF_SIG_LE, TIFF_SIG_BE):
+        return decode_tiff(data)
     return None
 
 
@@ -639,6 +641,11 @@ def _encode_gif_target(w: int, h: int, rgb: bytes) -> bytes:
     return encode_gif(w, h, rgb)
 
 
+def _encode_tiff_target(w: int, h: int, rgb: bytes) -> bytes:
+    # encode_tiff is defined later in this module; resolve at call time
+    return encode_tiff(w, h, rgb)
+
+
 def _encode_jpeg_target(w: int, h: int, rgb: bytes) -> bytes:
     from pyblazing_spark.operators.jpeg import encode_jpeg
 
@@ -652,14 +659,17 @@ _TRANSCODE_TARGETS = {
     "jpeg": ("image/jpeg", _encode_jpeg_target),
     "jpg": ("image/jpeg", _encode_jpeg_target),
     "gif": ("image/gif", _encode_gif_target),
+    "tiff": ("image/tiff", _encode_tiff_target),
+    "tif": ("image/tiff", _encode_tiff_target),
 }
 
 
 def transcode(blobs: DataFrame, target_format: str) -> DataFrame:
     """REAL transcoding between the natively-parsed image formats: any
     PPM/PGM/BMP/PNG blob re-encodes to ``target_format`` in
-    {'ppm', 'bmp', 'png', 'gif', 'jpeg'} (decode to raw RGB, encode the
-    target container — PPM/BMP/PNG round-trip losslessly, GIF losslessly
+    {'ppm', 'bmp', 'png', 'gif', 'tiff', 'jpeg'} (decode to raw RGB,
+    encode the target container — PPM/BMP/PNG/TIFF round-trip
+    losslessly, GIF losslessly
     for <=256-color images via the from-scratch LZW coder in
     :mod:`pyblazing_spark.operators.gif`; JPEG is the baseline
     DCT codec in :mod:`pyblazing_spark.operators.jpeg`, lossy by design
@@ -739,3 +749,100 @@ def image_dhash(blobs: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
 
     return blobs.mapInPandas(kernel, schema="doc_id bigint, dhash string")
+
+
+TIFF_SIG_LE = b"II*\x00"
+TIFF_SIG_BE = b"MM\x00*"
+
+
+def encode_tiff(width: int, height: int, rgb: bytes) -> bytes:
+    """Uncompressed baseline TIFF (little-endian, single strip, RGB,
+    8 bits/sample) — TIFF 6.0 layout: header, pixel strip, one IFD with
+    the ten baseline tags a reader needs."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != w*h*3")
+    strip_offset = 8
+    ifd_offset = strip_offset + len(rgb)
+    # BitsPerSample needs 3 SHORTs -> stored out-of-line after the IFD
+    entries = []
+
+    def tag(tid: int, typ: int, count: int, value: int) -> None:
+        entries.append(struct.pack("<HHII", tid, typ, count, value))
+
+    n_entries = 10
+    bps_offset = ifd_offset + 2 + n_entries * 12 + 4
+    tag(256, 4, 1, width)            # ImageWidth LONG
+    tag(257, 4, 1, height)           # ImageLength LONG
+    tag(258, 3, 3, bps_offset)       # BitsPerSample SHORT[3] (offset)
+    tag(259, 3, 1, 1)                # Compression: none
+    tag(262, 3, 1, 2)                # Photometric: RGB
+    tag(273, 4, 1, strip_offset)     # StripOffsets
+    tag(277, 3, 1, 3)                # SamplesPerPixel
+    tag(278, 4, 1, height)           # RowsPerStrip: one strip
+    tag(279, 4, 1, len(rgb))         # StripByteCounts
+    tag(284, 3, 1, 1)                # PlanarConfiguration: chunky
+    ifd = struct.pack("<H", n_entries) + b"".join(entries) + struct.pack("<I", 0)
+    header = TIFF_SIG_LE + struct.pack("<I", ifd_offset)
+    return header + rgb + ifd + struct.pack("<HHH", 8, 8, 8)
+
+
+def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
+    """Baseline uncompressed TIFF decode, both byte orders: IFD walk,
+    multi-strip assembly, RGB (chunky) or grayscale."""
+    if data[:4] == TIFF_SIG_LE:
+        e = "<"
+    elif data[:4] == TIFF_SIG_BE:
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    import numpy as np
+
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+    (n,) = struct.unpack_from(e + "H", data, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n):
+        tid, typ, count, raw = struct.unpack_from(
+            e + "HHII", data, ifd_off + 2 + i * 12
+        )
+        tags[tid] = (typ, count, raw)
+
+    def values(tid: int, default=None) -> list[int]:
+        if tid not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tid}")
+            return [default]
+        typ, count, raw = tags[tid]
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"unsupported TIFF tag type {typ}")
+        fmt = e + ("H" if typ == 3 else "I")
+        if count * size <= 4:
+            # inline: values live in the 4-byte field itself; re-pack the
+            # field in file byte order and read the typed values out
+            out = []
+            rawb = struct.pack(e + "I", raw)
+            for k in range(count):
+                out.append(struct.unpack_from(fmt, rawb, k * size)[0])
+            return out
+        return [
+            struct.unpack_from(fmt, data, raw + k * size)[0] for k in range(count)
+        ]
+
+    width = values(256)[0]
+    height = values(257)[0]
+    comp = values(259, 1)[0]
+    if comp != 1:
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    spp = values(277, 1)[0]
+    offsets = values(273)
+    counts = values(279)
+    buf = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    if len(buf) != width * height * spp:
+        raise ValueError("TIFF strip data size mismatch")
+    if spp == 3:
+        return width, height, buf
+    if spp == 1:
+        return width, height, np.repeat(
+            np.frombuffer(buf, np.uint8), 3
+        ).tobytes()
+    raise ValueError(f"unsupported TIFF SamplesPerPixel {spp}")

@@ -284,12 +284,13 @@ FROM documents WHERE length(text) >= 48
 """,
 )
 def multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL transcoding: PPM -> PNG -> GIF -> BMP -> PPM per blob (PNG
+    """REAL transcoding: PPM -> PNG -> GIF -> TIFF -> BMP -> PPM per
+    blob (PNG
     via the stdlib-zlib codec; GIF via the from-scratch LZW coder in
     ``operators/gif.py`` — lossless here because 4x4 payloads carry at
     most 16 distinct colors), then a byte-equality check against the
     original. Property-style oracle: every blob must survive the
-    quadruple conversion losslessly
+    five-way conversion losslessly
     (n_lossless == n_blobs), which DuckDB asserts by expecting the two
     counts equal."""
     docs = T(spark, sf_dir, "documents").where(F.length("text") >= 48)
@@ -302,7 +303,8 @@ def multimodal_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     png = MM.transcode(blobs, "png").select("doc_id", "content")
     gif = MM.transcode(png, "gif").select("doc_id", "content")
-    bmp = MM.transcode(gif, "bmp").select("doc_id", "content")
+    tif = MM.transcode(gif, "tiff").select("doc_id", "content")
+    bmp = MM.transcode(tif, "bmp").select("doc_id", "content")
     back = MM.transcode(bmp, "ppm").select(
         "doc_id", F.col("content").alias("__content_rt")
     )

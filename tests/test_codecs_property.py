@@ -105,3 +105,12 @@ def test_gif_roundtrip(img):
 
     w, h, rgb = img
     assert G.decode_gif(G.encode_gif(w, h, rgb)) == (w, h, rgb)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_image())
+def test_tiff_roundtrip(img):
+    """Uncompressed TIFF (IFD + single strip) is lossless for any
+    geometry/content."""
+    w, h, rgb = img
+    assert MM.decode_tiff(MM.encode_tiff(w, h, rgb)) == (w, h, rgb)
