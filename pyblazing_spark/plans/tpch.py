@@ -25,6 +25,31 @@ from pyblazing_spark.plans.registry import register
 from pyblazing_spark.sources.tables import load_table as T
 
 
+@register(
+    "aaa_session_warmup",
+    tags=("smoke", "warmup"),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_regions,
+       CAST(sum(r_regionkey) AS BIGINT) AS key_sum
+FROM region
+""",
+)
+def aaa_session_warmup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-hygiene smoke entry, named to sort FIRST in the
+    catalog: a trivial 5-row dimension scan that absorbs the one-time
+    session costs every first query pays (JVM/scheduler warmup, worker
+    package ship, first codegen) into a row that is MEANT to carry
+    them — otherwise whichever real operator happens to sort first
+    alphabetically gets billed ~5-7s of startup in its formal
+    correctness-run timing and looks like a regression. Also a genuine
+    end-to-end smoke check (scan + aggregate + oracle compare)."""
+    reg = T(spark, sf_dir, "region")
+    return reg.agg(
+        F.count(F.lit(1)).alias("n_regions"),
+        F.sum("r_regionkey").alias("key_sum"),
+    )
+
+
 def money(col: Column) -> Column:
     """Round a monetary aggregate to 2 dp (both engines, stable hash)."""
     return F.round(col, 2)
