@@ -19,6 +19,7 @@ from pyblazing_spark.plans import (  # noqa: E402,F401
     llm,
     multimodal,
     nested,
+    retrieval,
     sampling,
     setops,
     streaming,

@@ -1,0 +1,314 @@
+"""Retrieval scoring, fuzzy matching, and data-layout operators.
+
+Driver extensions beyond the reference surface (the reference is a pure
+relational engine — SURVEY.md §2.9): the operations a 100 TB
+training-data / retrieval pipeline needs on top of the relational core:
+
+- ``text_bm25`` — Okapi BM25 relevance scoring of a document corpus
+  against a query term set (the classic sparse-retrieval ranker).
+- ``join_edit_distance`` — fuzzy string matching via Levenshtein
+  distance over a deduplicated dictionary (dictionary-level fuzzy join,
+  the scalable formulation).
+- ``join_runtime_minmax_filter`` — the manual min/max runtime-filter
+  shape (what Spark's runtime row-group skipping / DPP does
+  automatically for partition columns), written out explicitly so the
+  plan shows the filter reaching the fact scan.
+- ``sort_zorder_cluster`` — Z-order (Morton) space-filling-curve
+  clustering for multi-dimensional data layout; the write-path
+  technique that makes 2-D predicates prunable from 1-D zone maps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pyblazing_spark.plans.registry import register
+from pyblazing_spark.plans.tpch import money
+from pyblazing_spark.sources.tables import load_table as T
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_bm25",
+    tags=("llm", "retrieval", "scoring"),
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+ dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM tok WHERE token <> '' GROUP BY doc_id),
+ stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+ tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ('spark', 'hash', 'window')
+  GROUP BY doc_id, token),
+ idf AS (
+  SELECT token,
+         ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token) d
+  CROSS JOIN stats s),
+ scored AS (
+  SELECT tf.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         sum(idf.idf * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                      + {_BM25_B} * dl.dl / s.avgdl))) AS raw
+  FROM tf
+  JOIN idf ON tf.token = idf.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+ ranked AS (
+  SELECT doc_id, n_terms, round(raw + 1e-9, 4) AS score
+  FROM scored)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+       doc_id, n_terms, score
+FROM ranked
+ORDER BY score DESC, doc_id
+LIMIT 15
+""",
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring (k1=1.2, b=0.75) of every document against the
+    query ``{spark, hash, window}``; top-15 by score.
+
+    Scale plan: the explode is map-side; ``dl`` (doc length) and ``tf``
+    (term frequency, query terms only) are partial-aggregated before
+    their shuffles, so only (doc_id, count) pairs cross the wire — never
+    text. ``stats`` (1 row) and ``idf`` (|query| rows) are broadcast;
+    the only non-broadcast join is tf⋈dl on doc_id. At 100 TB the
+    corpus-global constants (N, avgdl, df) are one cheap pre-pass, the
+    scoring itself is embarrassingly parallel, and the final top-k is a
+    TakeOrdered over per-partition top-k — no global sort."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias(
+                "idf"
+            ),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                F.col("idf")
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("raw"),
+        )
+        .select(
+            "doc_id", "n_terms", F.round(F.col("raw") + 1e-9, 4).alias("score")
+        )
+    )
+    w = W.orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 15)
+        .select("rank", "doc_id", "n_terms", "score")
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+@register(
+    "join_edit_distance",
+    tags=("join", "fuzzy", "levenshtein"),
+    oracle="""
+WITH dict AS (SELECT DISTINCT p_type FROM part),
+ pairs AS (
+  SELECT a.p_type AS t1, b.p_type AS t2,
+         CAST(levenshtein(a.p_type, b.p_type) AS INTEGER) AS distance
+  FROM dict a JOIN dict b ON a.p_type < b.p_type)
+SELECT distance,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       min(t1 || ' ~ ' || t2)   AS sample_pair
+FROM pairs
+WHERE distance <= 8
+GROUP BY distance
+ORDER BY distance
+""",
+)
+def join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join: Levenshtein distance ≤ 8 over the
+    deduplicated ``p_type`` dictionary (near-identical type strings like
+    'STANDARD ANODIZED TIN' ~ 'STANDARD ANODIZED NICKEL').
+
+    Scale plan: fuzzy matching runs on the DISTINCT value dictionary,
+    never on base rows — a 100 TB fact table with a 150-value dictionary
+    does a 150×150 comparison after one distinct shuffle, then maps
+    results back by equi-join. The dictionary self-join broadcasts (tiny
+    by construction); for large dictionaries the same entry composes
+    with the repo's LSH/blocking operators (operators/dedup.py) instead
+    of the quadratic pairing."""
+    dict_df = T(spark, sf_dir, "part").select("p_type").distinct()
+    a = dict_df.alias("a")
+    b = dict_df.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.p_type") < F.col("b.p_type")
+    ).select(
+        F.col("a.p_type").alias("t1"),
+        F.col("b.p_type").alias("t2"),
+        F.levenshtein(F.col("a.p_type"), F.col("b.p_type")).cast("int").alias("distance"),
+    )
+    return (
+        pairs.where(F.col("distance") <= 8)
+        .groupBy("distance")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.concat_ws(" ~ ", "t1", "t2")).alias("sample_pair"),
+        )
+        .orderBy("distance")
+    )
+
+
+@register(
+    "join_runtime_minmax_filter",
+    tags=("join", "runtime-filter", "pushdown"),
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT)      AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def join_runtime_minmax_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-filtered fact join with an EXPLICIT min/max runtime
+    filter: the BUILDING-segment customer-key range is computed first
+    and applied to the orders scan as a BETWEEN predicate *before* the
+    join (semantics-preserving — the join re-checks exact keys).
+
+    This is the manual form of runtime filtering / dynamic partition
+    pruning: at 100 TB the BETWEEN lands in PushedFilters on the fact
+    scan, so parquet row-group zone maps skip data for free, and the
+    join then broadcasts the filtered dimension. Catalyst cannot infer
+    cross-table min/max bounds itself, so writing it explicitly is how
+    a pipeline hands the scan its skipping predicate."""
+    cust = (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bounds = cust.agg(
+        F.min("c_custkey").alias("k_min"), F.max("c_custkey").alias("k_max")
+    )
+    orders = T(spark, sf_dir, "orders")
+    fact = orders.crossJoin(F.broadcast(bounds)).where(
+        F.col("o_custkey").between(F.col("k_min"), F.col("k_max"))
+    )
+    return (
+        fact.join(F.broadcast(cust), fact.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    """Morton/Z-order interleave as portable integer arithmetic
+    (identical text works in both Spark SQL and DuckDB)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({y} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_Z_EXPR = _morton_sql("(l_partkey % 256)", "(l_suppkey % 256)")
+
+
+@register(
+    "sort_zorder_cluster",
+    tags=("sort", "layout", "zorder"),
+    oracle=f"""
+WITH z AS (
+  SELECT l_partkey % 256 AS zx, l_suppkey % 256 AS zy,
+         CAST({_Z_EXPR} AS BIGINT) AS zcode,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+ b AS (
+  SELECT zx, zy, zcode,
+         ntile(16) OVER (ORDER BY zcode, l_orderkey, l_linenumber) AS bucket
+  FROM z)
+SELECT CAST(bucket AS INTEGER)   AS bucket,
+       CAST(count(*) AS BIGINT)  AS n_rows,
+       CAST(min(zcode) AS BIGINT) AS z_min,
+       CAST(max(zcode) AS BIGINT) AS z_max,
+       CAST(max(zx) - min(zx) AS BIGINT) AS x_span,
+       CAST(max(zy) - min(zy) AS BIGINT) AS y_span
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout clustering: interleave the low 8 bits of
+    (l_partkey, l_suppkey) into a Morton code, range-bucket rows by it,
+    and report each bucket's (x, y) span — the zone-map footprint a
+    2-D-clustered file would have.
+
+    The Morton code is pure integer bit arithmetic (whole-stage
+    codegen), so the only cost is ONE range shuffle — exactly what the
+    write path pays anyway to produce sorted output files. At 100 TB
+    this is `repartitionByRange(zcode).sortWithinPartitions(zcode)`
+    before the parquet write; each output file then spans a small
+    (x, y) rectangle and min/max zone maps prune BOTH dimensions of a
+    2-D predicate, which no single-column sort can do. ntile here
+    stands in for the range partitioner to keep the oracle exact."""
+    li = T(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey % 256 AS zx",
+        "l_suppkey % 256 AS zy",
+        f"CAST({_Z_EXPR} AS BIGINT) AS zcode",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.orderBy("zcode", "l_orderkey", "l_linenumber")
+    b = li.withColumn("bucket", F.ntile(16).over(w).cast("int"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zcode").alias("z_min"),
+            F.max("zcode").alias("z_max"),
+            (F.max("zx") - F.min("zx")).alias("x_span"),
+            (F.max("zy") - F.min("zy")).alias("y_span"),
+        )
+        .orderBy("bucket")
+    )
