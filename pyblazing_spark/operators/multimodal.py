@@ -547,6 +547,47 @@ def audio_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(kernel, schema=AUDIO_SCHEMA)
 
 
+SPECTRUM_SCHEMA = (
+    "doc_id bigint, n_samples int, mag1 double, mag2 double, mag3 double, "
+    "mag4 double"
+)
+
+
+def audio_spectrum(blobs: DataFrame) -> DataFrame:
+    """REAL spectral analysis: decode PCM-16 WAV and compute the DFT
+    magnitude of bins 1-4 via ``numpy.fft.rfft`` over the normalized
+    samples (the front half of any audio-fingerprint / voice-activity
+    feature). Narrow map — audio bytes never shuffle; per-blob FFT is
+    O(n log n) numpy, no codec library needed."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(buf))) as w:
+                    width, n = w.getsampwidth(), w.getnframes()
+                    raw = w.readframes(n)
+                if width != 2:
+                    raise ValueError(f"only 16-bit PCM supported, got width={width}")
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+                spec = np.abs(np.fft.rfft(x))
+                mags = [
+                    round(float(spec[k]) + 1e-9, 4) if k < spec.size else None
+                    for k in (1, 2, 3, 4)
+                ]
+                rows.append((doc_id, n, *mags))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "mag1", "mag2", "mag3", "mag4"]
+            )
+
+    return blobs.mapInPandas(kernel, schema=SPECTRUM_SCHEMA)
+
+
 def frame_sample(blobs: DataFrame, n_frames: int = 4) -> DataFrame:
     """1->N expansion: split each (video) blob into ``n_frames``
     contiguous byte ranges — frame i covers

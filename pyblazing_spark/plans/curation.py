@@ -363,3 +363,84 @@ def pipeline_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "pipeline_scd2",
+    tags=("pipeline", "warehouse", "scd2", "window"),
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM orders WHERE o_custkey < 40),
+ flagged AS (
+  SELECT *,
+         CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+ runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged),
+ versions AS (
+  SELECT o_custkey, island, min(o_orderpriority) AS priority,
+         CAST(min(o_orderdate) AS TIMESTAMP) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM runs GROUP BY o_custkey, island)
+SELECT o_custkey AS custkey,
+       CAST(row_number() OVER v AS INTEGER) AS version,
+       priority, valid_from,
+       lead(valid_from) OVER v AS valid_to,
+       n_orders,
+       CASE WHEN lead(valid_from) OVER v IS NULL THEN true ELSE false END AS is_current
+FROM versions WINDOW v AS (PARTITION BY o_custkey ORDER BY valid_from, island)
+ORDER BY custkey, version
+""",
+)
+def pipeline_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 build: collapse each customer's
+    order-priority history into versioned validity intervals
+    (gaps-and-islands -> [valid_from, valid_to) rows, open-ended
+    current version flagged).
+
+    Scale plan: ONE shuffle on the dimension key (custkey) serves both
+    windows and the island aggregation — Catalyst reuses the
+    partitioning across the lag, the running sum, and the groupBy,
+    because they all key on the same column. At 100 TB the change-log
+    scan partials down to (key, attr, ts) triples before that shuffle;
+    no self-join, no per-version pass — the standard distributed SCD2
+    formulation."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 40)
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    )
+    wseq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("o_orderpriority").over(wseq).eqNullSafe(F.col("o_orderpriority")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "island",
+        F.sum("chg").over(wseq.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    versions = runs.groupBy("o_custkey", "island").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").cast("timestamp").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wver = W.partitionBy("o_custkey").orderBy("valid_from", "island")
+    return (
+        versions.select(
+            F.col("o_custkey").alias("custkey"),
+            F.row_number().over(wver).cast("int").alias("version"),
+            "priority",
+            "valid_from",
+            F.lead("valid_from").over(wver).alias("valid_to"),
+            "n_orders",
+            F.lead("valid_from").over(wver).isNull().alias("is_current"),
+        )
+        .orderBy("custkey", "version")
+    )

@@ -454,3 +454,128 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_gap_fill_linear",
+    tags=("events", "datetime", "gapfill", "interpolate", "window"),
+    oracle="""
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS b,
+         round(avg(value) + 1e-9, 4) AS v
+  FROM events
+  WHERE user_id < 40
+    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+  GROUP BY 1, 2),
+ grid AS (
+  SELECT u.user_id, g.b
+  FROM (SELECT DISTINCT user_id FROM obs) u
+  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                            TIMESTAMP '2024-01-02 23:00:00',
+                            INTERVAL 1 HOUR)) AS b) g),
+ j AS (SELECT g.user_id, g.b,
+              row_number() OVER (PARTITION BY g.user_id ORDER BY g.b) AS rn,
+              o.v
+       FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+ ctx AS (
+  SELECT user_id, b, rn, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS prn,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wf AS nrn
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+ filled AS (
+  SELECT user_id, v,
+         CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NOT NULL AND nv IS NOT NULL
+              THEN pv + (nv - pv) * (rn - prn) / (nrn - prn)
+              ELSE NULL END AS fv
+  FROM ctx)
+SELECT user_id,
+       CAST(count(v) AS BIGINT)             AS n_observed,
+       CAST(count(fv) - count(v) AS BIGINT) AS n_interp,
+       round(sum(fv) + 1e-4, 2)             AS total_value
+FROM filled GROUP BY user_id ORDER BY user_id
+""",
+)
+def events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling by LINEAR INTERPOLATION (the hypertable
+    ``interpolate()`` shape): like :func:`events_gap_fill` but missing
+    hourly buckets between two observations get the time-weighted
+    average of their neighbors instead of a carried-forward copy;
+    buckets before the first / after the last observation stay NULL
+    (no extrapolation).
+
+    The neighbor search is two IGNORE NULLS window passes (value and
+    grid position carried together), so interpolation costs the same
+    ONE shuffle on user_id as locf — no self-join against the
+    observation set. The lerp fraction uses grid row numbers, not
+    epoch arithmetic: on an hourly grid they are proportional, and
+    integer positions keep both engines' math identical."""
+    ev = T(spark, sf_dir, "events").where(
+        (F.col("user_id") < 40)
+        & (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'"))
+        & (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-03 00:00:00'"))
+    )
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.round(F.avg("value") + 1e-9, 4).alias("v"))
+    users = obs.select("user_id").distinct()
+    hours = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+                " TIMESTAMP_NTZ '2024-01-02 23:00:00', INTERVAL 1 HOUR)"
+            )
+        ).alias("b")
+    )
+    grid = users.crossJoin(F.broadcast(hours))
+    j = grid.join(obs, ["user_id", "b"], "left").withColumn(
+        "rn", F.row_number().over(W.partitionBy("user_id").orderBy("b"))
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    marked = F.when(F.col("v").isNotNull(), F.col("rn"))
+    ctx = j.select(
+        "user_id",
+        "rn",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(marked, ignorenulls=True).over(wp).alias("prn"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(marked, ignorenulls=True).over(wf).alias("nrn"),
+    )
+    filled = ctx.select(
+        "user_id",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("rn") - F.col("prn"))
+            / (F.col("nrn") - F.col("prn")),
+        )
+        .alias("fv"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count("v").alias("n_observed"),
+            (F.count("fv") - F.count("v")).alias("n_interp"),
+            F.round(F.sum("fv") + 1e-4, 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
