@@ -209,27 +209,37 @@ ORDER BY o.o_orderpriority
 def join_runtime_minmax_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-filtered fact join with an EXPLICIT min/max runtime
     filter: the BUILDING-segment customer-key range is computed first
-    and applied to the orders scan as a BETWEEN predicate *before* the
-    join (semantics-preserving — the join re-checks exact keys).
+    (one dimension-sized job collecting a single (min, max) row — the
+    same bounded driver action Spark's own runtime subquery filters
+    perform) and applied to the orders scan as a LITERAL BETWEEN
+    predicate before the join (semantics-preserving — the join
+    re-checks exact keys).
 
     This is the manual form of runtime filtering / dynamic partition
-    pruning: at 100 TB the BETWEEN lands in PushedFilters on the fact
-    scan, so parquet row-group zone maps skip data for free, and the
-    join then broadcasts the filtered dimension. Catalyst cannot infer
-    cross-table min/max bounds itself, so writing it explicitly is how
-    a pipeline hands the scan its skipping predicate."""
+    pruning: because the bounds are literals, the BETWEEN lands in
+    PushedFilters on the fact scan (plan-asserted in
+    tests/test_plan_audits.py), so parquet row-group zone maps skip
+    data for free, and the join then broadcasts the filtered
+    dimension. Catalyst cannot infer cross-table min/max bounds
+    itself, so writing it explicitly is how a pipeline hands the scan
+    its skipping predicate. An all-NULL dimension (empty after the
+    filter) degenerates to a false predicate — the scan reads nothing,
+    matching the empty join result."""
     cust = (
         T(spark, sf_dir, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    bounds = cust.agg(
+    row = cust.agg(
         F.min("c_custkey").alias("k_min"), F.max("c_custkey").alias("k_max")
-    )
+    ).collect()[0]
     orders = T(spark, sf_dir, "orders")
-    fact = orders.crossJoin(F.broadcast(bounds)).where(
-        F.col("o_custkey").between(F.col("k_min"), F.col("k_max"))
-    )
+    if row["k_min"] is None:
+        fact = orders.where(F.lit(False))
+    else:
+        fact = orders.where(
+            F.col("o_custkey").between(F.lit(row["k_min"]), F.lit(row["k_max"]))
+        )
     return (
         fact.join(F.broadcast(cust), fact.o_custkey == cust.c_custkey)
         .groupBy("o_orderpriority")

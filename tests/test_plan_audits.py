@@ -284,3 +284,37 @@ def test_vector_diversity_partial_aggregates(spark, sf_dir):
     df = plans.REGISTRY["vector_diversity"].fn(spark, sf_dir)
     phys = _executed_plan(df)
     assert "partial_sum" in phys, phys
+
+
+def test_runtime_minmax_filter_reaches_fact_scan(spark, sf_dir):
+    """join_runtime_minmax_filter's whole point: the dimension-derived
+    key range must arrive at the orders parquet scan as PushedFilters
+    (literal bounds -> row-group zone-map skipping at 100 TB), and the
+    dimension join itself must broadcast."""
+    df = plans.REGISTRY["join_runtime_minmax_filter"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    scans = [b for b in plan.split("\n\n") if "Scan parquet" in b and "orders" in b]
+    assert scans, plan
+    assert any(
+        "GreaterThanOrEqual(o_custkey" in b and "LessThanOrEqual(o_custkey" in b
+        for b in scans
+    ), scans[0]
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_morton_code_stays_in_codegen(spark, sf_dir):
+    """The Morton interleave must be pure JVM bit arithmetic inside
+    WholeStageCodegen — no Python boundary, no extra exchange beyond
+    the single range/window shuffle the layout pays by design."""
+    df = plans.REGISTRY["sort_zorder_cluster"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # One window (the range bucketing) and no join: the morton code is
+    # computed inline in the project over the scan.
+    assert plan.count("Window") >= 1 and "Join" not in plan
+    project = [b for b in plan.split("\n\n") if ") Project" in b][0]
+    assert ">>" in project and "& 1" in project, project
