@@ -548,3 +548,45 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_histogram",
+    tags=("aggregate", "histogram"),
+    oracle="""
+SELECT least(CAST(floor(o_totalprice / 30000) AS BIGINT), 19) AS bin_id,
+       CAST(count(*) AS BIGINT)       AS n,
+       round(min(o_totalprice), 2)    AS lo,
+       round(max(o_totalprice), 2)    AS hi,
+       round(sum(o_totalprice), 2)    AS total
+FROM orders
+GROUP BY bin_id
+ORDER BY bin_id
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: 20 fixed 30k-wide bins with
+    an open-ended top bucket. Bin arithmetic uses floor-division on both
+    engines (DuckDB ``//`` on DOUBLE operands does NOT floor — it is
+    plain division — so the oracle spells ``floor()`` explicitly;
+    Spark ``floor`` returns BIGINT and the oracle CASTs to align dtype
+    families per the repo's floor/ceil convention).
+
+    Scale: the bin id is scan-stage codegen; the groupBy partials to at
+    most 20 rows per task before the shuffle, so a 100 TB histogram
+    moves 20×n_tasks tiny rows — the textbook map-side-combine case."""
+    o = T(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 30000), F.lit(19)).alias("bin_id"),
+        "o_totalprice",
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.min("o_totalprice")).alias("lo"),
+            money(F.max("o_totalprice")).alias("hi"),
+            money(F.sum("o_totalprice")).alias("total"),
+        )
+        .orderBy("bin_id")
+    )

@@ -579,3 +579,75 @@ def events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_attribution",
+    tags=("events", "window", "attribution"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+  FROM events),
+ purchases AS (
+  SELECT coalesce(last_touch, 'direct')  AS last_touch,
+         coalesce(first_touch, 'direct') AS first_touch,
+         value
+  FROM seq WHERE event_type = 'purchase')
+SELECT last_touch AS channel,
+       CAST(count(*) AS BIGINT)                 AS n_last_touch,
+       round(sum(value) + 1e-4, 2)              AS revenue_last_touch,
+       CAST(sum(CASE WHEN first_touch = last_touch THEN 1 ELSE 0 END)
+            AS BIGINT)                          AS n_also_first_touch
+FROM purchases
+GROUP BY last_touch
+ORDER BY channel
+""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style purchase attribution: every purchase is credited
+    to the user's most recent preceding non-purchase event (last-touch),
+    with a first-touch agreement count alongside; purchases with no
+    preceding touch go to 'direct'.
+
+    Scale: ONE shuffle on user_id serves both IGNORE NULLS window
+    passes (same partitioning, same ordering — Catalyst evaluates them
+    in a single Window operator), then the credit aggregation partials
+    map-side to ≤|channels| rows per task. No self-join against the
+    touch set — the standard distributed attribution formulation."""
+    ev = T(spark, sf_dir, "events")
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(wprev).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(wprev).alias("first_touch"),
+    )
+    purchases = seq.where(F.col("event_type") == "purchase").select(
+        F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+        F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+        "value",
+    )
+    return (
+        purchases.groupBy(F.col("last_touch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_last_touch"),
+            F.round(F.sum("value") + 1e-4, 2).alias("revenue_last_touch"),
+            F.sum(
+                F.when(F.col("first_touch") == F.col("last_touch"), 1).otherwise(0)
+            ).alias("n_also_first_touch"),
+        )
+        .orderBy("channel")
+    )

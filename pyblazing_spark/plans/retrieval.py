@@ -322,3 +322,172 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "sort_pareto_frontier",
+    tags=("sort", "skyline", "frontier"),
+    oracle="""
+WITH pts AS (
+  SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
+ frontier AS (
+  -- independent formulation: quadratic strict-dominance NOT EXISTS
+  SELECT price, size FROM pts a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.price <= a.price AND b.size >= a.size
+      AND (b.price < a.price OR b.size > a.size)))
+SELECT round(price, 2) AS price,
+       CAST(size AS INTEGER) AS size
+FROM frontier
+ORDER BY price, size
+""",
+)
+def sort_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over distinct (price, size) points:
+    minimize price, maximize size; a point survives iff nothing is
+    cheaper-and-at-least-as-big or same-price-and-strictly-bigger.
+
+    The Spark side is the SCALABLE single-pass formulation: sort by
+    (price asc, size desc) and keep rows whose size strictly exceeds
+    the running maximum over all strictly-preceding rows — one window
+    over the deduplicated point set, O(n log n), no pairwise
+    comparison. The oracle is the O(n²) NOT EXISTS dominance
+    definition, so the match PROVES the window trick implements the
+    textbook semantics. At 100 TB: distinct-pair dedup partials
+    map-side; the frontier pass runs per range-partition and the
+    per-partition frontiers (tiny) merge with one final pass."""
+    pts = (
+        T(spark, sf_dir, "part")
+        .select(F.col("p_retailprice").alias("price"), F.col("p_size").alias("size"))
+        .distinct()
+    )
+    w = (
+        W.orderBy(F.asc("price"), F.desc("size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = pts.withColumn("run_max", F.max("size").over(w))
+    return (
+        flagged.where(F.col("run_max").isNull() | (F.col("size") > F.col("run_max")))
+        .select(
+            F.round("price", 2).alias("price"), F.col("size").cast("int").alias("size")
+        )
+        .orderBy("price", "size")
+    )
+
+
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Three unrolled weighted-PageRank rounds as chained CTEs."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        rounds.append(
+            f""" r{i} AS (
+  SELECT n.node,
+         (1 - {_PR_D}) / s.n_nodes
+         + {_PR_D} * coalesce(sum({prev}.rank * e.w / d.out_w), 0) AS rank
+  FROM nodes n
+  CROSS JOIN stats s
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN degree d ON d.src = e.src
+  LEFT JOIN {prev} ON {prev}.node = e.src
+  GROUP BY n.node, s.n_nodes)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY src, dst),
+ nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+ degree AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+ r0 AS (SELECT node, 1.0 / s.n_nodes AS rank FROM nodes CROSS JOIN stats s),
+{",".join(rounds)}
+SELECT CAST(node AS BIGINT) AS node,
+       round({prev}.rank + 1e-9, 6) AS rank
+FROM {prev}
+ORDER BY node
+"""
+
+
+@register(
+    "graph_pagerank",
+    tags=("graph", "pagerank", "iterative"),
+    oracle=_pagerank_oracle(),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85, 3 rounds) over the international
+    trade graph: nation→nation edges weighted by lineitem count between
+    a customer's and a supplier's nation (the TPC-H Q7 join shape).
+    Dangling mass is not redistributed (every nation exports at any
+    realistic SF, and both engines define it identically).
+
+    Scale plan: the expensive part is the EDGE EXTRACTION — a fact-scale
+    join pipeline whose dimensions broadcast, aggregated to a
+    nation-pair edge list before any iteration. The rank loop then runs
+    on the aggregated graph: contributions join rank⋈edges on src
+    (co-partitioned round to round), aggregate on dst. Each round is
+    checkpoint-bounded via the same persist discipline as
+    connected-components (operators/graph.py) so lineage never grows;
+    the oracle unrolls the identical three rounds as chained CTEs."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = edges.persist()
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct().persist()
+    n_nodes = float(nodes.count())
+    degree = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # Rank carried as a small DF; the graph is dimension-sized after
+    # aggregation, so each round broadcasts rank and degree.
+    rank = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(degree), "src")
+            .join(F.broadcast(rank), F.col("src") == F.col("node"))
+            .select(
+                "dst", (F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib")
+            )
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("contrib").alias("mass"))
+        rank = (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - _PR_D) / n_nodes)
+                    + _PR_D * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        rank = rank.localCheckpoint(eager=True)
+    out = rank.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.round(F.col("rank") + 1e-9, 6).alias("rank"),
+    ).orderBy("node")
+    edges.unpersist()
+    nodes.unpersist()
+    return out
