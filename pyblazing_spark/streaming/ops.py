@@ -195,9 +195,15 @@ def run_available_now(
     # memory-sink drain. Scope it to cluster parallelism for the drain —
     # production writeStream sinks are started by the caller and inherit
     # the session's own sizing.
+    # Cap at 4: each state-store instance costs per-micro-batch task +
+    # provider overhead that dwarfs the fixture-scale state it holds
+    # (measured: the two-sided interval join drain drops 3.9s -> 2.6s
+    # going 8 -> 4 partitions at sf0.01, and sf0.1 rows are still only
+    # ~150k/task). Production writeStream sinks are started by the
+    # caller and size state stores to the real keyspace instead.
     confs = {
         "spark.sql.shuffle.partitions": str(
-            spark.sparkContext.defaultParallelism
+            max(2, min(4, spark.sparkContext.defaultParallelism))
         )
     }
     with scoped_conf(spark, confs):
