@@ -460,6 +460,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("node"))
     ).distinct().persist()
     n_nodes = float(nodes.count())
+    if n_nodes == 0:  # empty graph: stable schema, zero rows
+        edges.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.lit(0.0).alias("rank"),
+        )
     degree = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     # Rank carried as a small DF; the graph is dimension-sized after
     # aggregation, so each round broadcasts rank and degree.

@@ -306,3 +306,121 @@ def vector_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+_PQ_M = 4       # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (64-dim embeddings)
+_PQ_K = 4       # centroids per subspace codebook
+
+
+def _pq_oracle() -> str:
+    """Per-subspace codebook build + assignment as chained CTEs, packed
+    into one 8-bit code per vector (2 bits x 4 subspaces)."""
+    subs = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        subs.append(f"""
+ init{s} AS (
+  SELECT vec_id,
+         list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v,
+         CAST(vec_id % {_PQ_K} AS INTEGER) AS c0
+  FROM embeddings),
+ cent{s} AS (
+  SELECT c0, i, avg(v[i]) AS m
+  FROM init{s} JOIN generate_series(1, {_PQ_SUBDIM}) t(i) ON i <= {_PQ_SUBDIM}
+  GROUP BY c0, i),
+ cl{s} AS (SELECT c0 AS cand, list(m ORDER BY i) AS cv FROM cent{s} GROUP BY c0),
+ dist{s} AS (
+  SELECT v.vec_id, c.cand, {_sql_d2('v', 'c')} AS d2
+  FROM init{s} v CROSS JOIN cl{s} c),
+ best{s} AS (
+  SELECT vec_id, cand, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+  FROM dist{s})""")
+    base = "(SELECT vec_id, cand AS c0, d2 AS e0 FROM best0 WHERE rn = 1) b0"
+    join = base + " ".join(
+        f" JOIN (SELECT vec_id, cand AS c{s}, d2 AS e{s} FROM best{s} WHERE rn = 1)"
+        f" b{s} ON b0.vec_id = b{s}.vec_id"
+        for s in range(1, _PQ_M)
+    )
+    code = " + ".join(
+        f"b{s}.c{s} * {_PQ_K ** (_PQ_M - 1 - s)}" for s in range(_PQ_M)
+    )
+    err = " + ".join(f"b{s}.e{s}" for s in range(_PQ_M))
+    return f"""
+WITH {",".join(subs)}
+SELECT CAST({code} AS INTEGER)        AS code,
+       CAST(count(*) AS BIGINT)       AS n_vectors,
+       CAST(sum(b0.vec_id) AS BIGINT) AS id_sum,
+       round(sum({err}) + 1e-6, 2)    AS total_err
+FROM {join}
+GROUP BY code
+ORDER BY code
+"""
+
+
+@register(
+    "vector_pq",
+    tags=("vector", "quantization", "ann", "llm"),
+    oracle=_pq_oracle(),
+)
+def vector_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (m=4 subspaces x 16 dims, k=4 codebook each):
+    every 64-dim embedding compresses to one 8-bit code, the storage
+    layout ANN systems use at 100 TB (256 bytes of float32 -> 1 byte +
+    a shared 4x4x16-float codebook). Codebooks come from one Lloyd mean
+    over the deterministic init ``vec_id % k`` per subspace; each
+    subvector is assigned to its nearest codebook row under the repo's
+    rounded-d2/lowest-id tie contract, and the per-vector reconstruction
+    error is the sum of subspace distances.
+
+    Scale plan: the codebook build is the same two-phase partial-mean
+    shuffle as :func:`vector_kmeans` but over 16-dim slices (4 tiny
+    aggregations); assignment is 4 broadcast-closure numpy kernels in
+    ONE projection — embeddings are read once, nothing vector-sized
+    shuffles, and the output aggregate carries ≤256 code rows. The
+    oracle replays all four codebooks and assignments as chained CTEs
+    and checks id-exact membership per code."""
+    from pyblazing_spark.operators.similarity import (
+        centroid_assign_with_dist,
+        centroid_means,
+    )
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    emb = T(spark, sf_dir, "embeddings")
+    init = emb.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % _PQ_K).cast("int").alias("c0"),
+        *[
+            F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(f"sub{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    assigns = []
+    with scoped_conf(spark, loop_shuffle_confs(spark)):
+        for s in range(_PQ_M):
+            ids, C = centroid_means(
+                init.select(F.col(f"sub{s}").alias("v"), "c0"), "v", "c0"
+            )
+            assigns.append(
+                centroid_assign_with_dist(F.col(f"sub{s}"), C, cluster_ids=ids)
+            )
+    coded = init.select(
+        "vec_id", *[a.alias(f"a{s}") for s, a in enumerate(assigns)]
+    ).select(
+        "vec_id",
+        sum(
+            F.col(f"a{s}.cluster") * (_PQ_K ** (_PQ_M - 1 - s)) for s in range(_PQ_M)
+        ).cast("int").alias("code"),
+        sum(F.col(f"a{s}.d2") for s in range(_PQ_M)).alias("err"),
+    )
+    return materialize_bounded(
+        coded.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("vec_id").alias("id_sum"),
+            F.round(F.sum("err") + 1e-6, 2).alias("total_err"),
+        )
+        .orderBy("code")
+    )
