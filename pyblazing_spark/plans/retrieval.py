@@ -357,18 +357,13 @@ def sort_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook semantics. At 100 TB: distinct-pair dedup partials
     map-side; the frontier pass runs per range-partition and the
     per-partition frontiers (tiny) merge with one final pass."""
-    pts = (
-        T(spark, sf_dir, "part")
-        .select(F.col("p_retailprice").alias("price"), F.col("p_size").alias("size"))
-        .distinct()
+    from pyblazing_spark.operators.analytics import pareto_frontier_2d
+
+    pts = T(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
     )
-    w = (
-        W.orderBy(F.asc("price"), F.desc("size"))
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    flagged = pts.withColumn("run_max", F.max("size").over(w))
     return (
-        flagged.where(F.col("run_max").isNull() | (F.col("size") > F.col("run_max")))
+        pareto_frontier_2d(pts, "price", "size")
         .select(
             F.round("price", 2).alias("price"), F.col("size").cast("int").alias("size")
         )
@@ -399,7 +394,7 @@ def _pagerank_oracle() -> str:
         )
         prev = f"r{i}"
     return f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          CAST(count(*) AS DOUBLE) AS w
   FROM lineitem l
@@ -455,46 +450,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
-    edges = edges.persist()
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct().persist()
-    n_nodes = float(nodes.count())
-    if n_nodes == 0:  # empty graph: stable schema, zero rows
-        edges.unpersist()
-        nodes.unpersist()
-        return nodes.select(
-            F.col("node").cast("bigint").alias("node"),
-            F.lit(0.0).alias("rank"),
-        )
-    degree = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # Rank carried as a small DF; the graph is dimension-sized after
-    # aggregation, so each round broadcasts rank and degree.
-    rank = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("rank"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(F.broadcast(degree), "src")
-            .join(F.broadcast(rank), F.col("src") == F.col("node"))
-            .select(
-                "dst", (F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib")
-            )
-        )
-        incoming = contrib.groupBy("dst").agg(F.sum("contrib").alias("mass"))
-        rank = (
-            nodes.join(incoming, nodes.node == incoming.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit((1 - _PR_D) / n_nodes)
-                    + _PR_D * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
-        rank = rank.localCheckpoint(eager=True)
-    out = rank.select(
-        F.col("node").cast("bigint").alias("node"),
-        F.round(F.col("rank") + 1e-9, 6).alias("rank"),
-    ).orderBy("node")
-    edges.unpersist()
-    nodes.unpersist()
+    from pyblazing_spark.operators.analytics import pagerank
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    # The rank loop operates on the 25-node aggregated graph: size its
+    # per-round shuffles to the cluster, not the session's fact-table
+    # width (the iterative-operator discipline from operators/graph.py).
+    with scoped_conf(spark, loop_shuffle_confs(spark)):
+        ranks = pagerank(edges, damping=_PR_D, iterations=_PR_ITERS)
+        out = ranks.select(
+            "node", F.round(F.col("rank") + 1e-9, 6).alias("rank")
+        ).orderBy("node")
+        out = out.localCheckpoint(eager=True)
     return out

@@ -318,3 +318,30 @@ def test_zorder_morton_code_stays_in_codegen(spark, sf_dir):
     assert plan.count("Window") >= 1 and "Join" not in plan
     project = [b for b in plan.split("\n\n") if ") Project" in b][0]
     assert ">>" in project and "& 1" in project, project
+
+
+def test_bm25_never_shuffles_text(spark, sf_dir):
+    """BM25's exchanges may carry tokens and counts — never the document
+    text (the corpus bulk). The idf/stats sides must broadcast: the only
+    sort-merge-eligible join is tf⋈dl on doc_id."""
+    df = plans.REGISTRY["text_bm25"].fn(spark, sf_dir)
+    for inp in _exchange_inputs(df):
+        assert "text#" not in inp, inp
+
+
+def test_attribution_uses_one_window_pass(spark, sf_dir):
+    """Both IGNORE NULLS attribution lookups (first/last touch) share one
+    Window operator over one user_id shuffle — a second window pass would
+    double the dominant stage at event-log scale."""
+    df = plans.REGISTRY["events_attribution"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    # AQE's executed-plan string prints the final subtree twice; count
+    # DISTINCT window operators, not occurrences.
+    windows = {
+        line.strip()
+        for line in plan.splitlines()
+        if "Window" in line and "windowspecdefinition" in line
+    }
+    assert len(windows) == 1, plan
+    (w,) = windows
+    assert "last(" in w and "first(" in w  # both touches in the one pass
