@@ -651,3 +651,85 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    tags=("events", "window", "anomaly", "monitoring"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2),
+ scored AS (
+  SELECT event_type, b, c,
+         avg(c)    OVER w AS mu,
+         stddev(c) OVER w AS sigma,
+         count(*)  OVER w AS n_hist
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+ z AS (
+  SELECT event_type, b, c,
+         CASE WHEN n_hist >= 12 AND sigma > 0
+              THEN round((c - mu) / sigma + 1e-9, 4) END AS zscore
+  FROM scored)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                         AS n_buckets,
+       CAST(count(zscore) AS BIGINT)                    AS n_scored,
+       CAST(sum(CASE WHEN abs(zscore) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                        AS n_anomalies,
+       round(max(zscore) + 1e-9, 4)                     AS max_z
+FROM z
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-monitoring shape in batch form: hourly event counts per
+    type, z-scored against a trailing 24-bucket window (mean/stddev of
+    the PRECEDING buckets only — no leakage of the scored bucket into
+    its own baseline); buckets with <12 history buckets or zero
+    variance are unscored, |z| > 2 counts as an anomaly.
+
+    Scale: the hourly rollup partials map-side to (type, bucket) rows;
+    the trailing-statistics pass is ONE window shuffle on event_type
+    over the already-aggregated (tiny) bucket series. At 100 TB the
+    fact scan dominates and everything after the first aggregate is
+    dimension-sized — the standard pre-aggregate-then-window telemetry
+    pipeline."""
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "b",
+        "c",
+        F.avg("c").over(w).alias("mu"),
+        F.stddev("c").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = scored.select(
+        "event_type",
+        "c",
+        F.when(
+            (F.col("n_hist") >= 12) & (F.col("sigma") > 0),
+            F.round((F.col("c") - F.col("mu")) / F.col("sigma") + 1e-9, 4),
+        ).alias("zscore"),
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.count("zscore").alias("n_scored"),
+            F.sum(F.when(F.abs("zscore") > 2, 1).otherwise(0)).alias("n_anomalies"),
+            F.round(F.max("zscore") + 1e-9, 4).alias("max_z"),
+        )
+        .orderBy("event_type")
+    )

@@ -1318,3 +1318,81 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "text_lm_bigram",
+    tags=("llm", "text", "scoring", "lm"),
+    oracle=r"""
+WITH v AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents
+  WHERE array_length(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2),
+ idx AS (
+  SELECT doc_id, arr,
+         unnest(generate_series(1, array_length(arr) - 1)) AS i
+  FROM v),
+ bg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+  FROM idx
+  WHERE arr[i] <> '' AND arr[i + 1] <> ''),
+ c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2),
+ c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+ vocab AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vsz FROM c12)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((n12 + 1.0) / (n1 + vsz))) + 1e-9, 4) AS avg_logp
+FROM bg
+JOIN c12 USING (w1, w2)
+JOIN c1 USING (w1)
+CROSS JOIN vocab
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+""",
+)
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BIGRAM LM scoring with add-one smoothing: each
+    document's mean log P(w_i | w_{i-1}) under the corpus's own bigram
+    counts — the next step up from :func:`text_lm_unigram` as a
+    perplexity-proxy quality filter (catches token-level repetition and
+    unnatural word order that unigram frequency cannot).
+
+    Scale: bigram construction is a NARROW map (zip the token array
+    against its own tail — no window, no shuffle); counts are the
+    word-count shape with map-side partials. The count tables are
+    broadcast-pinned like the unigram entry (vocabulary-sized by
+    construction; at open-web scale drop the pin and Spark hash-joins
+    on the bigram key). Smoothed probabilities are exact rationals in
+    both engines; the per-doc average is rounded to 4 dp."""
+    docs = T(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    v = docs.select("doc_id", arr.alias("arr")).where(F.size("arr") >= 2)
+    zipped = F.arrays_zip(
+        F.slice(F.col("arr"), 1, F.size("arr") - 1),
+        F.slice(F.col("arr"), 2, F.size("arr") - 1),
+    )
+    bg = (
+        v.select("doc_id", F.explode(zipped).alias("z"))
+        .select("doc_id", F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    vocab = c12.agg(F.countDistinct("w2").alias("vsz"))
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("n12") + 1.0) / (F.col("n1") + F.col("vsz"))))
+                + 1e-9,
+                4,
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -215,3 +215,64 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard", "pos")
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    tags=("sampling", "weighted", "deterministic"),
+    oracle="""
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         -- A-Res key: u^(1/w), ranked in log form ln(u)/w (monotone);
+         -- u is md5-derived in (0,1) so reruns/engines/partitionings agree.
+         ln((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
+             AS DOUBLE) + 0.5) / 16777216.0) / o_totalprice AS logkey
+  FROM orders),
+ ranked AS (
+  SELECT *, row_number() OVER (ORDER BY logkey DESC, o_orderkey) AS rn
+  FROM keyed)
+SELECT CAST(rn AS INTEGER)            AS rank,
+       o_orderkey,
+       round(o_totalprice, 2)          AS weight,
+       round(logkey * 1e6 + 1e-9, 4)   AS scaled_logkey
+FROM ranked WHERE rn <= 20
+ORDER BY rank
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sampling (Efraimidis-Spirakis
+    A-Res): each order draws a reproducible uniform u from its key's
+    md5 and is ranked by u^(1/weight) — here in the monotone log form
+    ln(u)/w — so heavier orders win proportionally more often; top-20
+    form the sample.
+
+    Scale: the key is scan-stage codegen over (orderkey, totalprice);
+    the top-k is a TakeOrdered (per-partition heads merged on the
+    driver), never a global sort. Unlike rand()-based sampling the
+    sample is IDENTICAL across engines, reruns, and cluster sizes —
+    the property every reproducible-training-data pipeline needs.
+    ln(u)/w is scaled by 1e6 for display so 4-dp rounding keeps
+    signal (raw values sit in (-1e-4, 0))."""
+    o = T(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 6), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / 16777216.0
+    keyed = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.log(u) / F.col("o_totalprice")).alias("logkey"),
+    )
+    w = W.orderBy(F.desc("logkey"), F.col("o_orderkey"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("weight"),
+            F.round(F.col("logkey") * 1e6 + 1e-9, 4).alias("scaled_logkey"),
+        )
+        .orderBy("rank")
+    )
