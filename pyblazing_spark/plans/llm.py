@@ -1396,3 +1396,89 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_DEDUP_E2E_ORACLE = r"""
+WITH docs AS (SELECT doc_id, source, trim(text) AS t FROM documents),
+ toks AS (SELECT doc_id, string_split_regex(t, '\s+') AS tk FROM docs),
+ idx AS (SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(1, len(tk)-2))) AS i FROM toks),
+ sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s FROM idx),
+ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+ edges0 AS (SELECT id_a, id_b FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+ edges AS (SELECT id_a AS u, id_b AS v FROM edges0
+           UNION ALL SELECT id_b, id_a FROM edges0),
+ reach AS (
+   WITH RECURSIVE r(id, label) AS (
+     SELECT u, u FROM edges
+     UNION
+     SELECT e.u, r.label FROM edges e JOIN r ON r.id = e.v)
+   SELECT id, min(label) AS component FROM r GROUP BY id),
+ decided AS (
+   SELECT d.doc_id, d.source,
+          coalesce(reach.component, d.doc_id) AS canonical
+   FROM docs d LEFT JOIN reach ON reach.id = d.doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                    AS n_docs,
+       CAST(sum(CASE WHEN doc_id = canonical THEN 1 ELSE 0 END)
+            AS BIGINT)                                             AS n_kept,
+       CAST(sum(CASE WHEN doc_id <> canonical THEN 1 ELSE 0 END)
+            AS BIGINT)                                             AS n_dropped,
+       CAST(sum(CASE WHEN doc_id <> canonical THEN doc_id END)
+            AS BIGINT)                                             AS dropped_id_sum
+FROM decided
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "pipeline_dedup_e2e",
+    tags=("llm", "dedup", "pipeline", "graph"),
+    oracle=_DEDUP_E2E_ORACLE,
+)
+def pipeline_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dedup pipeline as one artifact: MinHash-LSH
+    candidate pairs -> connected components -> canonical winner per
+    cluster (min doc_id) -> per-source keep/drop ledger. This is the
+    decision table a production corpus build actually writes: every
+    document mapped to its canonical representative, singletons keeping
+    themselves, with ``dropped_id_sum`` making the oracle sensitive to
+    exactly WHICH documents were dropped.
+
+    Scale: composes three already-audited stages — the shared
+    materialized pair graph (ONE shingle exchange, signatures-not-text),
+    O(diameter) label propagation on the pair graph (checkpointed
+    rounds), and a dimension-sized left join back to the corpus (the
+    components table is cluster-member-sized, far smaller than the
+    corpus, so it broadcasts at any scale)."""
+    from pyblazing_spark.operators.graph import connected_components
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    comp = connected_components(_pair_graph(spark, sf_dir))
+    decided = docs.join(
+        F.broadcast(comp), docs.doc_id == comp.id, "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce("component", "doc_id").alias("canonical"),
+    )
+    kept = F.when(F.col("doc_id") == F.col("canonical"), 1).otherwise(0)
+    return materialize_bounded(
+        decided.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(1 - kept).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("canonical"), F.col("doc_id"))
+            ).alias("dropped_id_sum"),
+        )
+        .orderBy("source")
+    )
