@@ -590,3 +590,88 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@register(
+    "agg_corr",
+    tags=("aggregate", "stats", "regression"),
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice) + 1e-9, 4)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice) + 1e-4, 2) AS covar_s,
+       round(covar_pop(l_quantity, l_extendedprice) + 1e-4, 2)  AS covar_p,
+       round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity) + 1e-4, 2) AS intercept
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (correlation, covariance, and
+    ordinary-least-squares slope/intercept) per return flag — absent
+    from the reference's AggregateKind enum; Spark superset.
+
+    Scale: all five are single-pass mergeable moment aggregates
+    (sum, sum-of-products, counts combine associatively), so they
+    partial map-side exactly like SUM — a 100 TB regression costs one
+    scan and a ≤|groups|-row shuffle."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            ratio(F.corr("l_quantity", "l_extendedprice") + 1e-9).alias(
+                "corr_qty_price"
+            ),
+            money(F.covar_samp("l_quantity", "l_extendedprice") + 1e-4).alias(
+                "covar_s"
+            ),
+            money(F.covar_pop("l_quantity", "l_extendedprice") + 1e-4).alias(
+                "covar_p"
+            ),
+            ratio(F.regr_slope("l_extendedprice", "l_quantity") + 1e-9).alias("slope"),
+            money(F.regr_intercept("l_extendedprice", "l_quantity") + 1e-4).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_bitwise",
+    tags=("aggregate", "bitwise"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(bit_and(o_orderkey) AS BIGINT)            AS key_and,
+       CAST(bit_or(o_orderkey) AS BIGINT)             AS key_or,
+       CAST(bit_xor(o_orderkey) AS BIGINT)            AS key_xor,
+       CAST(sum(bit_count(o_orderkey)) AS BIGINT)     AS popcount_sum,
+       CAST(sum(o_orderkey & 255) AS BIGINT)          AS low_byte_sum,
+       CAST(sum((o_orderkey >> 3) & 7) AS BIGINT)     AS mid_bits_sum,
+       CAST(sum(xor(o_orderkey, o_custkey)) AS BIGINT) AS xor_mix_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate battery: AND/OR/XOR reductions,
+    popcount, masks and shifts (dialect note: Spark SQL spells bitwise
+    xor ``^`` while DuckDB's ``^`` is exponentiation — the oracle uses
+    ``xor()``). All pure integer codegen; the reductions are mergeable
+    so they partial map-side like SUM."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("bit_and(o_orderkey)").alias("key_and"),
+            F.expr("bit_or(o_orderkey)").alias("key_or"),
+            F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+            F.sum(F.bit_count("o_orderkey").cast("long")).alias("popcount_sum"),
+            F.sum(F.expr("o_orderkey & 255")).alias("low_byte_sum"),
+            F.sum(F.expr("(o_orderkey >> 3) & 7")).alias("mid_bits_sum"),
+            F.sum(F.expr("o_orderkey ^ o_custkey")).alias("xor_mix_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

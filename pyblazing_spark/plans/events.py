@@ -733,3 +733,56 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_markov_transitions",
+    tags=("events", "window", "markov"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+ trans AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type),
+ tot AS (
+  SELECT prev_type, sum(n) AS row_total FROM trans GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n,
+       round(t.n * 1.0 / tt.row_total + 1e-9, 4) AS p
+FROM trans t JOIN tot tt USING (prev_type)
+ORDER BY prev_type, next_type
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: counts
+    and row-normalized probabilities of every (previous event type ->
+    next event type) step within each user's timeline.
+
+    Scale: ONE shuffle on user_id for the lag window, then the
+    transition count partials map-side to ≤|types|² rows per task; the
+    row totals join is over the |types|-sized matrix. The standard
+    distributed estimator for behavioral transition models."""
+    ev = T(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wseq).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("row_total") + 1e-9, 4).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
