@@ -424,3 +424,219 @@ def vector_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+_ADC_SHORTLIST = 40
+
+
+def _pq_adc_oracle() -> str:
+    """Full IVF-PQ-style ADC replay: per-subspace codebooks from the
+    corpus, corpus codes, query→centroid lookup tables, ADC shortlist,
+    exact cosine re-rank — every stage in SQL."""
+    subs = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        subs.append(f"""
+ init{s} AS (
+  SELECT vec_id,
+         list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v,
+         CAST(vec_id % {_PQ_K} AS INTEGER) AS c0
+  FROM corpus),
+ cent{s} AS (
+  SELECT c0, i, avg(v[i]) AS m
+  FROM init{s} JOIN generate_series(1, {_PQ_SUBDIM}) t(i) ON i <= {_PQ_SUBDIM}
+  GROUP BY c0, i),
+ cl{s} AS (SELECT c0 AS cand, list(m ORDER BY i) AS cv FROM cent{s} GROUP BY c0),
+ best{s} AS (
+  SELECT vec_id, cand, rn FROM (
+    SELECT v.vec_id, c.cand,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_d2('v', 'c')}, c.cand) AS rn
+    FROM init{s} v CROSS JOIN cl{s} c) x WHERE rn = 1),
+ qsub{s} AS (
+  SELECT query_id,
+         list_transform(qv[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v
+  FROM queries),
+ lut{s} AS (
+  SELECT q.query_id, c.cand, {_sql_d2('q', 'c')} AS d2
+  FROM qsub{s} q CROSS JOIN cl{s} c)""")
+    code_join = " ".join(
+        f"JOIN best{s} ON best{s}.vec_id = c.vec_id" for s in range(_PQ_M)
+    )
+    lut_join = " ".join(
+        f"JOIN lut{s} ON lut{s}.query_id = q.query_id"
+        f" AND lut{s}.cand = codes.k{s}"
+        for s in range(_PQ_M)
+    )
+    adc_sum = " + ".join(f"lut{s}.d2" for s in range(_PQ_M))
+    code_cols = ", ".join(f"best{s}.cand AS k{s}" for s in range(_PQ_M))
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+ queries AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             WHERE vec_id < 5),
+{",".join(subs)},
+ codes AS (
+  SELECT c.vec_id AS neighbor_id, {code_cols}
+  FROM corpus c {code_join}),
+ adc AS (
+  SELECT q.query_id, codes.neighbor_id,
+         round({adc_sum} + 1e-9, 3) AS adc
+  FROM queries q CROSS JOIN codes {lut_join}),
+ shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS rn
+    FROM adc) x WHERE rn <= {_ADC_SHORTLIST}),
+ rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_cosine_similarity(q.qv, c.embedding), 4) AS cos
+  FROM shortlist s
+  JOIN queries q ON q.query_id = s.query_id
+  JOIN corpus c ON c.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM rerank) x
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ann_pq_adc",
+    tags=("llm", "ann", "pq", "quantization"),
+    oracle=_pq_adc_oracle(),
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-bound half of a FAISS-style IVF-PQ index: the
+    corpus is stored as 8-bit PQ codes; each query precomputes a
+    (subspace × centroid) distance lookup table, scores every code by
+    FOUR table lookups instead of a 64-dim dot product, shortlists the
+    top-40, and exact-rank re-ranks only the shortlist. Composes with
+    :func:`ann_ivf`'s coarse lists for the full IVF-PQ architecture.
+
+    Scale plan: codes are 1 byte/vector where floats are 256 — the ADC
+    scan reads 256x less memory than brute force; the per-query LUT is
+    |queries| x m x k rows (80 here) and BROADCAST, so scoring is a
+    map-side join + partial-sum aggregate keyed on (query, neighbor).
+    Only the 40-row-per-query shortlist ever touches real vectors
+    again. The oracle replays codebook build, encoding, LUTs, ADC
+    ranking, and re-rank entirely in SQL, so every stage must agree
+    under the repo's rounded-distance/lowest-id tie contract."""
+    from pyblazing_spark.operators.similarity import (
+        centroid_assign_with_dist,
+        cosine_topk,
+    )
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    import numpy as np
+
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    init = corpus.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % _PQ_K).cast("int").alias("c0"),
+        *[
+            F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(f"sub{s}")
+            for s in range(_PQ_M)
+        ],
+    )
+    q_rows = queries.collect()
+    # ALL m codebooks in ONE aggregation job (a per-subspace
+    # centroid_means loop costs m sequential collects; the fused explode
+    # carries (sub, cluster, dim, x) and partials map-side identically).
+    subs_struct = F.array(
+        *[
+            F.struct(F.lit(s).alias("sub"), F.col(f"sub{s}").alias("v"))
+            for s in range(_PQ_M)
+        ]
+    )
+    with scoped_conf(spark, loop_shuffle_confs(spark)):
+        mean_rows = (
+            init.select("c0", F.explode(subs_struct).alias("sv"))
+            .select("c0", F.col("sv.sub").alias("sub"), F.posexplode("sv.v").alias("i", "x"))
+            .groupBy("sub", "c0", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+    books: dict[int, dict[int, np.ndarray]] = {}
+    for r in mean_rows:
+        books.setdefault(r["sub"], {}).setdefault(
+            r["c0"], np.zeros(_PQ_SUBDIM)
+        )[r["i"]] = r["m"]
+    assigns, lut_rows = [], []
+    for s in range(_PQ_M):
+        ids = np.array(sorted(books.get(s, {})), dtype=np.int32)
+        C = np.stack([books[s][c] for c in ids]) if len(ids) else np.empty((0, 0))
+        assigns.append(
+            centroid_assign_with_dist(F.col(f"sub{s}"), C, cluster_ids=ids)
+        )
+        for qr in q_rows:
+            qs = np.asarray(
+                qr["embedding"][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM],
+                dtype=np.float64,
+            )
+            for pos, cand in enumerate(ids):
+                c = C[pos]
+                d2 = float(
+                    np.round(qs @ qs - 2.0 * (qs @ c) + c @ c + 1e-9, 3)
+                )
+                lut_rows.append((int(qr["query_id"]), int(s), int(cand), d2))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, sub int, code int, d2 double"
+    )
+    codes_long = init.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[a.alias(f"a{s}") for s, a in enumerate(assigns)],
+    ).select(
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"), F.col(f"a{s}.cluster").alias("code")
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("sc"),
+    ).select("neighbor_id", F.col("sc.sub").alias("sub"), F.col("sc.code").alias("code"))
+    adc = (
+        codes_long.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2") + 1e-9, 3).alias("adc"))
+    )
+    from pyspark.sql import Window as W
+
+    w_short = W.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .where(F.col("rn") <= _ADC_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    members = (
+        shortlist.select("neighbor_id")
+        .distinct()
+        .join(corpus, F.col("neighbor_id") == corpus.vec_id)
+        .select("neighbor_id", "embedding")
+        .withColumnRenamed("neighbor_id", "vec_id")
+    )
+    cos_all = cosine_topk(
+        members, queries, k=5 * _ADC_SHORTLIST, query_id_col="query_id"
+    ).select("query_id", "neighbor_id", "cos")
+    w_rank = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    out = (
+        shortlist.join(cos_all, ["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+    return materialize_bounded(out)
