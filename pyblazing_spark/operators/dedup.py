@@ -530,3 +530,67 @@ def duplicated_span_coverage(
             .alias("dup_ratio"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs: C(A→B) = |sh(A) ∩ sh(B)| /
+    |sh(A)|. Flags documents mostly contained in another — the
+    boilerplate/near-subset signal symmetric Jaccard misses (a short doc
+    embedded in a long one has low Jaccard but containment ≈ 1).
+
+    Exact inverted-index formulation like :func:`ngram_jaccard_pairs`
+    (bounded-candidate use; the MinHash/LSH path is the 100 TB
+    candidate generator). Each unordered intersection yields both
+    directions; only those ≥ threshold survive.
+    """
+    pos = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(text_col) - F.lit(n - 1)))
+        ).alias("__i"),
+    )
+    sh = pos.select(
+        id_col, F.col("__t").substr(F.col("__i"), F.lit(n)).alias("__s")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__n", "__na")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__n", "__nb")
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("__inter") / F.col("__na")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("__inter") / F.col("__nb")).alias("containment"),
+    )
+    return (
+        fwd.union(rev)
+        .where(F.col("containment") >= threshold)
+        .select(
+            "contained_id",
+            "container_id",
+            F.round("containment", 4).alias("containment"),
+        )
+    )

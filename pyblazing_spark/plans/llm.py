@@ -1482,3 +1482,48 @@ def pipeline_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_containment",
+    tags=("llm", "dedup", "containment"),
+    oracle="""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+ idx AS (SELECT doc_id, text, unnest(generate_series(1, length(text)-7)) AS i
+         FROM docs),
+ sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS s
+        FROM idx),
+ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+ sized AS (SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb
+           FROM pairs
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b),
+ directed AS (
+   SELECT id_a AS contained_id, id_b AS container_id,
+          inter * 1.0 / na AS c FROM sized
+   UNION ALL
+   SELECT id_b, id_a, inter * 1.0 / nb FROM sized)
+SELECT contained_id, container_id, round(c, 4) AS containment
+FROM directed
+WHERE c >= 0.6
+ORDER BY contained_id, container_id
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment near-dup detection
+    (:func:`pyblazing_spark.operators.dedup.containment_pairs`):
+    C(A→B) = |sh(A)∩sh(B)| / |sh(A)| ≥ 0.6 flags documents mostly
+    contained in another — the boilerplate / quoted-subset signal that
+    symmetric Jaccard structurally misses (a doc embedded verbatim in a
+    longer one has Jaccard ≈ |A|/|B| but containment ≈ 1). Bounded to
+    doc_id < 500 like the other exact-pair baselines; the LSH pipeline
+    is the candidate generator at 100 TB."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return materialize_bounded(
+        DD.containment_pairs(docs, threshold=0.6).orderBy(
+            "contained_id", "container_id"
+        )
+    )

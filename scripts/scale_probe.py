@@ -121,10 +121,18 @@ def main() -> int:
         )
     osql = E.oracle_sql()
 
+    # Round-4 additions probed alongside the bench set: the heaviest new
+    # operators, exactly the ones whose plans could change shape at 10x.
+    extra = {
+        "text_bm25", "graph_pagerank", "vector_pq", "ann_pq_adc",
+        "sort_zorder_cluster", "pipeline_scd2", "agg_histogram",
+        "events_attribution", "text_lm_bigram", "events_anomaly_zscore",
+        "pipeline_dedup_e2e",
+    }
     timings: dict[str, float] = {}
     n_ok = n_bad = 0
     for name, spec in sorted(REGISTRY.items()):
-        if not spec.bench:
+        if not (spec.bench or name in extra):
             continue
         t0 = time.time()
         try:
