@@ -345,3 +345,25 @@ def test_attribution_uses_one_window_pass(spark, sf_dir):
     assert len(windows) == 1, plan
     (w,) = windows
     assert "last(" in w and "first(" in w  # both touches in the one pass
+
+
+def test_pq_adc_scoring_is_a_broadcast_lut_join(spark, sf_dir):
+    """PQ-ADC's whole premise: after encoding, scoring joins 1-byte codes
+    against the broadcast query LUT — no Exchange may carry the embedding
+    vectors (the corpus bulk); only the tiny shortlist re-rank touches
+    them again."""
+    from pyblazing_spark.plans.vectors import _pq_adc_plan
+
+    df = _pq_adc_plan(spark, sf_dir)
+    assert "BroadcastHashJoin" in _executed_plan(df)
+    for inp in _exchange_inputs(df):
+        assert "embedding#" not in inp, inp
+
+
+def test_bigram_lm_never_shuffles_text(spark, sf_dir):
+    """Bigram construction is a narrow array-zip: document text must
+    never appear in an Exchange (bigram tokens/counts may — they are
+    vocabulary-sized)."""
+    df = plans.REGISTRY["text_lm_bigram"].fn(spark, sf_dir)
+    for inp in _exchange_inputs(df):
+        assert "text#" not in inp, inp
