@@ -806,3 +806,64 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return MM.audio_spectrum(blobs).orderBy("doc_id")
+
+
+@register(
+    "multimodal_image_sharpness",
+    tags=("multimodal", "image", "quality", "mapInPandas"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id, substr(text, 1, 64) AS px
+  FROM documents
+  WHERE length(text) >= 64
+    AND regexp_matches(substr(text, 1, 64), '^[ -~]{64}$')),
+ pix AS (
+  -- pixel (x, y), 0-based on an 8x8 grid; value = byte at y*8 + x + 1
+  SELECT doc_id, i % 8 AS x, i // 8 AS y,
+         CAST(ascii(substr(px, CAST(i + 1 AS INTEGER), 1)) AS DOUBLE) AS v
+  FROM v JOIN generate_series(0, 63) t(i) ON i <= 63),
+ lap AS (
+  SELECT c.doc_id,
+         4 * c.v - l.v - r.v - u.v - d.v AS lv
+  FROM pix c
+  JOIN pix l ON l.doc_id = c.doc_id AND l.y = c.y AND l.x = c.x - 1
+  JOIN pix r ON r.doc_id = c.doc_id AND r.y = c.y AND r.x = c.x + 1
+  JOIN pix u ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
+  JOIN pix d ON d.doc_id = c.doc_id AND d.x = c.x AND d.y = c.y + 1
+  WHERE c.x BETWEEN 1 AND 6 AND c.y BETWEEN 1 AND 6)
+SELECT doc_id,
+       CAST(8 AS INTEGER)  AS width,
+       CAST(8 AS INTEGER)  AS height,
+       CAST(count(*) AS INTEGER) AS n_interior,
+       round(avg(abs(lv)) + 1e-9, 4) AS mean_abs_lap,
+       round(var_pop(lv) + 1e-9, 4)  AS var_lap
+FROM lap
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-quality scoring through a REAL codec: each document's
+    first 64 ASCII bytes become an 8x8 grayscale P5 PGM;
+    :func:`pyblazing_spark.operators.multimodal.image_sharpness` decodes
+    with the production netpbm parser and computes the
+    variance-of-Laplacian blur metric (numpy stencil). The oracle
+    rebuilds every pixel arithmetically and recomputes the 4-neighbor
+    Laplacian with five positional self-joins, so a stride/transpose/
+    border bug in the stencil or a header mis-parse cannot match both
+    the mean-|L| and variance columns.
+
+    Scale: narrow map in the scan stage — image bytes never shuffle;
+    this is the image-corpus quality-filter shape (drop blurry frames
+    before paying feature extraction)."""
+    docs = T(spark, sf_dir, "documents").where(
+        (F.length("text") >= 64)
+        & F.substring("text", 1, 64).rlike("^[ -~]{64}$")
+    )
+    blobs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(b"P5\n8 8\n255\n"), F.encode(F.substring("text", 1, 64), "UTF-8")
+        ).alias("content"),
+    )
+    return MM.image_sharpness(blobs).orderBy("doc_id")
