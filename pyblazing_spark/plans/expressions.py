@@ -632,3 +632,42 @@ def expr_timestampadd_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(400)
     )
+
+
+@register(
+    "expr_hash",
+    tags=("expressions", "hash"),
+    oracle="""
+SELECT c_custkey,
+       md5(c_name)                                   AS h_md5,
+       sha256(c_name)                                AS h_sha256,
+       substring(md5(c_name || CAST(c_custkey AS VARCHAR)), 1, 16) AS h_salted
+FROM customer
+WHERE c_custkey <= 50
+ORDER BY c_custkey
+""",
+)
+def expr_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash battery (md5 / sha-256 / salted truncation) —
+    the content-keying primitives every dedup/sampling operator in this
+    repo builds on, exercised directly for cross-engine parity. Spark's
+    sha2(col, 256) == DuckDB sha256; both hash the UTF-8 bytes."""
+    cu = T(spark, sf_dir, "customer").where(F.col("c_custkey") <= 50)
+    name_b = F.col("c_name").cast("binary")
+    return (
+        cu.select(
+            "c_custkey",
+            F.md5(name_b).alias("h_md5"),
+            F.sha2(name_b, 256).alias("h_sha256"),
+            F.substring(
+                F.md5(
+                    F.concat(F.col("c_name"), F.col("c_custkey").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                16,
+            ).alias("h_salted"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -225,3 +225,47 @@ def nested_sql_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "nested_lateral_topk",
+    tags=("nested", "lateral", "sql"),
+    oracle="""
+SELECT n.n_name, o.o_orderkey, round(o.o_totalprice, 2) AS total
+FROM nation n
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders, customer
+  WHERE o_custkey = c_custkey AND c_nationkey = n.n_nationkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) o ON true
+WHERE n.n_nationkey < 10
+ORDER BY n.n_name, total DESC, o.o_orderkey
+""",
+)
+def nested_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per nation), run
+    through Spark SQL's own LATERAL join syntax — the SQL-surface twin
+    of the window top-k idiom. Catalyst decorrelates the lateral into
+    a ranked join, so the executed plan is the same one-shuffle window
+    shape a hand-written row_number() produces; the entry proves the
+    dialect accepts the correlated form and the decorrelation preserves
+    per-group LIMIT semantics (ties broken by key in BOTH engines —
+    a nondeterministic LIMIT would hash-mismatch)."""
+    from pyblazing_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("nation", "orders", "customer"))
+    return spark.sql(
+        """
+SELECT n.n_name, o.o_orderkey, round(o.o_totalprice, 2) AS total
+FROM nation n
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) o
+WHERE n.n_nationkey < 10
+ORDER BY n.n_name, total DESC, o.o_orderkey
+"""
+    )

@@ -219,3 +219,52 @@ def limit_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),
     )
+
+
+@register(
+    "setop_bag_semantics",
+    tags=("setop", "except_all", "intersect_all"),
+    oracle="""
+WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+ b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+ ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+ ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+SELECT 'intersect_all' AS op,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM ia
+UNION ALL
+SELECT 'except_all', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT k) AS BIGINT), CAST(sum(k) AS BIGINT)
+FROM ea
+ORDER BY op
+""",
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics, where a
+    key occurring m times on the left and n on the right survives
+    min(m,n) / max(0, m-n) times (the reference's Calcite surface has
+    only the DISTINCT set forms; Spark superset). ``n_rows`` vs
+    ``n_keys`` proves the multiplicities, not just membership.
+
+    Scale: Spark plans both as a single hash aggregation computing
+    per-key counts on each side then replicating — one shuffle per
+    input, no join."""
+    o = T(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("k"))
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    def roll(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_keys"),
+            F.sum("k").alias("key_sum"),
+        ).select("op", "n_rows", "n_keys", "key_sum")
+    return (
+        roll(a.intersectAll(b), "intersect_all")
+        .unionAll(roll(a.exceptAll(b), "except_all"))
+        .orderBy("op")
+    )

@@ -485,3 +485,51 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(500)
     )
+
+
+@register(
+    "win_median_frame",
+    tags=("window", "median", "frame"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(median(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 2)
+         AS rolling_median
+FROM orders
+WHERE o_custkey < 20
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def win_median_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN over a sliding 3-row frame per customer — an exact
+    order-statistic window (robust rolling center, unlike avg which one
+    outlier order drags). Spark refuses aggregate ``median`` with a
+    window frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the
+    frame median is composed EXACTLY from two lags: for 3 values,
+    median = sum - greatest - least; 2-value frames average; 1-value
+    frames pass through. DuckDB runs the real framed ``median``, so the
+    match proves the composition implements the order statistic.
+
+    Scale: one shuffle on the partition key; the lags are O(1) per row —
+    same plan budget as a rolling sum, and cheaper than a true framed
+    median would be (no per-row sort)."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_custkey") < 20)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v, l1, l2 = F.col("o_totalprice"), F.lag("o_totalprice", 1).over(w), F.lag(
+        "o_totalprice", 2
+    ).over(w)
+    med3 = v + l1 + l2 - F.greatest(v, l1, l2) - F.least(v, l1, l2)
+    rolling = (
+        F.when(l1.isNull(), v)
+        .when(l2.isNull(), (v + l1) / 2)
+        .otherwise(med3)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(rolling + 1e-9, 2).alias("rolling_median"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
