@@ -675,3 +675,83 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_listagg",
+    tags=("aggregate", "listagg", "string_agg"),
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(c_name, '|' ORDER BY c_name) AS names,
+       CAST(count(*) AS BIGINT)                AS n
+FROM customer
+WHERE c_custkey <= 40
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP /
+    string_agg ORDER BY): deterministic because the within-group order
+    is total. An UNordered listagg would be partitioning-dependent and
+    could never hash-match across engines — the ORDER BY is the
+    difference between a usable distributed string_agg and a flaky one.
+
+    Scale: Spark materializes each group's members on one reducer —
+    correct for bounded groups (dimension rollups, per-entity digests);
+    unbounded groups should aggregate summaries, not strings."""
+    from pyblazing_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+SELECT c_mktsegment,
+       listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS names,
+       count(*) AS n
+FROM customer
+WHERE c_custkey <= 40
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+    )
+
+
+@register(
+    "agg_filter_clause",
+    tags=("aggregate", "filter-clause"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+       round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+         AS urgent_total,
+       round(avg(o_totalprice) FILTER (WHERE o_orderpriority <> '1-URGENT')
+             + 1e-9, 4) AS non_urgent_avg
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 FILTER-clause aggregates — per-aggregate predicates in a
+    single grouping pass (the declarative form of the CASE-WHEN pivot
+    idiom). One scan, one shuffle, four differently-filtered aggregates;
+    at 100 TB this halves the passes an equivalent two-query report
+    would cost."""
+    from pyblazing_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+SELECT o_orderstatus,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+         AS urgent_total,
+       round(avg(o_totalprice) FILTER (WHERE o_orderpriority <> '1-URGENT')
+             + 1e-9, 4) AS non_urgent_avg
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+    )

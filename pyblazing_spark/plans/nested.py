@@ -269,3 +269,45 @@ WHERE n.n_nationkey < 10
 ORDER BY n.n_name, total DESC, o.o_orderkey
 """
     )
+
+
+@register(
+    "nested_not_in_null_aware",
+    tags=("nested", "not_in", "null", "anti-join"),
+    oracle="""
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM customer
+   WHERE c_custkey NOT IN
+     (SELECT nullif(o_custkey, 7) FROM orders))      AS n_with_null_inner,
+  (SELECT CAST(count(*) AS BIGINT) FROM customer
+   WHERE c_custkey NOT IN
+     (SELECT nullif(o_custkey, 7) FROM orders
+      WHERE nullif(o_custkey, 7) IS NOT NULL))       AS n_null_free_inner
+""",
+)
+def nested_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULL-bearing subquery — the classic three-valued-
+    logic trap: one NULL in the inner set makes ``x NOT IN (...)``
+    never-true, so the first count MUST be 0, while the null-filtered
+    twin returns the real anti-join count. Spark plans the first as a
+    null-aware anti join (a broadcast-only strategy at scale — exactly
+    why production pipelines should write NOT EXISTS instead; this
+    entry pins the semantics both engines agree on).
+
+    The pair-in-one-row shape makes a wrong answer on EITHER variant a
+    hash mismatch."""
+    from pyblazing_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN
+     (SELECT nullif(o_custkey, 7) FROM orders))      AS n_with_null_inner,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN
+     (SELECT nullif(o_custkey, 7) FROM orders
+      WHERE nullif(o_custkey, 7) IS NOT NULL))       AS n_null_free_inner
+"""
+    )
