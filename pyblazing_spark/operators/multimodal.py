@@ -417,6 +417,10 @@ def _sniff_decode(data: bytes) -> tuple[int, int, bytes] | None:
         return decode_gif(data)
     if data[:4] in (TIFF_SIG_LE, TIFF_SIG_BE):
         return decode_tiff(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from pyblazing_spark.operators.webp import decode_webp_lossless
+
+        return decode_webp_lossless(data)
     return None
 
 

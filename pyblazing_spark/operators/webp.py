@@ -1,0 +1,385 @@
+"""WebP lossless (VP8L) codec in pure Python/numpy, from the public
+bitstream specification (RFC 9649 "WebP Image Format" §3, the lossless
+bitstream): RIFF container, LSB-first bit packing, canonical prefix
+codes with the DEFLATE-style code-length code (RLE symbols 16/17/18),
+simple 1/2-symbol codes, and the ARGB literal pixel stream.
+
+Scope (documented subset, all of it REAL bitstream): the encoder emits
+no transforms, no color cache, and no LZ77 backward references — a
+spec-valid literal stream any compliant decoder reads; the decoder
+additionally handles LZ77 backrefs (the spec's distance/length prefix
+scheme) but raises on transform or color-cache bits, the boundary to
+the full format. Lossless by construction: decode(encode(x)) == x
+byte-for-byte, so catalog oracles check md5-exact pixel equality like
+the PNG/GIF paths.
+
+Kernels in :mod:`pyblazing_spark.operators.multimodal` route
+``RIFF....WEBP`` buffers here via the signature sniff.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WEBP_SIG = b"RIFF"
+
+#: order in which code-length-code lengths are stored (spec constant).
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+#: LZ77 length/distance extra-bit scheme: prefix p -> (extra_bits, offset)
+def _prefix_decode(prefix: int, extra: int) -> int:
+    if prefix < 4:
+        return prefix + 1
+    extra_bits = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra_bits
+    return offset + extra + 1
+
+
+class _BitReader:
+    """LSB-first bit reader (VP8L convention)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("vp8l: bitstream truncated")
+            v |= ((self.data[self.byte] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+
+class _BitWriter:
+    """LSB-first bit writer."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def bytes(self) -> bytes:
+        out = bytes(self.out) + (
+            bytes([self.acc & 0xFF]) if self.nbits else b""
+        )
+        return out
+
+
+def _limited_code_lengths(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Length-limited Huffman code lengths via package-merge (public
+    algorithm; plain Huffman can exceed VP8L's 15-bit / 7-bit caps on
+    skewed frequencies)."""
+    symbols = sorted(freqs)
+    if len(symbols) == 1:
+        return {symbols[0]: 1}
+    items = sorted((freqs[s], s) for s in symbols)
+    packages: list[list[tuple[int, tuple[int, ...]]]] = []
+    level: list[tuple[int, tuple[int, ...]]] = []
+    for _ in range(limit):
+        merged = sorted(
+            [(f, (s,)) for f, s in items]
+            + [
+                (a[0] + b[0], a[1] + b[1])
+                for a, b in zip(level[::2], level[1::2])
+            ]
+        )
+        packages.append(merged)
+        level = merged
+    lengths = {s: 0 for s in symbols}
+    take = 2 * len(symbols) - 2
+    for _, syms in packages[-1][:take]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment (increasing length,
+    then symbol order — the DEFLATE/VP8L convention)."""
+    max_len = max(lengths.values(), default=0)
+    bl_count = [0] * (max_len + 1)
+    for length in lengths.values():
+        if length:
+            bl_count[length] += 1
+    next_code = [0] * (max_len + 2)
+    code = 0
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    out: dict[int, tuple[int, int]] = {}
+    for sym in sorted(lengths):
+        length = lengths[sym]
+        if length:
+            out[sym] = (next_code[length], length)
+            next_code[length] += 1
+    return out
+
+
+class _Decoder:
+    """Tree-walk decoder over canonical (code, length) pairs: bits are
+    consumed in stream order, first bit = MSB of the canonical code."""
+
+    def __init__(self, lengths: dict[int, int]) -> None:
+        nonzero = {s: l for s, l in lengths.items() if l}
+        if not nonzero:
+            raise ValueError("vp8l: empty prefix code")
+        if len(nonzero) == 1:
+            (self.single,) = nonzero
+            self.table = {}
+            return
+        self.single = None
+        self.table = {
+            (length, code): sym
+            for sym, (code, length) in _canonical_codes(nonzero).items()
+        }
+        self.max_len = max(l for _, (c, l) in _canonical_codes(nonzero).items())
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("vp8l: invalid prefix code in stream")
+
+
+def _write_code(bw: _BitWriter, code: int, length: int) -> None:
+    for i in range(length - 1, -1, -1):  # MSB first into the LSB stream
+        bw.write((code >> i) & 1, 1)
+
+
+def _write_prefix_code(bw: _BitWriter, freqs: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Emit one prefix-code definition; return symbol->(code,len) for
+    the payload pass."""
+    used = sorted(s for s, f in freqs.items() if f)
+    if not used:
+        used = [0]
+    if len(used) <= 2 and max(used) < 256:
+        bw.write(1, 1)  # simple code
+        bw.write(len(used) - 1, 1)
+        first = used[0]
+        if first <= 1:
+            bw.write(0, 1)  # first symbol in 1 bit
+            bw.write(first, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(first, 8)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+            return {used[0]: (0, 1), used[1]: (1, 1)}
+        return {used[0]: (0, 0)}
+    bw.write(0, 1)  # normal code
+    lengths = _limited_code_lengths({s: freqs[s] for s in used}, 15)
+    max_sym = max(used)
+    lens_arr = [lengths.get(s, 0) for s in range(max_sym + 1)]
+    # code-length code over the literal lengths (no RLE — legal, simple)
+    cl_freqs: dict[int, int] = {}
+    for l in lens_arr:
+        cl_freqs[l] = cl_freqs.get(l, 0) + 1
+    cl_lengths = _limited_code_lengths(cl_freqs, 7)
+    if len(cl_freqs) == 1:
+        # a single distinct length cannot be a zero-entropy code here:
+        # give it length 1 alongside an unused partner symbol.
+        (only,) = cl_freqs
+        partner = 0 if only != 0 else 1
+        cl_lengths = {only: 1, partner: 1}
+    order_pos = {c: i for i, c in enumerate(_CLC_ORDER)}
+    num_cl = max(4, 1 + max(order_pos[c] for c in cl_lengths))
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths.get(_CLC_ORDER[i], 0), 3)
+    # max_symbol shortcut: we emit exactly len(lens_arr) code-length
+    # symbols (no RLE), so bound the decoder's read loop to that count.
+    n_entries = len(lens_arr)
+    nb = 2
+    while (n_entries - 2) >= (1 << nb):
+        nb += 2
+    bw.write(1, 1)
+    bw.write((nb - 2) // 2, 3)
+    bw.write(n_entries - 2, nb)
+    cl_codes = _canonical_codes(cl_lengths)
+    for l in lens_arr:
+        code, ln = cl_codes[l]
+        _write_code(bw, code, ln)
+    return _canonical_codes(lengths)
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Decoder:
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first = br.read(8) if br.read(1) else br.read(1)
+        lengths = {first: 1}
+        if num_symbols == 2:
+            lengths[br.read(8)] = 1
+        else:
+            lengths = {first: 0}
+            dec = _Decoder.__new__(_Decoder)
+            dec.single = first
+            dec.table = {}
+            return dec
+        return _Decoder(lengths)
+    num_cl = 4 + br.read(4)
+    cl_lengths: dict[int, int] = {}
+    for i in range(num_cl):
+        l = br.read(3)
+        if l:
+            cl_lengths[_CLC_ORDER[i]] = l
+    cl_dec = _Decoder(cl_lengths)
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = {}
+    prev = 8
+    symbol = 0
+    while symbol < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = cl_dec.read(br)
+        if s < 16:
+            if s:
+                lengths[symbol] = s
+                prev = s
+            symbol += 1
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                lengths[symbol] = prev
+                symbol += 1
+        elif s == 17:
+            symbol += 3 + br.read(3)
+        else:  # 18
+            symbol += 11 + br.read(7)
+    return _Decoder(lengths)
+
+
+def encode_webp_lossless(width: int, height: int, rgb: bytes) -> bytes:
+    """Spec-valid VP8L lossless WebP from raw RGB bytes (alpha=255):
+    literal ARGB stream, one prefix-code group, no transforms."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != w*h*3")
+    if width > 16384 or height > 16384:
+        raise ValueError("vp8l dimensions exceed 14-bit limit")
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+    r, g, b = px[:, 0], px[:, 1], px[:, 2]
+
+    def freq(arr) -> dict[int, int]:
+        vals, counts = np.unique(arr, return_counts=True)
+        return {int(v): int(c) for v, c in zip(vals, counts)}
+
+    bw = _BitWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(0, 1)  # no alpha in use
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    g_codes = _write_prefix_code(bw, freq(g))  # green+len alphabet (280)
+    r_codes = _write_prefix_code(bw, freq(r))
+    b_codes = _write_prefix_code(bw, freq(b))
+    a_codes = _write_prefix_code(bw, {255: len(px)})
+    _write_prefix_code(bw, {0: 1})  # distance code: unused single symbol
+    for i in range(len(px)):
+        for codes, val in (
+            (g_codes, int(g[i])),
+            (r_codes, int(r[i])),
+            (b_codes, int(b[i])),
+            (a_codes, 255),
+        ):
+            code, ln = codes[val]
+            if ln:
+                _write_code(bw, code, ln)
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, rgb_bytes) from a lossless WebP buffer. Supports
+    the literal + LZ77 subset; raises on transforms / color cache (the
+    documented boundary to the full format)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a webp")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if tag == b"VP8L":
+            payload = data[pos + 8 : pos + 8 + size]
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy/extended webp needs a VP8 video-frame decoder"
+            )
+        pos += 8 + size + (size & 1)
+    else:
+        raise ValueError("webp: no VP8L chunk")
+    if payload[:1] != b"\x2f":
+        raise ValueError("vp8l: bad signature byte")
+    br = _BitReader(payload, 1)
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("vp8l: unknown version")
+    if br.read(1):
+        raise NotImplementedError("vp8l transforms not supported")
+    if br.read(1):
+        raise NotImplementedError("vp8l color cache not supported")
+    if br.read(1):
+        raise NotImplementedError("vp8l meta prefix codes not supported")
+    green = _read_prefix_code(br, 256 + 24)
+    red = _read_prefix_code(br, 256)
+    blue = _read_prefix_code(br, 256)
+    alpha = _read_prefix_code(br, 256)
+    dist = _read_prefix_code(br, 40)
+    n = width * height
+    out = np.empty((n, 3), dtype=np.uint8)
+    i = 0
+    while i < n:
+        s = green.read(br)
+        if s < 256:
+            gg = s
+            rr = red.read(br)
+            bb = blue.read(br)
+            alpha.read(br)
+            out[i] = (rr, gg, bb)
+            i += 1
+        elif s < 280:  # LZ77 backref
+            length = _prefix_decode(s - 256, br.read(max(0, ((s - 256) - 2) >> 1)))
+            d_prefix = dist.read(br)
+            d_code = _prefix_decode(d_prefix, br.read(max(0, (d_prefix - 2) >> 1)))
+            # plane-code distances < 120 map through the spec's 2D
+            # neighborhood; the literal-only encoder never emits them.
+            if d_code <= 120:
+                raise NotImplementedError("vp8l 2D distance mapping")
+            d = d_code - 120
+            for _ in range(length):
+                out[i] = out[i - d]
+                i += 1
+        else:
+            raise NotImplementedError("vp8l color cache symbol")
+    return width, height, out.tobytes()

@@ -114,3 +114,38 @@ def test_tiff_roundtrip(img):
     geometry/content."""
     w, h, rgb = img
     assert MM.decode_tiff(MM.encode_tiff(w, h, rgb)) == (w, h, rgb)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_image())
+def test_webp_lossless_roundtrip(img):
+    from pyblazing_spark.operators.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    w, h, rgb = img
+    blob = encode_webp_lossless(w, h, rgb)
+    assert blob[:4] == b"RIFF" and blob[8:16] == b"WEBPVP8L"
+    assert decode_webp_lossless(blob) == (w, h, rgb)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_image())
+def test_webp_package_merge_is_kraft_tight(img):
+    """The length-limited Huffman must produce a COMPLETE prefix code
+    (Kraft sum exactly 1) within the VP8L 15-bit cap for any pixel
+    frequency profile."""
+    from pyblazing_spark.operators.webp import _limited_code_lengths
+
+    w, h, rgb = img
+    vals, counts = np.unique(
+        np.frombuffer(rgb, dtype=np.uint8), return_counts=True
+    )
+    freqs = {int(v): int(c) for v, c in zip(vals, counts)}
+    lengths = _limited_code_lengths(freqs, 15)
+    if len(freqs) == 1:
+        assert list(lengths.values()) == [1]
+        return
+    assert max(lengths.values()) <= 15
+    assert abs(sum(2.0 ** -v for v in lengths.values()) - 1.0) < 1e-12
