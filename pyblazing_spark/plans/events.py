@@ -786,3 +786,82 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "join_asof_cogroup",
+    tags=("events", "asof", "cogroup", "applyInPandas"),
+    oracle="""
+WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+ buys AS (SELECT user_id, ts, round(max(value), 2) AS value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.user_id, c.event_id, c.ts,
+       b.ts AS ts_right, b.value AS value_right
+FROM clicks c ASOF LEFT JOIN buys b
+  ON c.user_id = b.user_id AND c.ts >= b.ts
+ORDER BY c.user_id, c.event_id
+LIMIT 2000
+""",
+)
+def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME point-in-time semantics as :func:`join_asof`, computed
+    through Spark's ``groupBy().cogroup().applyInPandas`` API instead of
+    the union+window formulation: both sides co-shuffle on user_id, each
+    user's (clicks, purchases) pair lands in one Arrow batch, and a
+    vectorized ``numpy.searchsorted`` performs the backward match.
+    Purchases are pre-deduplicated to one row per (user, ts) — max
+    value — so tie resolution is defined identically in both engines.
+
+    This pins the cogroup surface (SURVEY §2.10 — absent from the
+    reference) against DuckDB's native ASOF JOIN: an off-by-one in the
+    searchsorted side ('latest ts <= click' vs 'earliest ts >= click')
+    cannot match. Scale: one co-partitioned shuffle per side, then
+    per-group vectorized work — the standard custom-pairwise-op shape
+    when window functions cannot express the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("value"))
+    )
+
+    def align(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["user_id", "event_id", "ts", "ts_right", "value_right"]
+            )
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort")
+        idx = np.searchsorted(right["ts"].to_numpy(), left["ts"].to_numpy(), "right") - 1
+        has = idx >= 0
+        ts_r = pd.Series([pd.NaT] * len(left), dtype=right["ts"].dtype if len(right) else left["ts"].dtype)
+        val_r = pd.Series([None] * len(left), dtype="float64")
+        if len(right):
+            ts_r[has] = right["ts"].to_numpy()[idx[has]]
+            val_r[has] = right["value"].to_numpy()[idx[has]]
+        return pd.DataFrame(
+            {
+                "user_id": left["user_id"].to_numpy(),
+                "event_id": left["event_id"].to_numpy(),
+                "ts": left["ts"].to_numpy(),
+                "ts_right": ts_r.to_numpy(),
+                "value_right": val_r.to_numpy(),
+            }
+        )
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(buys.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            schema="user_id bigint, event_id bigint, ts timestamp_ntz, "
+            "ts_right timestamp_ntz, value_right double",
+        )
+    )
+    return out.orderBy("user_id", "event_id").limit(2000)
