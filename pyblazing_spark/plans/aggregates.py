@@ -755,3 +755,40 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
     )
+
+
+@register(
+    "agg_min_max_by",
+    tags=("aggregate", "argmin"),
+    oracle="""
+SELECT o_orderstatus,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_key,
+       round(min(o_totalprice), 2)       AS cheapest_price,
+       arg_max(o_orderkey, o_totalprice) AS priciest_key,
+       round(max(o_totalprice), 2)       AS priciest_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates (Spark ``min_by``/``max_by`` == DuckDB
+    ``arg_min``/``arg_max``): the key of each group's cheapest and
+    priciest order, with the extremal price alongside to prove the
+    pairing. Deterministic because o_totalprice values are unique per
+    group in the fixtures AND the paired min/max column would expose a
+    mismatched carrier row.
+
+    Scale: single-pass mergeable aggregates (carry (key, extreme)
+    pairs through partial aggregation) — same plan budget as MIN/MAX."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_key"),
+            money(F.min("o_totalprice")).alias("cheapest_price"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_key"),
+            money(F.max("o_totalprice")).alias("priciest_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
