@@ -533,3 +533,46 @@ def win_median_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "win_range_interval",
+    tags=("window", "range", "interval", "temporal"),
+    oracle="""
+WITH u AS (SELECT user_id, ts, event_id, value FROM events WHERE user_id < 15)
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT)          AS n_last_hour,
+       round(sum(value) OVER w + 1e-4, 2)       AS value_last_hour
+FROM u
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per event, the count and value-sum of
+    the same user's events in the trailing hour — the rolling-window
+    telemetry shape where the frame is defined by EVENT TIME, not row
+    position (two events a second apart share almost their whole frame;
+    a gap empties it). The reference engine throws on all RANGE frames;
+    Spark superset. Peer rows (equal ts) are included by RANGE
+    semantics in both engines, so ties cannot diverge.
+
+    Scale: one shuffle on user_id; Spark evaluates the interval frame
+    with a sliding two-pointer over each partition — O(n) per
+    partition, same budget as a rows frame."""
+    from pyblazing_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+WITH u AS (SELECT user_id, ts, event_id, value FROM events WHERE user_id < 15)
+SELECT user_id, event_id,
+       count(*) OVER w                     AS n_last_hour,
+       round(sum(value) OVER w + 1e-4, 2)  AS value_last_hour
+FROM u
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+    )
