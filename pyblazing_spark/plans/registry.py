@@ -16,8 +16,10 @@ ANSI SQL that DuckDB runs as the oracle. Conventions (driver contract):
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,12 +55,78 @@ def register(
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Driver-coverage rotation.
+#
+# The per-round correctness driver samples the HEAD of the dict returned by
+# ``queries()`` (a fixed 50-row budget).  Left in plain insertion order, four
+# rounds of artifacts covered only the first ~69 unique entries and whole
+# families (win_/join_/setop_/nested_/multimodal_/stream_) never earned a
+# formal row.  ``queries()`` therefore emits the catalog ordered by "rounds
+# since last formal driver row": entries with NO green row in any committed
+# ``CORRECTNESS_r*.json`` come first — round-robin interleaved across family
+# prefixes so a fixed budget maximizes family breadth — followed by covered
+# entries, oldest round first.  The rotation is self-maintaining: each new
+# committed artifact pushes its freshly-checked entries to the back.
+
+#: Families the round-4 verdict called out as never-formally-checked; they
+#: lead the interleave so a small budget touches each of them first.
+_FAMILY_PRIORITY = ("win", "join", "setop", "nested", "multimodal", "stream")
+
+
+def _driver_coverage() -> dict[str, int]:
+    """name -> latest round with a green driver row, from committed
+    CORRECTNESS_r*.json artifacts at the repo root (file-relative so the
+    driver's cwd does not matter)."""
+    root = Path(__file__).resolve().parents[2]
+    covered: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(p.stem.rsplit("_r", 1)[1])
+            data = json.loads(p.read_text())
+        except (ValueError, IndexError, OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("rows_match") and row.get("err") is None:
+                covered[name] = max(covered.get(name, -1), rnd)
+    return covered
+
+
+def rotation_order() -> list[str]:
+    """Catalog names, never-driver-checked first (family-interleaved),
+    then previously-checked entries oldest-round first.  Deterministic
+    given the committed artifacts."""
+    names = list(REGISTRY)
+    covered = _driver_coverage()
+    insertion = {n: i for i, n in enumerate(names)}
+
+    fams: dict[str, list[str]] = {}
+    for n in names:
+        if n not in covered:
+            fams.setdefault(n.split("_", 1)[0], []).append(n)
+    fam_order = [f for f in _FAMILY_PRIORITY if f in fams]
+    fam_order += [f for f in fams if f not in fam_order]
+    queues = {f: list(fams[f]) for f in fam_order}
+    never: list[str] = []
+    while any(queues.values()):
+        for f in fam_order:
+            if queues[f]:
+                never.append(queues[f].pop(0))
+
+    old = sorted((n for n in names if n in covered), key=lambda n: (covered[n], insertion[n]))
+    return never + old
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in rotation_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {
+        name: REGISTRY[name].oracle for name in rotation_order() if REGISTRY[name].oracle
+    }
 
 
 def bench_queries() -> dict[str, QueryFn]:

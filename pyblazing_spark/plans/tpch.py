@@ -35,14 +35,12 @@ FROM region
 """,
 )
 def aaa_session_warmup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-hygiene smoke entry, named to sort FIRST in the
-    catalog: a trivial 5-row dimension scan that absorbs the one-time
-    session costs every first query pays (JVM/scheduler warmup, worker
-    package ship, first codegen) into a row that is MEANT to carry
-    them — otherwise whichever real operator happens to sort first
-    alphabetically gets billed ~5-7s of startup in its formal
-    correctness-run timing and looks like a regression. Also a genuine
-    end-to-end smoke check (scan + aggregate + oracle compare)."""
+    """End-to-end smoke entry (scan + aggregate + oracle compare) over
+    the 5-row region dimension.  Historically pinned to catalog slot 1
+    to absorb one-time session costs; that job now runs once per session
+    inside ``session.ensure_runtime_confs`` (``_warm_session``), so this
+    entry rotates with the rest of the catalog and the driver's formal
+    budget is all substantive rows."""
     reg = T(spark, sf_dir, "region")
     return reg.agg(
         F.count(F.lit(1)).alias("n_regions"),

@@ -56,7 +56,21 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:  # pragma: no cover - conf not recognized
             pass
     _ship_package(spark)
+    _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One tiny eager job per session so scheduler/JIT/codegen warmup is
+    absorbed here instead of billed to whichever catalog entry the driver
+    happens to run first (the old mitigation was a dedicated
+    ``aaa_session_warmup`` entry pinned to slot 1 of the formal budget —
+    retired so all 50 driver rows are substantive)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pbs_warmed", False):
+        return
+    sc._pbs_warmed = True
+    spark.range(0, 1 << 14, 1, 4).selectExpr("sum(id) AS s").collect()
 
 
 def _ship_package(spark: SparkSession) -> None:

@@ -3,7 +3,10 @@ compare of every queries()/oracle_sql() entry at a given SF.
 
 Usage: python scripts/driver_check.py [sf_dir] [name_prefix ...]
 With name prefixes given, only matching entries run (fast iteration on
-new entries). Mirrors the correctness gate (CORRECTNESS_r{N}.json): row
+new entries). A prefix of the form ``--head=N`` instead runs the FIRST
+N entries of queries() iteration order — exactly the slice the per-round
+driver samples under the coverage rotation (plans/registry.py).
+Mirrors the correctness gate (CORRECTNESS_r{N}.json): row
 count, column names, order-insensitive value compare.
 """
 
@@ -45,8 +48,14 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, osql = E.queries(), E.oracle_sql()
+    head = 0
+    for p in prefixes:
+        if p.startswith("--head="):
+            head = int(p.split("=", 1)[1])
+    prefixes = tuple(p for p in prefixes if not p.startswith("--head="))
+    names = list(qs)[:head] if head else sorted(qs)
     n_ok = n_bad = 0
-    for name in sorted(qs):
+    for name in names:
         if prefixes and not name.startswith(prefixes):
             continue
         t0 = time.time()

@@ -82,3 +82,29 @@ def test_one_catalog_query_per_family_runs(spark):
         assert name in qs, f"{name} missing from catalog"
         out = qs[name](spark, SF_SMALL)
         assert out.count() >= 0, name
+
+
+def test_driver_rotation_order():
+    """Coverage rotation (plans/registry.py): queries() must lead with
+    entries that have never had a green row in a committed
+    CORRECTNESS_r*.json, round-robin across family prefixes, and list
+    previously-covered entries afterwards, oldest round first."""
+    from pyblazing_spark import plans
+    from pyblazing_spark.plans.registry import _driver_coverage, rotation_order
+
+    order = rotation_order()
+    assert sorted(order) == sorted(plans.REGISTRY)  # a permutation
+    covered = _driver_coverage()
+    flags = [n in covered for n in order]
+    # never-covered form a strict prefix (when any exist at all)
+    if False in flags:
+        first_covered = flags.index(True) if True in flags else len(flags)
+        assert all(flags[first_covered:]), "covered entry interleaved before a never-covered one"
+    # covered tail is ordered by last-covered round ascending
+    tail_rounds = [covered[n] for n in order if n in covered]
+    assert tail_rounds == sorted(tail_rounds)
+    # queries()/oracle_sql() follow the same order
+    qnames = list(plans.queries())
+    assert qnames == order
+    onames = [n for n in order if plans.REGISTRY[n].oracle]
+    assert list(plans.oracle_sql()) == onames
