@@ -21,6 +21,36 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+#: The repo-standard cross-engine rounding nudge for float scores that
+#: feed an argmin/argmax or a rounded-hash compare.  Rationale
+#: (documented at length in operators/similarity.py
+#: ``centroid_assign_with_dist``): numpy rounds half-to-even, DuckDB
+#: half-away-from-zero, Spark HALF_UP — and some IEEE doubles DO sit
+#: exactly on a decimal half boundary, where the rules genuinely
+#: disagree.  Adding 1e-9 BEFORE rounding on BOTH engines pushes values
+#: off exact boundaries; residual risk is only the ~1e-13 cross-engine
+#: arithmetic drift any rounded float compare carries.  Every
+#: float-distance/score oracle must use one of the three forms below on
+#: the Spark side and the matching ``+ 1e-9`` in its DuckDB SQL
+#: (lint-enforced by tests/test_queries.py::test_vector_oracles_carry_tie_nudge).
+TIE_NUDGE = 1e-9
+
+
+def nudge_round_sql(expr: str, dp: int) -> str:
+    """SQL text form: ``round(expr + 1e-9, dp)`` — paste into oracles."""
+    return f"round({expr} + 1e-9, {dp})"
+
+
+def nudge_round(col: Column, dp: int) -> Column:
+    """Column form for DataFrame pipelines."""
+    return F.round(col + F.lit(TIE_NUDGE), dp)
+
+
+def nudge_round_np(arr, dp: int):
+    """numpy form for Arrow-batched kernels."""
+    return np.round(arr + TIE_NUDGE, dp)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two float-array columns (double result)."""
     return F.aggregate(

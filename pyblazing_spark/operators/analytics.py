@@ -9,29 +9,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from pyblazing_spark.operators.global_window import _range_bucket
 
-def pareto_frontier_2d(pts: DataFrame, min_col: str, max_col: str) -> DataFrame:
+
+def pareto_frontier_2d(
+    pts: DataFrame, min_col: str, max_col: str, partitions: int = 32
+) -> DataFrame:
     """Skyline over distinct (min_col, max_col) points: minimize the
     first, maximize the second; a point survives iff no other point is
     <= on the minimized axis AND >= on the maximized axis with at least
     one strict inequality.
 
-    Single-pass formulation: sort by (min_col asc, max_col desc) and
-    keep rows whose max_col strictly exceeds the running maximum over
-    all strictly-preceding rows. O(n log n), one window — no pairwise
-    comparison. At scale: dedup partials map-side; the frontier pass
-    runs per range-partition and per-partition frontiers (tiny) merge
-    with one final pass over their union.
+    Sweep formulation: in (min_col asc, max_col desc) order a point
+    survives iff its max_col strictly exceeds the running maximum over
+    all strictly-preceding points. O(n log n), no pairwise comparison —
+    and the sweep is TWO-PHASE, never one global window task:
+
+    1. deterministic range-bucketing on min_col (same sampled-boundary
+       machinery as operators/global_window; equal min_col values land
+       in one bucket, so every row in an earlier bucket strictly
+       precedes every row in a later one);
+    2. per-bucket local running max (``Window.partitionBy(bucket)``);
+    3. a ≤``partitions``-row broadcast of each bucket's prefix max —
+       the cross-bucket part of the running maximum.
+
+    The global running max is greatest(local, earlier-bucket prefix);
+    equality with the serial single-window sweep is pinned in
+    tests/test_analytics_property.py.
     """
     distinct = pts.select(min_col, max_col).distinct()
-    w = (
-        W.orderBy(F.asc(min_col), F.desc(max_col))
+    tagged = distinct.withColumn(
+        "__pid", _range_bucket(distinct, [min_col], partitions)
+    )
+    local_w = (
+        W.partitionBy("__pid")
+        .orderBy(F.asc(min_col), F.desc(max_col))
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    flagged = distinct.withColumn("__run_max", F.max(max_col).over(w))
-    return flagged.where(
+    local = tagged.withColumn("__lmax", F.max(max_col).over(local_w))
+    off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        tagged.groupBy("__pid")
+        .agg(F.max(max_col).alias("__bmax"))
+        .select("__pid", F.max("__bmax").over(off_w).alias("__omax"))
+    )
+    merged = local.join(F.broadcast(offsets), "__pid").withColumn(
+        # greatest() skips NULLs: first row of the first bucket sees NULL
+        "__run_max",
+        F.greatest(F.col("__lmax"), F.col("__omax")),
+    )
+    return merged.where(
         F.col("__run_max").isNull() | (F.col(max_col) > F.col("__run_max"))
-    ).drop("__run_max")
+    ).drop("__pid", "__lmax", "__omax", "__run_max")
 
 
 def pagerank(

@@ -296,6 +296,23 @@ def simhash_pairs(
 
 
 # ------------------------------------------------- exact n-gram jaccard
+def _shingle_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, __t, __i) rows — one per n-gram start position. Docs shorter
+    than ``n`` have no n-grams and are filtered OUT (matching the oracle
+    convention ``generate_series(1, len-n+1)``, which is empty for
+    them); this also guards Spark's descending-``sequence`` trap for
+    ``len - n + 1 < 1``."""
+    return df.where(F.length(text_col) >= n).select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - F.lit(n - 1))
+        ).alias("__i"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -312,14 +329,12 @@ def ngram_jaccard_pairs(
     Shingles are produced row-wise (explode positions, then substring)
     rather than as array expressions — same InferFiltersFromGenerate
     pitfall as the MinHash path (see :func:`_hashed_shingle_rows`).
+    Docs shorter than ``n`` chars have NO n-grams and are dropped before
+    the explode: a ``greatest(1, ...)`` bound would instead hand them a
+    single truncated shingle the SQL-oracle definition
+    (``generate_series(1, len-n+1)``) never produces.
     """
-    pos = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("__t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(text_col) - F.lit(n - 1)))
-        ).alias("__i"),
-    )
+    pos = _shingle_positions(df, text_col, id_col, n)
     sh = pos.select(
         id_col, F.col("__t").substr(F.col("__i"), F.lit(n)).alias("__s")
     ).distinct()
@@ -395,7 +410,7 @@ def embedding_pairs_lsh(
         .join(vb, "id_b")
         .withColumn("cos", VEC.cosine_udf(F.col("__va"), F.col("__vb")))
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+        .select("id_a", "id_b", VEC.nudge_round(F.col("cos"), 4).alias("cos"))
     )
 
 
@@ -418,7 +433,7 @@ def embedding_pairs(
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", VEC.cosine_udf(F.col("__va"), F.col("__vb")))
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+        .select("id_a", "id_b", VEC.nudge_round(F.col("cos"), 4).alias("cos"))
     )
 
 
@@ -547,15 +562,10 @@ def containment_pairs(
     Exact inverted-index formulation like :func:`ngram_jaccard_pairs`
     (bounded-candidate use; the MinHash/LSH path is the 100 TB
     candidate generator). Each unordered intersection yields both
-    directions; only those ≥ threshold survive.
+    directions; only those ≥ threshold survive. Sub-``n``-char docs are
+    dropped with the same rationale as :func:`ngram_jaccard_pairs`.
     """
-    pos = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("__t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(text_col) - F.lit(n - 1)))
-        ).alias("__i"),
-    )
+    pos = _shingle_positions(df, text_col, id_col, n)
     sh = pos.select(
         id_col, F.col("__t").substr(F.col("__i"), F.lit(n)).alias("__s")
     ).distinct()

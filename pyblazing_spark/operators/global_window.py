@@ -164,3 +164,55 @@ def global_prefix_stats(
         .withColumn(sum_col, F.col("__toff") + F.col("__lsum"))
         .drop("__pid", "__lrn", "__lsum", "__noff", "__toff")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    out_col: str = "bucket",
+    partitions: int = 32,
+) -> DataFrame:
+    """``ntile(n_buckets) OVER (ORDER BY order_cols)`` without the
+    single-task collapse of an unpartitioned window.
+
+    Two-phase: a global contiguous rank (same machinery as
+    :func:`global_row_number`) plus the closed-form ntile bucket
+    assignment — with ``n`` rows, ``q = n div k`` and ``r = n mod k``,
+    the first ``r`` buckets take ``q + 1`` rows and the rest take ``q``:
+
+        bucket(i) = (i - 1) div (q + 1) + 1                 if i <= (q+1)*r
+                    r + (i - (q+1)*r - 1) div q + 1         otherwise
+
+    which is exactly how ntile splits remainders (verified against
+    DuckDB/Spark ntile in the sort_zorder_cluster oracle). The total
+    ``n`` rides in the same ≤``partitions``-row broadcast as the prefix
+    offsets, so no extra scan and no driver round-trip: the data path
+    is one range-style shuffle plus a per-bucket local window."""
+    tagged = df.withColumn("__pid", _range_bucket(df, order_cols, partitions))
+    local_w = W.partitionBy("__pid").orderBy(*order_cols)
+    local = tagged.withColumn("__lrn", F.row_number().over(local_w))
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    tot_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    offsets = counts.select(
+        "__pid",
+        F.sum("__n").over(off_w).alias("__offset"),
+        F.sum("__n").over(tot_w).alias("__total"),
+    ).fillna({"__offset": 0})
+    k = int(n_buckets)
+    ranked = local.join(F.broadcast(offsets), "__pid").withColumn(
+        "__rank", F.col("__offset") + F.col("__lrn")
+    )
+    q = F.expr(f"__total div {k}")
+    r = F.col("__total") % k
+    head = (q + 1) * r  # rows living in the (q+1)-sized buckets
+    bucket = (
+        F.when(F.col("__rank") <= head, F.expr(f"(__rank - 1) div (__total div {k} + 1) + 1"))
+        # CASE evaluates lazily, so the `div q` here never sees q = 0
+        # (q = 0 implies every row ranks <= head = n).
+        .otherwise(r + F.expr(f"(__rank - (__total div {k} + 1) * (__total % {k}) - 1) div (__total div {k}) + 1"))
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "__pid", "__lrn", "__offset", "__total", "__rank"
+    )

@@ -420,7 +420,14 @@ def _sniff_decode(data: bytes) -> tuple[int, int, bytes] | None:
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         from pyblazing_spark.operators.webp import decode_webp_lossless
 
-        return decode_webp_lossless(data)
+        try:
+            return decode_webp_lossless(data)
+        except NotImplementedError:
+            # Lossy VP8 / VP8X / transform-bearing VP8L streams are a
+            # documented decoder hole: fall through to the same
+            # graceful-skip path as any other unrecognized buffer
+            # instead of failing the whole batch.
+            return None
     return None
 
 

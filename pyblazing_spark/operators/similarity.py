@@ -72,7 +72,7 @@ def cosine_topk(
             ids = pdf[id_col].to_numpy()
             out_q, out_id, out_cos = [], [], []
             for j in range(S.shape[1]):
-                s = np.round(S[:, j], 4)
+                s = VEC.nudge_round_np(S[:, j], 4)
                 # per-batch prune by the FINAL ordering key (-cos, id) so
                 # a batch-dropped candidate is dominated globally too.
                 order = np.lexsort((ids, -s))[:k]
@@ -216,8 +216,9 @@ def centroid_assign_with_dist(
     SOME IEEE doubles DO sit exactly on a 3 dp half boundary (any dyadic
     value (2k+1)/2000 with 125 | (2k+1), e.g. 0.0625) — on those the two
     rules genuinely disagree. A +1e-9 nudge is added before rounding on
-    BOTH engines (the repo's standard tie-nudge, see ``_sql_d2`` in
-    plans/vectors.py) so exact half boundaries are pushed off; residual
+    BOTH engines (the repo's standard tie-nudge — ``TIE_NUDGE`` /
+    ``nudge_round*`` in functions/vectors.py, lint-enforced on every
+    vector oracle) so exact half boundaries are pushed off; residual
     risk is only the ~1e-13 cross-engine drift any rounded float compare
     carries."""
     from pyspark.sql.functions import pandas_udf
@@ -236,8 +237,8 @@ def centroid_assign_with_dist(
             return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
                                  "d2": pd.Series([], dtype="float64")})
         V = np.stack(vs.to_numpy()).astype(np.float64)
-        d = np.round(
-            (V**2).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + Cn2[None, :] + 1e-9, 3
+        d = VEC.nudge_round_np(
+            (V**2).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + Cn2[None, :], 3
         )
         idx = d.argmin(axis=1)
         return pd.DataFrame(
@@ -386,7 +387,7 @@ def ivf_ann_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(VEC.cosine_udf(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+        VEC.nudge_round(VEC.cosine_udf(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
@@ -433,7 +434,7 @@ def lsh_ann_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(VEC.cosine_udf(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
+        VEC.nudge_round(VEC.cosine_udf(F.col("__qv"), F.col("__cv")), 4).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (

@@ -227,16 +227,21 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Decoder:
     if br.read(1):  # simple
         num_symbols = br.read(1) + 1
         first = br.read(8) if br.read(1) else br.read(1)
-        lengths = {first: 1}
         if num_symbols == 2:
-            lengths[br.read(8)] = 1
-        else:
-            lengths = {first: 0}
+            # Spec order, not canonical order: the FIRST-listed symbol
+            # takes code 0 even when its value is larger — a compliant
+            # foreign encoder may list them descending, and canonical
+            # (value-sorted) assignment would decode the pair swapped.
+            second = br.read(8)
             dec = _Decoder.__new__(_Decoder)
-            dec.single = first
-            dec.table = {}
+            dec.single = None
+            dec.table = {(1, 0): first, (1, 1): second}
+            dec.max_len = 1
             return dec
-        return _Decoder(lengths)
+        dec = _Decoder.__new__(_Decoder)
+        dec.single = first
+        dec.table = {}
+        return dec
     num_cl = 4 + br.read(4)
     cl_lengths: dict[int, int] = {}
     for i in range(num_cl):

@@ -345,7 +345,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+       round(list_cosine_similarity(a.embedding, b.embedding) + 1e-9, 4) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 ORDER BY id_a, id_b
@@ -370,7 +370,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        WHERE vec_id >= 5),
  scored AS (
   SELECT query_id, neighbor_id,
-         round(list_cosine_similarity(qv, cv), 4) AS cos
+         round(list_cosine_similarity(qv, cv) + 1e-9, 4) AS cos
   FROM q CROSS JOIN c),
  ranked AS (
   SELECT query_id, neighbor_id, cos,
@@ -389,7 +389,7 @@ ORDER BY query_id, rank
     oracle="""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+       round(list_cosine_similarity(a.embedding, b.embedding) + 1e-9, 4) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 ORDER BY id_a, id_b

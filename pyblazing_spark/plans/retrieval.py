@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from pyblazing_spark.operators.global_window import global_ntile
 from pyblazing_spark.plans.registry import register
 from pyblazing_spark.plans.tpch import money
 from pyblazing_spark.sources.tables import load_table as T
@@ -300,8 +301,14 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is `repartitionByRange(zcode).sortWithinPartitions(zcode)`
     before the parquet write; each output file then spans a small
     (x, y) rectangle and min/max zone maps prune BOTH dimensions of a
-    2-D predicate, which no single-column sort can do. ntile here
-    stands in for the range partitioner to keep the oracle exact."""
+    2-D predicate, which no single-column sort can do.
+
+    Bucket assignment is the two-phase `global_ntile`
+    (operators/global_window.py): deterministic range-bucketing, a
+    per-bucket local window, and a ≤32-row broadcast of prefix offsets
+    + total — never an unpartitioned `ntile` window (that collapses the
+    whole table into ONE task; oracle still uses plain ntile, proving
+    the parallel form computes the identical split)."""
     li = T(spark, sf_dir, "lineitem").selectExpr(
         "l_partkey % 256 AS zx",
         "l_suppkey % 256 AS zy",
@@ -309,8 +316,7 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    w = W.orderBy("zcode", "l_orderkey", "l_linenumber")
-    b = li.withColumn("bucket", F.ntile(16).over(w).cast("int"))
+    b = global_ntile(li, ["zcode", "l_orderkey", "l_linenumber"], 16, out_col="bucket")
     return (
         b.groupBy("bucket")
         .agg(

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyblazing_spark.functions import vectors as VEC
 from pyblazing_spark.plans.registry import register
 from pyblazing_spark.session import materialize_bounded
 from pyblazing_spark.sources.tables import load_table as T
@@ -36,10 +37,11 @@ _K = 8  # registered-entry cluster count (production: 2^8-2^12)
 #: Shared oracle fragment: the rounded-squared-distance expression both
 #: k-means entries use — the assignment contract lives in ONE place.
 def _sql_d2(p: str, c: str) -> str:
-    return (
-        f"round(list_dot_product({p}.v, {p}.v)"
+    return VEC.nudge_round_sql(
+        f"list_dot_product({p}.v, {p}.v)"
         f" - 2 * list_dot_product({p}.v, {c}.cv)"
-        f" + list_dot_product({c}.cv, {c}.cv) + 1e-9, 3)"
+        f" + list_dot_product({c}.cv, {c}.cv)",
+        3,
     )
 
 
@@ -300,7 +302,7 @@ def vector_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "g",
             (n * (n - 1) / 2).cast("long").alias("n_pairs"),
-            F.round(total_d2 / (n * (n - 1) / 2) + 1e-9, 3).alias(
+            VEC.nudge_round(total_d2 / (n * (n - 1) / 2), 3).alias(
                 "mean_pairwise_d2"
             ),
         )
@@ -490,7 +492,7 @@ WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
     FROM adc) x WHERE rn <= {_ADC_SHORTLIST}),
  rerank AS (
   SELECT s.query_id, s.neighbor_id,
-         round(list_cosine_similarity(q.qv, c.embedding), 4) AS cos
+         round(list_cosine_similarity(q.qv, c.embedding) + 1e-9, 4) AS cos
   FROM shortlist s
   JOIN queries q ON q.query_id = s.query_id
   JOIN corpus c ON c.vec_id = s.neighbor_id)
@@ -581,7 +583,7 @@ def _pq_adc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pos, cand in enumerate(ids):
                 c = C[pos]
                 d2 = float(
-                    np.round(qs @ qs - 2.0 * (qs @ c) + c @ c + 1e-9, 3)
+                    VEC.nudge_round_np(qs @ qs - 2.0 * (qs @ c) + c @ c, 3)
                 )
                 lut_rows.append((int(qr["query_id"]), int(s), int(cand), d2))
     lut = spark.createDataFrame(
@@ -606,7 +608,7 @@ def _pq_adc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         codes_long.join(F.broadcast(lut), ["sub", "code"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("d2") + 1e-9, 3).alias("adc"))
+        .agg(VEC.nudge_round(F.sum("d2"), 3).alias("adc"))
     )
     from pyspark.sql import Window as W
 

@@ -86,3 +86,24 @@ def test_pagerank_matches_dense_reference(spark, edges):
     # Conservation: with no dangling redistribution, total rank can only
     # leak mass through sink nodes — it never exceeds 1.
     assert sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_pareto_sweep_window_is_partitioned(spark, sf_dir):
+    """The frontier sweep must never plan an unpartitioned window over
+    the data path — only the ≤32-row per-bucket prefix-max window may
+    be global (it orders by __pid alone)."""
+    from pyblazing_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("x"), F.col("p_size").cast("double").alias("y")
+    )
+    df = pareto_frontier_2d(part, "x", "y")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    data_windows = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l and "x#" in l
+    ]
+    assert data_windows, plan
+    for line in data_windows:
+        assert "__pid" in line, f"unpartitioned sweep window: {line}"

@@ -149,3 +149,27 @@ def test_webp_package_merge_is_kraft_tight(img):
         return
     assert max(lengths.values()) <= 15
     assert abs(sum(2.0 ** -v for v in lengths.values()) - 1.0) < 1e-12
+
+
+def test_vp8l_simple_code_two_symbols_in_read_order():
+    """VP8L 5.2.2: in a simple prefix code the FIRST-listed symbol gets
+    code 0 — even when a foreign encoder lists the pair in DESCENDING
+    symbol order (our encoder always sorts, so only foreign streams hit
+    this; ADVICE r4)."""
+    from pyblazing_spark.operators.webp import _BitReader, _read_prefix_code
+
+    bits = []
+    bits.append((1, 1))  # simple code
+    bits.append((1, 1))  # num_symbols = 2
+    bits.append((1, 1))  # first symbol uses 8 bits
+    bits.append((200, 8))  # first = 200 (the LARGER value, listed first)
+    bits.append((10, 8))  # second = 10
+    acc = n = 0
+    for v, w in bits:
+        acc |= v << n
+        n += w
+    data = acc.to_bytes((n + 7) // 8, "little")
+    dec = _read_prefix_code(_BitReader(data), 256)
+    # code 0 -> first-listed (200), code 1 -> second-listed (10)
+    assert dec.read(_BitReader(b"\x00")) == 200
+    assert dec.read(_BitReader(b"\x01")) == 10

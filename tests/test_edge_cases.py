@@ -181,3 +181,27 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
 
     for row in plans.REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect():
         assert row["approx_within_1pct"], f"sketch percentile off: {row}"
+
+
+def test_sub_ngram_docs_have_no_shingles(spark):
+    """Docs shorter than n chars define an EMPTY shingle set on both
+    engines (oracle: generate_series(1, len-n+1) is empty) — two
+    identical 5-char docs must NOT pair up via a truncated shingle
+    (ADVICE r4: latent fixture-dependent oracle mismatch)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny!"),
+            (2, "tiny!"),
+            (3, "a much longer document body that repeats: " + "xyz" * 20),
+            (4, "a much longer document body that repeats: " + "xyz" * 20),
+        ],
+        "doc_id long, text string",
+    )
+    cont = DD.containment_pairs(docs, threshold=0.0).collect()
+    jac = DD.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    ids_seen = {r.contained_id for r in cont} | {r.container_id for r in cont}
+    ids_seen |= {r.id_a for r in jac} | {r.id_b for r in jac}
+    assert 1 not in ids_seen and 2 not in ids_seen, (cont, jac)
+    # the long identical pair still pairs at containment/jaccard 1.0
+    assert any(r.containment == 1.0 for r in cont)
+    assert any(r.jaccard == 1.0 for r in jac)

@@ -61,3 +61,23 @@ def test_global_running_sum_matches_single_partition(spark, sf_dir):
     assert set(got) == set(exp)
     for k in got:
         assert abs(got[k] - exp[k]) < 1e-4, k
+
+
+def test_global_ntile_matches_single_partition(spark, sf_dir):
+    """global_ntile must reproduce ntile's exact remainder split (the
+    first n-mod-k buckets take one extra row) for awkward sizes: k does
+    not divide n, n < k, and n == k."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    for k, limit in ((7, None), (16, 10), (5, 5)):
+        sub = ev if limit is None else ev.orderBy("event_id").limit(limit)
+        got = {
+            r.event_id: r.bucket
+            for r in GW.global_ntile(sub, ["ts", "event_id"], k, partitions=8).collect()
+        }
+        exp = {
+            r.event_id: r.b
+            for r in sub.withColumn(
+                "b", F.ntile(k).over(W.orderBy("ts", "event_id"))
+            ).collect()
+        }
+        assert got == exp, f"k={k} limit={limit}"

@@ -389,3 +389,91 @@ def test_mp4_sample_table_roundtrip():
     plain = MMETA.build_mp4(duration_ms=100, width=8, height=8)
     with pytest.raises(ValueError, match="sample table"):
         MMETA.extract_mp4_samples(plain)
+
+
+# ---- unsupported-WebP negative paths (graceful skip, never batch error)
+
+
+def _webp_container(tag: bytes, payload: bytes) -> bytes:
+    import struct
+
+    chunk = tag + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _vp8l_header_blob(transform=0, color_cache=0, meta=0) -> bytes:
+    """Minimal VP8L stream: signature + 2x2 geometry + the given flag
+    bits set — enough to reach each NotImplementedError branch."""
+    bits = [(1, 14), (1, 14), (0, 1), (0, 3)]  # w-1, h-1, alpha, version
+    bits += [(transform, 1)]
+    if not transform:
+        bits += [(color_cache, 1)]
+        if not color_cache:
+            bits += [(meta, 1)]
+    acc = n = 0
+    for v, w in bits:
+        acc |= v << n
+        n += w
+    payload = b"\x2f" + acc.to_bytes((n + 7) // 8 + 4, "little")
+    return _webp_container(b"VP8L", payload)
+
+
+_UNSUPPORTED_WEBPS = {
+    "lossy_vp8": _webp_container(b"VP8 ", b"\x00" * 16),
+    "extended_vp8x": _webp_container(b"VP8X", b"\x00" * 10),
+    "vp8l_transform": _vp8l_header_blob(transform=1),
+    "vp8l_color_cache": _vp8l_header_blob(color_cache=1),
+    "vp8l_meta_prefix": _vp8l_header_blob(meta=1),
+}
+
+
+def test_unsupported_webp_raises_not_implemented_per_branch():
+    """Each documented decoder hole must refuse loudly at the codec API
+    (never fabricate pixels)."""
+    import pytest
+
+    from pyblazing_spark.operators.webp import decode_webp_lossless
+
+    for name, blob in _UNSUPPORTED_WEBPS.items():
+        with pytest.raises(NotImplementedError):
+            decode_webp_lossless(blob)
+
+
+def test_unsupported_webp_sniff_falls_through():
+    """_sniff_decode must swallow the NotImplementedError and return
+    None — the same graceful-skip path as any unrecognized buffer."""
+    from pyblazing_spark.operators.multimodal import _sniff_decode
+
+    for name, blob in _UNSUPPORTED_WEBPS.items():
+        assert _sniff_decode(blob) is None, name
+
+
+def test_unsupported_webp_through_arrow_kernels(spark):
+    """A lossy/transform-bearing WebP row must not error the Arrow
+    batch: decode_image falls back to the deterministic fake and
+    image_dhash records a NULL hash; sibling rows decode normally."""
+    from pyblazing_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        image_dhash,
+    )
+
+    ppm = encode_ppm(2, 2, bytes(range(12)))
+    rows = [(0, bytearray(ppm))] + [
+        (i + 1, bytearray(blob))
+        for i, blob in enumerate(_UNSUPPORTED_WEBPS.values())
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, content binary")
+    dec = {r.doc_id: r for r in decode_image(blobs).collect()}
+    assert len(dec) == len(rows)  # every row survived the batch
+    assert (dec[0].width, dec[0].height) == (2, 2)  # real decode
+    for i in range(1, len(rows)):  # fake path: side = isqrt(len(blob))
+        n = len(rows[i][1])
+        side = int(n**0.5)
+        assert dec[i].width == side and dec[i].height == side
+    dh = {r.doc_id: r.dhash for r in image_dhash(blobs).collect()}
+    assert dh[0] is not None
+    assert all(dh[i] is None for i in range(1, len(rows)))

@@ -306,18 +306,31 @@ def test_runtime_minmax_filter_reaches_fact_scan(spark, sf_dir):
 
 def test_zorder_morton_code_stays_in_codegen(spark, sf_dir):
     """The Morton interleave must be pure JVM bit arithmetic inside
-    WholeStageCodegen — no Python boundary, no extra exchange beyond
-    the single range/window shuffle the layout pays by design."""
+    WholeStageCodegen — no Python boundary — and the bucket assignment
+    must be the PARALLEL two-phase form: every window over the lineitem
+    data path partitions by the range-bucket id (never an unpartitioned
+    ntile collapsing the table to one task), and the only joins are the
+    tiny broadcast of prefix offsets."""
     df = plans.REGISTRY["sort_zorder_cluster"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # One window (the range bucketing) and no join: the morton code is
-    # computed inline in the project over the scan.
-    assert plan.count("Window") >= 1 and "Join" not in plan
     project = [b for b in plan.split("\n\n") if ") Project" in b][0]
     assert ">>" in project and "& 1" in project, project
+    # joins: broadcast-only (the ≤32-row offsets table)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan, plan
+    # windows over lineitem rows must be partitioned by __pid; the only
+    # unpartitioned windows allowed are over the ≤32-row counts table
+    # (identified by aggregating __n, not carrying zcode).
+    big_windows = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and "zcode" in l
+    ]
+    assert big_windows, plan
+    for line in big_windows:
+        assert "__pid" in line, f"unpartitioned window over lineitem: {line}"
 
 
 def test_bm25_never_shuffles_text(spark, sf_dir):

@@ -28,3 +28,22 @@ def test_query_vs_oracle(name, spark, sf_dir, oracle_con):
     # Guard against vacuous comparisons: flag unexpectedly empty results.
     if name not in plans.ALLOWED_EMPTY:
         assert len(spark_pdf) > 0, f"{name}: empty result at {sf_dir}"
+
+
+def test_vector_oracles_carry_tie_nudge():
+    """Lint: every rounded float-distance/score expression in an oracle
+    (cosine or dot-product based) must carry the repo-standard +1e-9
+    tie-nudge (functions/vectors.py TIE_NUDGE) — numpy/DuckDB/Spark
+    disagree on exact decimal half boundaries, so an un-nudged rounded
+    score is a latent hash mismatch waiting for the right fixture."""
+    offenders = []
+    for name, spec in plans.REGISTRY.items():
+        if not spec.oracle:
+            continue
+        for line in spec.oracle.splitlines():
+            if "round(" in line and (
+                "cosine_similarity" in line or "dot_product" in line
+            ):
+                if "1e-9" not in line:
+                    offenders.append((name, line.strip()))
+    assert not offenders, offenders
