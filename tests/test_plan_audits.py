@@ -380,3 +380,14 @@ def test_bigram_lm_never_shuffles_text(spark, sf_dir):
     df = plans.REGISTRY["text_lm_bigram"].fn(spark, sf_dir)
     for inp in _exchange_inputs(df):
         assert "text#" not in inp, inp
+
+
+def test_weighted_reservoir_plans_as_take_ordered(spark, sf_dir):
+    """The A-Res top-20 must plan as TakeOrderedAndProject (Catalyst's
+    LimitPushDownThroughWindow rewrite of the rank<=k filter): the
+    global window then ranks only the 20 survivors, never the full
+    orders table in one task. Pinned because the rewrite silently
+    disappears if the filter/rank shape drifts."""
+    df = plans.REGISTRY["sample_weighted_reservoir"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
