@@ -444,3 +444,73 @@ def pipeline_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "version")
     )
+
+
+_CHUNK_W = 256  # chunk width (chars)
+_CHUNK_S = 192  # stride (chars) -> 64-char overlap between neighbors
+
+
+@register(
+    "pipeline_chunk_overlap",
+    tags=("pipeline", "chunking", "llm"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < 200 AND length(text) > 0),
+ idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, CAST((length(text) - 1) // {_CHUNK_S} AS BIGINT))) AS i
+  FROM docs),
+ chunks AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS chunk_idx,
+         CAST(i * {_CHUNK_S} + 1 AS BIGINT) AS pos,
+         substr(text, CAST(i * {_CHUNK_S} + 1 AS INTEGER), {_CHUNK_W}) AS chunk
+  FROM idx)
+SELECT doc_id, chunk_idx, pos,
+       CAST(length(chunk) AS INTEGER) AS chunk_len,
+       md5(chunk)                      AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking — the RAG-indexing /
+    long-context packing primitive: each document is split into
+    256-char chunks every 192 chars (so neighboring chunks share
+    64 chars of context and no boundary sentence is lost).
+    Emits (doc_id, chunk_idx, pos, len, md5) — the md5 makes the oracle
+    byte-exact on chunk CONTENT, not just geometry.
+
+    Scale shape: pure scan-stage codegen — explode a per-doc integer
+    position sequence, then substring; no shuffle at all before the
+    presentation sort, no Python, and the explode factor is bounded by
+    doc length / stride. At 100 TB chunking is a narrow map whose
+    output feeds the embedding/packing stages; the bounded doc_id < 200
+    slice keeps the driver compare small while exercising ragged tail
+    chunks (len(text) mod stride != 0) and single-chunk short docs.
+    """
+    docs = T(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") > 0)
+    )
+    w, s = _CHUNK_W, _CHUNK_S
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), ((F.length("text") - 1) / s).cast("long"))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        (F.col("i") * s + 1).alias("pos"),
+        F.expr(f"substring(text, CAST(i * {s} + 1 AS INT), {w})").alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "pos",
+        F.length("chunk").cast("int").alias("chunk_len"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -1527,3 +1527,143 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contained_id", "container_id"
         )
     )
+
+
+_SEM_K = 8  # SemDeDup cluster count at catalog scale (production: ~sqrt(n))
+_SEM_THR = 0.35  # within-cluster cosine threshold
+
+
+def _sql_sem_d2(p: str, c: str) -> str:
+    from pyblazing_spark.functions.vectors import nudge_round_sql
+
+    return nudge_round_sql(
+        f"list_dot_product({p}.v, {p}.v)"
+        f" - 2 * list_dot_product({p}.v, {c}.cv)"
+        f" + list_dot_product({c}.cv, {c}.cv)",
+        3,
+    )
+
+
+@register(
+    "dedup_semantic",
+    tags=("llm", "dedup", "embedding", "semantic"),
+    oracle=f"""
+WITH init AS (
+  SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST(vec_id % {_SEM_K} AS INTEGER) AS c0
+  FROM embeddings WHERE vec_id < 2000),
+ cent AS (
+  SELECT c0, i, avg(v[i]) AS m
+  FROM init JOIN generate_series(1, 64) t(i) ON true
+  GROUP BY c0, i),
+ cl AS (
+  SELECT c0 AS cand, list(m ORDER BY i) AS cv FROM cent GROUP BY c0),
+ dist AS (
+  SELECT v.vec_id, v.embedding, c.cand, {{d2}} AS d2
+  FROM init v CROSS JOIN cl c),
+ assigned AS (
+  SELECT vec_id, embedding, cand AS cluster FROM (
+    SELECT vec_id, embedding, cand, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+    FROM dist) x WHERE rn = 1),
+ pairs AS (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {_SEM_THR}),
+ dropped AS (
+  SELECT cluster, id_b FROM pairs GROUP BY cluster, id_b)
+SELECT p.cluster,
+       CAST(n.n_vecs AS BIGINT)                 AS n_vecs,
+       CAST(count(*) AS BIGINT)                 AS n_dup_pairs,
+       CAST(d.n_dropped AS BIGINT)              AS n_dropped,
+       CAST(d.drop_id_sum AS BIGINT)            AS drop_id_sum,
+       round(max(p.cos) + 1e-9, 4)              AS max_cos
+FROM pairs p
+JOIN (SELECT cluster, count(*) AS n_vecs FROM assigned GROUP BY cluster) n
+  USING (cluster)
+JOIN (SELECT cluster, count(*) AS n_dropped, sum(id_b) AS drop_id_sum
+      FROM dropped GROUP BY cluster) d
+  USING (cluster)
+GROUP BY p.cluster, n.n_vecs, d.n_dropped, d.drop_id_sum
+ORDER BY p.cluster
+""".replace("{d2}", _sql_sem_d2("v", "c")),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with one deterministic k-means
+    assignment (the ``vector_kmeans`` contract — init ``vec_id % k``,
+    per-cluster means, nearest-centroid argmin with the repo tie-nudge),
+    then compare pairs ONLY within a cluster; cosine >= threshold marks
+    the higher id as a semantic duplicate. Per cluster: member count,
+    duplicate pairs, dropped docs (distinct higher ids + checksum), max
+    similarity.
+
+    Scale shape: clustering turns the O(n^2) corpus comparison into
+    sum over clusters of O(|c|^2) — with k ~ sqrt(n) clusters this is
+    the SemDeDup trick that made 100 TB semantic dedup tractable. The
+    assignment is a broadcast-closure numpy kernel (corpus vectors
+    never shuffle for it); only the within-cluster self-join shuffles,
+    keyed on the cluster id, and at production k each cluster is
+    executor-sized. Bounded here to vec_id < 2000 like the other
+    exact-pair baselines."""
+    from pyblazing_spark.functions import vectors as VEC
+    from pyblazing_spark.operators.similarity import (
+        centroid_assign_with_dist,
+        centroid_means,
+    )
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    emb = T(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
+    init = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % _SEM_K).cast("int").alias("c0")
+    )
+    with scoped_conf(spark, loop_shuffle_confs(spark)):
+        ids, C = centroid_means(init, "embedding", "c0")
+    a = centroid_assign_with_dist(F.col("embedding"), C, cluster_ids=ids)
+    assigned = init.select(
+        "vec_id", "embedding", a.getField("cluster").alias("cluster")
+    )
+    lhs = assigned.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea")
+    )
+    rhs = assigned.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb")
+    )
+    pairs = (
+        lhs.join(rhs, ["cluster"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", VEC.cosine_udf(F.col("__ea"), F.col("__eb")))
+        .where(F.col("cos") >= _SEM_THR)
+        .select("cluster", "id_a", "id_b", "cos")
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dropped = (
+        pairs.select("cluster", "id_b")
+        .distinct()
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_dropped"),
+            F.sum("id_b").alias("drop_id_sum"),
+        )
+    )
+    summary = (
+        pairs.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            VEC.nudge_round(F.max("cos"), 4).alias("max_cos"),
+        )
+        .join(F.broadcast(sizes), "cluster")
+        .join(F.broadcast(dropped), "cluster")
+        .select(
+            "cluster",
+            "n_vecs",
+            "n_dup_pairs",
+            "n_dropped",
+            "drop_id_sum",
+            "max_cos",
+        )
+        .orderBy("cluster")
+    )
+    return materialize_bounded(summary)

@@ -126,6 +126,7 @@ def main() -> int:
     extra = {
         "text_bm25", "graph_pagerank", "vector_pq", "ann_pq_adc",
         "sort_zorder_cluster", "pipeline_scd2", "agg_histogram",
+        "dedup_semantic", "sort_pareto_frontier",
         "events_attribution", "text_lm_bigram", "events_anomaly_zscore",
         "pipeline_dedup_e2e",
     }
