@@ -33,21 +33,23 @@ def _range_bucket(
 ) -> Column:
     """Deterministic range-bucket id for the ordering-key tuple.
 
-    A seeded sample of the ordering keys picks ``partitions - 1``
-    boundary tuples; the bucket id is how many boundaries the row's key
-    exceeds (struct comparison is lexicographic). Same data -> same
-    boundaries -> every re-evaluation of every branch agrees."""
-    key = F.struct(*[F.col(c) for c in order_cols])
-    sample = [
-        tuple(r)
-        for r in df.select(*order_cols)
-        .sample(fraction=0.05, seed=42)
-        .limit(sample_rows)
-        .collect()
-    ]
-    if not sample:  # tiny input where the 5% sample came back empty
-        sample = [tuple(r) for r in df.select(*order_cols).limit(sample_rows).collect()]
-    sample.sort()
+    A seeded Arrow-collected sample of the FIRST ordering column picks
+    ``partitions - 1`` boundary values; the bucket id is how many
+    boundaries the row's leading key exceeds. Bucketing on the leading
+    column alone is sufficient for every two-phase consumer here: rows
+    that tie on it land in one bucket, so a row in an earlier bucket is
+    STRICTLY smaller on the leading column and therefore strictly
+    precedes every later-bucket row in the full lexicographic order —
+    the invariant the cross-bucket offsets rely on. (The previous
+    full-tuple form compared an n-field struct against each boundary
+    per row and shipped the sample over py4j; scalar compares + Arrow
+    are measurably cheaper at ~sf1.) Same data -> same boundaries ->
+    every re-evaluation of every branch agrees."""
+    key0 = order_cols[0]
+    pdf = df.select(key0).sample(fraction=0.05, seed=42).limit(sample_rows).toPandas()
+    if len(pdf) == 0:  # tiny input where the 5% sample came back empty
+        pdf = df.select(key0).limit(sample_rows).toPandas()
+    sample = sorted(pdf[key0].dropna().tolist())
     if len(sample) < 2 or partitions < 2:
         return F.lit(0)
     step = max(1, len(sample) // partitions)
@@ -57,16 +59,14 @@ def _range_bucket(
             break
         if not boundaries or sample[i] != boundaries[-1]:
             boundaries.append(sample[i])
-    types = {c: df.schema[c].dataType for c in order_cols}
+    # cast each literal to the column's exact type (a pandas Timestamp
+    # otherwise lands as TIMESTAMP vs a TIMESTAMP_NTZ column). NULL
+    # leading keys compare false against every boundary -> bucket 0,
+    # matching NULLS-FIRST ascending order.
+    key_type = df.schema[key0].dataType
     pid: Column = F.lit(0)
     for b in boundaries:
-        # cast every literal to its column's exact type (a python datetime
-        # otherwise lands as TIMESTAMP vs a TIMESTAMP_NTZ column, and the
-        # struct comparison refuses mismatched field types)
-        lit_b = F.struct(
-            *[F.lit(v).cast(types[c]) for c, v in zip(order_cols, b)]
-        )
-        pid = pid + F.when(key > lit_b, 1).otherwise(0)
+        pid = pid + F.when(F.col(key0) > F.lit(b).cast(key_type), 1).otherwise(0)
     return pid
 
 
@@ -192,6 +192,12 @@ def global_ntile(
     tagged = df.withColumn("__pid", _range_bucket(df, order_cols, partitions))
     local_w = W.partitionBy("__pid").orderBy(*order_cols)
     local = tagged.withColumn("__lrn", F.row_number().over(local_w))
+    # Per-bucket counts are a SECOND aggregation over ``tagged`` (scan +
+    # map-side partial + a 32-row shuffle), not max(__lrn) over the
+    # windowed branch: the latter was measured — Catalyst does not
+    # ReusedExchange across the Window here, so it paid the full
+    # shuffle+sort+window twice, while this branch's shuffle carries
+    # only ``partitions`` pre-aggregated rows.
     counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
     tot_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
