@@ -514,3 +514,76 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk").cast("int").alias("chunk_len"),
         F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+_MIX_T = 2.0  # mixture temperature (1 = proportional, inf -> uniform)
+
+
+@register(
+    "pipeline_domain_mixture",
+    tags=("pipeline", "mixture", "llm"),
+    oracle=f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source),
+ tot AS (SELECT sum(n_tokens) AS t FROM per),
+ sc AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens * 1.0 / t                    AS p,
+         pow(n_tokens * 1.0 / t, 1.0 / {_MIX_T}) AS u
+  FROM per CROSS JOIN tot),
+ z AS (SELECT sum(u) AS zu FROM sc)
+SELECT source, n_docs, n_tokens,
+       round(p + 1e-9, 4)           AS token_share,
+       round(u / zu + 1e-9, 4)      AS mixture_weight,
+       round(u / zu / p + 1e-9, 4)  AS oversample
+FROM sc CROSS JOIN z
+ORDER BY source
+""",
+)
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixture reweighting — the standard
+    multilingual/multi-domain sampling recipe (q_s ∝ p_s^(1/T), T=2,
+    as used for mC4/XLM-R-style corpus balancing): per source, token
+    mass p_s, smoothed mixture weight q_s, and the oversampling factor
+    q_s/p_s a sampler applies so low-resource domains are up-weighted
+    without drowning the head.
+
+    Scale shape: one word-count-shaped pass (shuffle carries only
+    (source, partial sums)); the per-source frame (a handful of rows)
+    then broadcast-cross-joins its own totals twice. At 100 TB this is
+    a metadata-sized computation over a corpus-sized scan — the weights
+    feed `sample_*`'s deterministic hash samplers."""
+    from pyblazing_spark.functions import text as TXT
+
+    docs = T(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TXT.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("__t"))
+    sc = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("__t")).alias("__p"),
+        F.pow(F.col("n_tokens") / F.col("__t"), 1.0 / _MIX_T).alias("__u"),
+    )
+    z = sc.agg(F.sum("__u").alias("__zu"))
+    return (
+        sc.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("__p") + 1e-9, 4).alias("token_share"),
+            F.round(F.col("__u") / F.col("__zu") + 1e-9, 4).alias("mixture_weight"),
+            F.round(F.col("__u") / F.col("__zu") / F.col("__p") + 1e-9, 4).alias(
+                "oversample"
+            ),
+        )
+        .orderBy("source")
+    )
