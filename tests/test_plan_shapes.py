@@ -1,0 +1,70 @@
+"""Structural plan-shape regression guard for the 12 headline bench
+queries: pins the FINAL adaptive plan's shuffle count, parquet scan
+count, Python-boundary count, and sort-merge-join count to the shapes
+shipped in round 5.
+
+Complements tests/test_plan_audits.py (which asserts specific
+properties like pushdown and broadcast): this file catches the silent
+regressions those targeted audits don't cover — an accidental extra
+shuffle, a scan that stopped being shared, a Python boundary creeping
+into a JVM-only pipeline, or a broadcast join degrading to
+sort-merge. Bounds are UPPER bounds (<=) so AQE run-to-run variance
+can only make plans better, never quietly worse.
+
+``ann_cosine_topk`` records zeros because the entry returns a
+``materialize_bounded`` result (LocalTableScan); its kernel plan is
+audited separately in test_plan_audits.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pyblazing_spark.plans as plans
+
+#: name -> ceilings observed for the shipped plans (round 5, Spark 4.1).
+EXPECTED_SHAPES: dict[str, dict[str, int]] = {
+    "tpch_q1": dict(exch=2, scans=1, py=0, smj=0),
+    "tpch_q3": dict(exch=3, scans=3, py=0, smj=0),
+    "tpch_q5": dict(exch=7, scans=6, py=0, smj=0),
+    "tpch_q6": dict(exch=1, scans=1, py=0, smj=0),
+    "tpch_q19": dict(exch=2, scans=2, py=0, smj=0),
+    "agg_count_distinct": dict(exch=3, scans=1, py=0, smj=0),
+    "events_sessionize": dict(exch=1, scans=1, py=0, smj=0),
+    "text_stats": dict(exch=2, scans=1, py=0, smj=0),
+    "dedup_minhash_lsh": dict(exch=8, scans=2, py=0, smj=0),
+    "ann_cosine_topk": dict(exch=0, scans=0, py=0, smj=0),
+    "multimodal_features": dict(exch=1, scans=1, py=0, smj=0),
+    "win_running_sum": dict(exch=1, scans=1, py=0, smj=0),
+}
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan prints "== Final Plan ==" then "== Initial Plan ==";
+    # only the final section reflects what actually ran.
+    return p.split("== Initial Plan ==")[0]
+
+
+def test_expected_shapes_covers_exactly_the_bench_set():
+    bench = {n for n, s in plans.REGISTRY.items() if s.bench}
+    assert bench == set(EXPECTED_SHAPES), (
+        "bench set changed — record the new entry's plan shape here"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_SHAPES))
+def test_bench_plan_shape_has_not_regressed(spark, sf_dir, name):
+    exp = EXPECTED_SHAPES[name]
+    p = _final_plan(plans.REGISTRY[name].fn(spark, sf_dir))
+    got = dict(
+        exch=p.count("Exchange") - p.count("ReusedExchange"),
+        scans=p.count("Scan parquet"),
+        py=p.count("EvalPython"),
+        smj=p.count("SortMergeJoin"),
+    )
+    for key, ceiling in exp.items():
+        assert got[key] <= ceiling, (
+            f"{name}: {key}={got[key]} exceeds shipped ceiling {ceiling}\n{p}"
+        )
