@@ -469,3 +469,67 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("node")
         out = out.localCheckpoint(eager=True)
     return out
+
+
+@register(
+    "sink_zorder_layout",
+    tags=("sink", "write", "zorder", "layout"),
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT)                    AS n_rows,
+       CAST(sum(CAST({_Z_EXPR.replace('l_partkey', 'x').replace('l_suppkey', 'y')} AS BIGINT)) AS BIGINT) AS z_sum,
+       CAST(sum(x) AS BIGINT)                      AS x_sum,
+       CAST(sum(y) AS BIGINT)                      AS y_sum,
+       round(sum(l_quantity) + 1e-4, 2)            AS qty_sum
+FROM (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y, l_quantity
+      FROM lineitem)
+""",
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE path `sort_zorder_cluster` models: physically lay
+    lineitem out as a Z-ordered parquet tree —
+    ``repartitionByRange(16, zcode).sortWithinPartitions(zcode)`` then
+    write — and read it back through plain parquet discovery. The
+    oracle aggregates (row count, Morton-code checksum, coordinate and
+    quantity sums) from the SOURCE table, so any row lost, duplicated,
+    or corrupted through the range-shuffle -> sort -> write -> read
+    cycle fails the equality; the layout itself is provably lossless
+    and order-independent.
+
+    What the layout buys at 100 TB is asserted separately from the
+    actual parquet FOOTERS (tests/test_sinks.py::test_zorder_layout_
+    zone_maps_are_tight): each output file's zcode min/max span covers
+    a small fraction of the global range, so a 2-D predicate prunes
+    most files from their zone maps alone — the same row-group
+    statistics any engine (and the reference's skip-data subsystem,
+    `engine/src/skip_data/SkipDataProcessor.cpp:49-120`) consults."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="sink_zorder_")
+    try:
+        li = T(spark, sf_dir, "lineitem").selectExpr(
+            "l_partkey % 256 AS x",
+            "l_suppkey % 256 AS y",
+            f"CAST({_Z_EXPR} AS BIGINT) AS zcode",
+            "l_quantity",
+        )
+        (
+            li.repartitionByRange(16, "zcode")
+            .sortWithinPartitions("zcode")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        back = spark.read.parquet(out_dir)
+        return (
+            back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("zcode").alias("z_sum"),
+                F.sum("x").alias("x_sum"),
+                F.sum("y").alias("y_sum"),
+                F.round(F.sum("l_quantity") + 1e-4, 2).alias("qty_sum"),
+            )
+            # materialize BEFORE the temp dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -70,3 +70,52 @@ def test_ctas_through_sql(spark, sf_dir):
         assert spark.table("ctas_regions").count() == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS ctas_regions")
+
+
+def test_zorder_layout_zone_maps_are_tight(spark, sf_dir, tmp_path):
+    """The physically Z-ordered tree (sink_zorder_layout's write shape)
+    must produce parquet files whose zcode min/max footer statistics
+    cover a SMALL slice of the global range each — the property that
+    lets any engine prune most files for a 2-D predicate from zone maps
+    alone. Asserted from the real footers via pyarrow, against an
+    UNSORTED control write of the same rows."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from pyblazing_spark.plans.retrieval import _Z_EXPR
+
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"CAST({_Z_EXPR} AS BIGINT) AS zcode", "l_quantity"
+    )
+    zdir, rdir = str(tmp_path / "zorder"), str(tmp_path / "random")
+    (
+        li.repartitionByRange(8, "zcode")
+        .sortWithinPartitions("zcode")
+        .write.parquet(zdir)
+    )
+    li.repartition(8).write.parquet(rdir)  # hash layout: no clustering
+
+    def spans(d):
+        out = []
+        for f in _glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)
+            )
+            out.append(hi - lo)
+        return out
+
+    z_spans, r_spans = spans(zdir), spans(rdir)
+    assert len(z_spans) >= 4  # range partitioner actually split the data
+    lo, hi = li.agg(F.min("zcode"), F.max("zcode")).first()
+    global_span = hi - lo  # the fixture's keys do not fill all 16 bits
+    # every hash-layout file spans ~the whole observed domain; z-ordered
+    # files must each cover a small fraction, and at least 4x tighter
+    # on average than the control.
+    assert max(r_spans) > 0.9 * global_span, (r_spans, global_span)
+    assert sum(z_spans) / len(z_spans) < 0.3 * global_span, (z_spans, global_span)
+    assert sum(z_spans) / len(z_spans) < sum(r_spans) / len(r_spans) / 4
