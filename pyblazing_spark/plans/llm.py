@@ -1667,3 +1667,131 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster")
     )
     return materialize_bounded(summary)
+
+
+#: Shared oracle fragments for the BPE entry: wrap each character of a
+#: word as "(c)" so symbol boundaries are explicit — string replace of
+#: "(p1)(p2)" can then never consume a shared separator, making greedy
+#: left-to-right merging identical in Spark and DuckDB (probed: both
+#: engines' replace() scans left-to-right without rescanning output).
+_BPE_VOCAB_SQL = """
+  SELECT word, CAST(count(*) AS BIGINT) AS w,
+         regexp_replace(word, '(.)', '(\\1)', 'g') AS s
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+"""
+
+
+def _bpe_pairs_sql(vocab: str) -> str:
+    """Adjacent-symbol pair counts over a (word, w, s) vocab CTE."""
+    return f"""
+  SELECT sym[i] AS p1, sym[i + 1] AS p2, CAST(sum(w) AS BIGINT) AS weight
+  FROM (SELECT w, string_split(trim(s, '()'), ')(') AS sym FROM {vocab}),
+       unnest(generate_series(1, len(sym) - 1)) t(i)
+  WHERE len(sym) >= 2
+  GROUP BY p1, p2
+"""
+
+
+@register(
+    "text_bpe_merges",
+    tags=("llm", "text", "tokenizer", "bpe"),
+    oracle=f"""
+WITH vocab1 AS ({_BPE_VOCAB_SQL}),
+ pairs1 AS ({_bpe_pairs_sql('vocab1')}),
+ best1 AS (
+  SELECT p1, p2 FROM pairs1
+  ORDER BY weight DESC, p1, p2 LIMIT 1),
+ vocab2 AS (
+  SELECT word, w,
+         replace(s, '(' || b.p1 || ')(' || b.p2 || ')',
+                 '(' || b.p1 || b.p2 || ')') AS s
+  FROM vocab1 CROSS JOIN best1 b),
+ pairs2 AS ({_bpe_pairs_sql('vocab2')}),
+ ranked AS (
+  SELECT 1 AS round, p1, p2, weight,
+         row_number() OVER (ORDER BY weight DESC, p1, p2) AS rank
+  FROM pairs1
+  UNION ALL
+  SELECT 2, p1, p2, weight,
+         row_number() OVER (ORDER BY weight DESC, p1, p2)
+  FROM pairs2)
+SELECT CAST(round AS INTEGER) AS round, CAST(rank AS INTEGER) AS rank,
+       p1, p2, weight
+FROM ranked WHERE rank <= 5
+ORDER BY round, rank
+""",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer-training statistics: two merge rounds
+    over the corpus vocabulary. Round 1 counts adjacent character-pair
+    frequencies (weighted by word frequency); the top pair merges into
+    one symbol across the vocabulary (greedy left-to-right, the classic
+    BPE step); round 2 recounts over the merged symbols. Emits the
+    top-5 pairs of each round.
+
+    Scale shape: the only corpus-scale work is the word-count pass
+    (map-side partials; text never shuffles) — everything after runs on
+    the DISTINCT vocabulary, which is Zipf-bounded and tiny relative to
+    the corpus (the reason corpus-scale BPE training is feasible at
+    all). Symbols are boundary-wrapped as ``(c)`` so the merge is a
+    plain string replace with identical greedy semantics in both
+    engines — no lookbehind regex (RE2 has none) and no per-symbol
+    Python. The chosen pair is a 2-scalar bounded collect, same
+    contract as the runtime-filter bounds."""
+    docs = T(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("s", F.regexp_replace("word", r"(.)", r"($1)"))
+    )
+
+    def pair_counts(v: DataFrame) -> DataFrame:
+        syms = v.select(
+            "w", F.split(F.expr("trim(BOTH '()' FROM s)"), r"\)\(").alias("sym")
+        ).where(F.size("sym") >= 2)
+        return (
+            syms.select(
+                "w",
+                "sym",
+                F.explode(F.sequence(F.lit(1), F.size("sym") - 1)).alias("i"),
+            )
+            .select(
+                F.expr("sym[i - 1]").alias("p1"),  # Spark arrays are 0-based
+                F.expr("sym[i]").alias("p2"),
+                "w",
+            )
+            .groupBy("p1", "p2")
+            .agg(F.sum("w").alias("weight"))
+        )
+
+    pairs1 = pair_counts(vocab).localCheckpoint(eager=True)
+    best = pairs1.orderBy(F.desc("weight"), "p1", "p2").select("p1", "p2").first()
+    if best is None:  # empty corpus: no pairs, round 2 == round 1 == empty
+        vocab2 = vocab
+    else:
+        b1, b2 = best
+        vocab2 = vocab.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f"({b1})({b2})"), F.lit(f"({b1}{b2})"))
+        )
+    pairs2 = pair_counts(vocab2)
+
+    from pyspark.sql import Window as W
+
+    def ranked(p: DataFrame, rnd: int) -> DataFrame:
+        w = W.orderBy(F.desc("weight"), "p1", "p2")
+        return (
+            p.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 5)
+            .select(F.lit(rnd).cast("int").alias("round"), "rank", "p1", "p2", "weight")
+        )
+
+    return materialize_bounded(
+        ranked(pairs1, 1).unionAll(ranked(pairs2, 2)).orderBy("round", "rank")
+    )
