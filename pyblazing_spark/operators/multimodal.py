@@ -305,7 +305,9 @@ def encode_png(
 def decode_png(data: bytes) -> tuple[int, int, bytes]:
     """REAL PNG decode: chunk walk, zlib-inflate IDAT, un-filter
     scanlines (all five RFC 2083 filters). Supports 8-bit RGB (color
-    type 2) and grayscale (0), non-interlaced. Filters None/Sub/Up are
+    type 2) and grayscale (0), non-interlaced OR Adam7-interlaced (the
+    seven sub-images share the one zlib stream; each pass unfilters
+    independently and scatters onto the pixel grid). Filters None/Sub/Up are
     fully vectorized (Sub is a modular cumsum over pixels); Average and
     Paeth carry an intra-row data dependence, so they loop per pixel
     COLUMN (vector over channels) — our own encoder emits filter 0, so
@@ -334,17 +336,66 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+    if bit_depth != 8 or color_type not in (0, 2) or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
-            f"interlace={interlace}); supported: 8-bit gray/RGB, non-interlaced"
+            f"interlace={interlace}); supported: 8-bit gray/RGB, "
+            f"non-interlaced or Adam7"
         )
     bpp = 3 if color_type == 2 else 1
     stride = width * bpp
     flat = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if interlace == 1:
+        # Adam7: seven sub-images, each filtered independently and
+        # concatenated in the one zlib stream; unfilter each pass with
+        # the same engine, then scatter its pixels onto the (y, x) grid.
+        out2d = np.zeros((height, width, bpp), np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass carries no bytes at all
+            pstride = pw * bpp
+            need = ph * (pstride + 1)
+            sub = flat[pos2 : pos2 + need]
+            if sub.size != need:
+                raise ValueError("PNG interlaced scanline data truncated")
+            pos2 += need
+            rec = _png_unfilter(sub.reshape(ph, pstride + 1), pw, bpp)
+            out2d[y0::dy, x0::dx] = rec.reshape(ph, pw, bpp)
+        out = out2d.reshape(height, stride)
+        if bpp == 1:
+            return width, height, np.repeat(out.reshape(-1), 3).tobytes()
+        return width, height, out.tobytes()
     if flat.size != height * (stride + 1):
         raise ValueError("PNG scanline data has unexpected size")
-    scan = flat.reshape(height, stride + 1)
+    out = _png_unfilter(flat.reshape(height, stride + 1), width, bpp)
+    if bpp == 1:
+        return width, height, np.repeat(out.reshape(-1), 3).tobytes()
+    return width, height, out.tobytes()
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per RFC 2083 §8.2.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(scan, width: int, bpp: int):
+    """Reverse the five RFC 2083 scanline filters over a (h, stride+1)
+    byte matrix (filter byte + filtered row); returns (h, stride).
+    Shared by the non-interlaced whole image and each Adam7 pass."""
+    import numpy as np
+
+    height = scan.shape[0]
+    stride = width * bpp
     out = np.zeros((height, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
     for y in range(height):
@@ -394,9 +445,7 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = rec
         prev = rec
-    if bpp == 1:
-        return width, height, np.repeat(out.reshape(-1), 3).tobytes()
-    return width, height, out.tobytes()
+    return out
 
 
 def _sniff_decode(data: bytes) -> tuple[int, int, bytes] | None:

@@ -477,3 +477,48 @@ def test_unsupported_webp_through_arrow_kernels(spark):
     dh = {r.doc_id: r.dhash for r in image_dhash(blobs).collect()}
     assert dh[0] is not None
     assert all(dh[i] is None for i in range(1, len(rows)))
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 PNGs (foreign encoders; ours never emits them) must decode
+    to the exact pixels: build interlaced files INDEPENDENTLY here
+    (per-pass filter-0 scanlines per RFC 2083 §8.2) across dims that
+    exercise empty passes (w or h < 8) and ragged pass widths."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyblazing_spark.operators.multimodal import PNG_SIG, decode_png
+
+    PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    def make_interlaced(w, h, px):
+        raw = bytearray()
+        for x0, y0, dx, dy in PASSES:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row.tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        return (
+            PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(7)
+    for w, h in ((16, 16), (13, 9), (7, 5), (1, 1), (3, 17), (8, 2)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got_w, got_h, rgb = decode_png(make_interlaced(w, h, px))
+        assert (got_w, got_h) == (w, h)
+        assert rgb == px.tobytes(), f"pixel mismatch at {w}x{h}"
