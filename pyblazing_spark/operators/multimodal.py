@@ -304,10 +304,12 @@ def encode_png(
 
 def decode_png(data: bytes) -> tuple[int, int, bytes]:
     """REAL PNG decode: chunk walk, zlib-inflate IDAT, un-filter
-    scanlines (all five RFC 2083 filters). Supports 8-bit RGB (color
-    type 2) and grayscale (0), non-interlaced OR Adam7-interlaced (the
-    seven sub-images share the one zlib stream; each pass unfilters
-    independently and scatters onto the pixel grid). Filters None/Sub/Up are
+    scanlines (all five RFC 2083 filters). Supports every 8-bit color
+    type — gray (0), RGB (2), palette (3, PLTE lookup), gray+alpha (4)
+    and RGBA (6), alpha dropped on output — non-interlaced OR
+    Adam7-interlaced (the seven sub-images share the one zlib stream;
+    each pass unfilters independently and scatters onto the pixel
+    grid). Filters None/Sub/Up are
     fully vectorized (Sub is a modular cumsum over pixels); Average and
     Paeth carry an intra-row data dependence, so they loop per pixel
     COLUMN (vector over channels) — our own encoder emits filter 0, so
@@ -321,6 +323,7 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     pos, width = 8, None
     height = bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = b""
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         typ = data[pos + 4 : pos + 8]
@@ -330,19 +333,23 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif typ == b"PLTE":
+            plte = body
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (0, 2) or interlace not in (0, 1):
+    if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
-            f"interlace={interlace}); supported: 8-bit gray/RGB, "
-            f"non-interlaced or Adam7"
+            f"interlace={interlace}); supported: 8-bit color types "
+            f"0/2/3/4/6, non-interlaced or Adam7"
         )
-    bpp = 3 if color_type == 2 else 1
+    if color_type == 3 and (not plte or len(plte) % 3):
+        raise ValueError("palette PNG missing a valid PLTE chunk")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     stride = width * bpp
     flat = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     if interlace == 1:
@@ -365,15 +372,32 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             rec = _png_unfilter(sub.reshape(ph, pstride + 1), pw, bpp)
             out2d[y0::dy, x0::dx] = rec.reshape(ph, pw, bpp)
         out = out2d.reshape(height, stride)
-        if bpp == 1:
-            return width, height, np.repeat(out.reshape(-1), 3).tobytes()
-        return width, height, out.tobytes()
+        return width, height, _png_to_rgb(out, color_type, plte)
     if flat.size != height * (stride + 1):
         raise ValueError("PNG scanline data has unexpected size")
     out = _png_unfilter(flat.reshape(height, stride + 1), width, bpp)
-    if bpp == 1:
-        return width, height, np.repeat(out.reshape(-1), 3).tobytes()
-    return width, height, out.tobytes()
+    return width, height, _png_to_rgb(out, color_type, plte)
+
+
+def _png_to_rgb(out, color_type: int, plte: bytes) -> bytes:
+    """Map unfiltered samples to packed RGB: gray replicates, palette
+    indexes PLTE, alpha channels are dropped (decode targets opaque
+    RGB, matching every other codec here)."""
+    import numpy as np
+
+    if color_type == 0:
+        return np.repeat(out.reshape(-1), 3).tobytes()
+    if color_type == 2:
+        return out.tobytes()
+    if color_type == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = out.reshape(-1)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx].tobytes()
+    if color_type == 4:  # gray + alpha
+        return np.repeat(out.reshape(-1, 2)[:, 0], 3).tobytes()
+    return out.reshape(-1, 4)[:, :3].tobytes()  # RGBA
 
 
 #: Adam7 pass grid: (x_start, y_start, x_step, y_step) per RFC 2083 §8.2.

@@ -522,3 +522,54 @@ def test_png_adam7_interlaced_decode():
         got_w, got_h, rgb = decode_png(make_interlaced(w, h, px))
         assert (got_w, got_h) == (w, h)
         assert rgb == px.tobytes(), f"pixel mismatch at {w}x{h}"
+
+
+def test_png_color_types_3_4_6_decode():
+    """Palette (3), gray+alpha (4), and RGBA (6) PNGs — built
+    independently here with filter-0 scanlines — must decode to the
+    exact RGB pixels (palette looked up, alpha dropped), interlaced
+    and non-interlaced alike."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyblazing_spark.operators.multimodal import PNG_SIG, decode_png
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    def make(w, h, ct, samples, plte=b""):
+        raw = bytearray()
+        bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+        for y in range(h):
+            raw += b"\x00" + samples[y * w * bpp : (y + 1) * w * bpp]
+        body = PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0))
+        if plte:
+            body += chunk(b"PLTE", plte)
+        return body + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(11)
+    w, h = 9, 4
+    # palette: 5 colors, random indices
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, size=(h, w), dtype=np.uint8)
+    gw, gh, rgb = decode_png(make(w, h, 3, idx.tobytes(), pal.tobytes()))
+    assert (gw, gh) == (w, h) and rgb == pal[idx.reshape(-1)].tobytes()
+    # gray+alpha: alpha dropped, gray replicated
+    ga = rng.integers(0, 256, size=(h, w, 2), dtype=np.uint8)
+    _, _, rgb = decode_png(make(w, h, 4, ga.tobytes()))
+    assert rgb == np.repeat(ga[:, :, 0].reshape(-1), 3).tobytes()
+    # RGBA: alpha dropped
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    _, _, rgb = decode_png(make(w, h, 6, rgba.tobytes()))
+    assert rgb == rgba[:, :, :3].tobytes()
+    # palette index out of range refuses loudly
+    import pytest
+
+    bad = make(w, h, 3, np.full(w * h, 7, np.uint8).tobytes(), pal.tobytes())
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
