@@ -164,7 +164,7 @@ def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
 
 def decode_gif(data: bytes) -> tuple[int, int, bytes]:
     """(width, height, rgb) from a GIF87a/89a buffer (first image frame;
-    global or local color table; no interlace)."""
+    global or local color table; interlaced or sequential)."""
     if data[:4] != GIF_SIG or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -186,8 +186,7 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
         elif block == 0x2C:  # image descriptor
             _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF not supported")
+            interlaced = bool(iflags & 0x40)
             if iflags & 0x80:  # local color table
                 n_pal = 2 << (iflags & 0x07)
                 palette = np.frombuffer(
@@ -204,8 +203,23 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
                 compressed += data[pos + 1 : pos + 1 + n]
                 pos += 1 + n
             indices = _lzw_decode(bytes(compressed), mcs, w * h)
-            rgb = palette[np.array(indices, np.int32)]
-            return w, h, rgb.astype(np.uint8).tobytes()
+            rgb = palette[np.array(indices, np.int32)].astype(np.uint8)
+            if interlaced:
+                # GIF89a appendix E: rows are stored in four passes
+                # (every 8th from 0, every 8th from 4, every 4th from 2,
+                # every 2nd from 1) — deinterlacing is a pure row
+                # permutation after LZW decode.
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                rows = rgb.reshape(h, w, 3)
+                out = np.empty_like(rows)
+                out[order] = rows
+                rgb = out
+            return w, h, rgb.tobytes()
         elif block == 0x3B:
             break
         else:

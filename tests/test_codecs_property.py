@@ -173,3 +173,41 @@ def test_vp8l_simple_code_two_symbols_in_read_order():
     # code 0 -> first-listed (200), code 1 -> second-listed (10)
     assert dec.read(_BitReader(b"\x00")) == 200
     assert dec.read(_BitReader(b"\x01")) == 10
+
+
+def test_gif_interlaced_decode():
+    """Interlaced GIFs (foreign encoders) must decode to the original
+    pixel order: build one independently — reorder rows into the four
+    GIF89a passes, LZW-encode, set the interlace flag — and assert the
+    decoder restores the sequential image. Dims exercise passes that
+    are empty or ragged."""
+    import struct
+
+    import numpy as np
+
+    from pyblazing_spark.operators.gif import _lzw_encode, decode_gif
+
+    rng = np.random.default_rng(5)
+    for w, h in ((8, 16), (5, 9), (3, 3), (4, 1)):
+        pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+        idx = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        stored = idx[order]  # rows as an interlaced encoder writes them
+        mcs = 2
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)  # 4-entry table
+        out += pal.tobytes()
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40)  # interlaced
+        out.append(mcs)
+        comp = _lzw_encode([int(i) for i in stored.reshape(-1)], mcs)
+        for i in range(0, len(comp), 255):
+            blk = comp[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out += b"\x00\x3b"
+        gw, gh, rgb = decode_gif(bytes(out))
+        assert (gw, gh) == (w, h)
+        assert rgb == pal[idx.reshape(-1)].tobytes(), f"{w}x{h}"
