@@ -203,25 +203,37 @@ def encode_bmp24(width: int, height: int, rgb: bytes) -> bytes:
 
 
 def decode_bmp24(data: bytes) -> tuple[int, int, bytes]:
-    """(width, height, rgb_bytes) from an uncompressed 24-bit BMP."""
+    """(width, height, rgb_bytes) from an uncompressed 24-bit (BGR) or
+    32-bit (BGRA/BGRX; plain or BI_BITFIELDS with the standard masks)
+    BMP; bottom-up and top-down (negative height) both handled."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     data_offset = struct.unpack_from("<I", data, 10)[0]
     _, width, height, _, bpp, compression = struct.unpack_from("<IiiHHI", data, 14)
-    if bpp != 24 or compression != 0:
+    if bpp not in (24, 32) or compression not in (0, 3):
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if compression == 3:
+        # BI_BITFIELDS: only the standard little-endian BGRA layout —
+        # masks (R, G, B) sit right after the 40-byte info header.
+        rm, gm, bm = struct.unpack_from("<III", data, 54)
+        if (rm, gm, bm) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(
+                f"unsupported BMP bitfield masks {rm:#x}/{gm:#x}/{bm:#x}"
+            )
     import numpy as np
 
+    nch = bpp // 8
     bottom_up = height > 0
     height = abs(height)
-    row_size = (width * 3 + 3) & ~3
+    row_size = (width * nch + 3) & ~3
     rows = np.frombuffer(
         data, dtype=np.uint8, count=row_size * height, offset=data_offset
     ).reshape(height, row_size)
-    px = rows[:, : width * 3].reshape(height, width, 3)
+    px = rows[:, : width * nch].reshape(height, width, nch)
     if bottom_up:
         px = px[::-1]
-    return width, height, px[:, :, ::-1].tobytes()
+    # channels are stored B, G, R(, A): reverse the first three, drop A
+    return width, height, px[:, :, 2::-1].tobytes()
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

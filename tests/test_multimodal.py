@@ -573,3 +573,46 @@ def test_png_color_types_3_4_6_decode():
     bad = make(w, h, 3, np.full(w * h, 7, np.uint8).tobytes(), pal.tobytes())
     with pytest.raises(ValueError, match="palette index"):
         decode_png(bad)
+
+
+def test_bmp_32bpp_and_bitfields_decode():
+    """32-bit BMPs (BGRA, plain or BI_BITFIELDS with standard masks),
+    bottom-up and top-down, must decode to the same RGB as the 24-bit
+    form; nonstandard masks refuse loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pyblazing_spark.operators.multimodal import decode_bmp24
+
+    rng = np.random.default_rng(13)
+    w, h = 5, 3
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def make32(top_down, bitfields):
+        hdr_h = -h if top_down else h
+        comp = 3 if bitfields else 0
+        offset = 14 + 40 + (12 if bitfields else 0)
+        rows = rgb if top_down else rgb[::-1]
+        body = bytearray()
+        for r in rows:
+            for pxl in r:
+                body += bytes([pxl[2], pxl[1], pxl[0], 0xAA])  # B,G,R,A
+        out = b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+        out += struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, 32, comp,
+                           len(body), 2835, 2835, 0, 0)
+        if bitfields:
+            out += struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+        return out + bytes(body)
+
+    for td in (False, True):
+        for bf in (False, True):
+            gw, gh, got = decode_bmp24(make32(td, bf))
+            assert (gw, gh) == (w, h)
+            assert got == rgb.tobytes(), f"top_down={td} bitfields={bf}"
+
+    bad = bytearray(make32(False, True))
+    struct.pack_into("<III", bad, 54, 0x0000FF00, 0x00FF0000, 0x000000FF)
+    with pytest.raises(ValueError, match="bitfield masks"):
+        decode_bmp24(bytes(bad))
