@@ -630,9 +630,7 @@ def audio_features(blobs: DataFrame) -> DataFrame:
                     rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
                     n = w.getnframes()
                     raw = w.readframes(n)
-                if width != 2:
-                    raise ValueError(f"only 16-bit PCM supported, got width={width}")
-                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+                x = _wav_norm(raw, width)
                 rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
                 rows.append((doc_id, rate, nch, n, round(n / rate + 1e-9, 6), round(rms + 1e-9, 6)))
             yield pd.DataFrame(
@@ -641,6 +639,29 @@ def audio_features(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(kernel, schema=AUDIO_SCHEMA)
+
+
+
+def _wav_norm(raw: bytes, width: int):
+    """PCM frame bytes -> float64 samples in [-1, 1). Handles the PCM
+    widths real tools emit: 8-bit (unsigned), 16-bit, 24-bit (packed
+    3-byte little-endian), and 32-bit. The stdlib ``wave`` module has
+    already validated the container; float-format WAVs never reach here
+    (wave rejects format tag 3 on open)."""
+    import numpy as np
+
+    if width == 1:
+        return (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    if width == 2:
+        return np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    if width == 3:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend 24 bits
+        return v.astype(np.float64) / 8388608.0
+    if width == 4:
+        return np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    raise ValueError(f"unsupported PCM sample width {width}")
 
 
 SHARPNESS_SCHEMA = (
@@ -728,9 +749,7 @@ def audio_spectrum(blobs: DataFrame) -> DataFrame:
                 with wave.open(io.BytesIO(bytes(buf))) as w:
                     width, n = w.getsampwidth(), w.getnframes()
                     raw = w.readframes(n)
-                if width != 2:
-                    raise ValueError(f"only 16-bit PCM supported, got width={width}")
-                x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+                x = _wav_norm(raw, width)
                 spec = np.abs(np.fft.rfft(x))
                 mags = [
                     round(float(spec[k]) + 1e-9, 4) if k < spec.size else None
@@ -815,9 +834,11 @@ def resample_wav(blobs: DataFrame, target_rate: int) -> DataFrame:
                     rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
                     n = w.getnframes()
                     raw = w.readframes(n)
-                if width != 2 or nch != 1:
-                    raise ValueError("only 16-bit mono PCM supported")
-                x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                if nch != 1:
+                    raise ValueError("only mono PCM supported")
+                # normalize then rescale to the 16-bit output domain so
+                # every input width resamples onto the same scale
+                x = _wav_norm(raw, width) * 32768.0
                 n_out = int(n * target_rate // rate)
                 pos = np.arange(n_out) * (rate / target_rate)
                 y = np.interp(pos, np.arange(n), x) if n else np.empty(0)

@@ -616,3 +616,52 @@ def test_bmp_32bpp_and_bitfields_decode():
     struct.pack_into("<III", bad, 54, 0x0000FF00, 0x00FF0000, 0x000000FF)
     with pytest.raises(ValueError, match="bitfield masks"):
         decode_bmp24(bytes(bad))
+
+
+def test_wav_pcm_widths_8_24_32():
+    """Audio kernels must handle the PCM widths real tools emit: the
+    same sine encoded at 8/16/24/32 bits must produce (nearly) the same
+    normalized RMS and spectrum peak — width is a container detail, not
+    a semantic one."""
+    import io as _io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from pyblazing_spark.operators.multimodal import _wav_norm
+
+    n, rate = 256, 8000
+    x = np.sin(2 * np.pi * 4 * np.arange(n) / n)  # 4 cycles
+
+    def wav_bytes(width):
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            if width == 1:
+                frames = (np.round(x * 127) + 128).astype(np.uint8).tobytes()
+            elif width == 2:
+                frames = np.round(x * 32767).astype("<i2").tobytes()
+            elif width == 3:
+                v = np.round(x * 8388607).astype(np.int64)
+                frames = b"".join(
+                    struct.pack("<i", int(s))[:3] for s in v
+                )
+            else:
+                frames = np.round(x * 2147483647).astype("<i4").tobytes()
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    ref_rms = float(np.sqrt(np.mean(x * x)))
+    for width in (1, 2, 3, 4):
+        blob = wav_bytes(width)
+        with wave.open(_io.BytesIO(blob)) as w:
+            raw = w.readframes(w.getnframes())
+            got = _wav_norm(raw, w.getsampwidth())
+        assert got.shape == (n,)
+        rms = float(np.sqrt(np.mean(got * got)))
+        assert abs(rms - ref_rms) < 1e-2, (width, rms, ref_rms)
+        peak = int(np.argmax(np.abs(np.fft.rfft(got))[1:])) + 1
+        assert peak == 4, (width, peak)  # the sine's bin survives
