@@ -10,10 +10,12 @@ binary column is the table's bulk, so every stage is a narrow map — no
 shuffle touches content bytes; only extracted features (a few dozen
 bytes/row) flow into joins/aggregations downstream.
 
-Natively-parsed formats are decoded FOR REAL: PPM(P6)/PGM(P5), 24-bit
-uncompressed BMP (struct + numpy), **PNG** (8-bit gray/RGB — stdlib
-``zlib`` inflate + RFC 2083 un-filtering, no codec library), and PCM
-WAV audio (stdlib ``wave``). :func:`transcode` genuinely converts
+Natively-parsed formats are decoded FOR REAL: PPM(P6)/PGM(P5),
+uncompressed BMP (24-bit BGR and 32-bit BGRA/BI_BITFIELDS, bottom-up or
+top-down), **PNG** (every 8-bit color type — gray/RGB/palette/
+gray+alpha/RGBA — non-interlaced or Adam7; stdlib ``zlib`` inflate +
+RFC 2083 un-filtering, no codec library), and PCM WAV audio
+(8/16/24/32-bit, stdlib ``wave``). :func:`transcode` genuinely converts
 between ppm/bmp/png, and :func:`resample_wav` genuinely resamples
 audio; baseline JPEG (DCT + Annex-K Huffman) is implemented from the
 spec in :mod:`pyblazing_spark.operators.jpeg`. Formats whose codecs are
