@@ -81,3 +81,62 @@ def test_global_ntile_matches_single_partition(spark, sf_dir):
             ).collect()
         }
         assert got == exp, f"k={k} limit={limit}"
+
+
+def test_global_two_phase_property(spark):
+    """Property check over adversarial key distributions — duplicates,
+    negatives, all-equal runs, sizes around the partition count — the
+    exact shapes that stress deterministic boundary sampling: every
+    two-phase helper must equal its serial single-window form."""
+    import random
+
+    rnd = random.Random(42)
+    for trial in range(6):
+        n = rnd.choice([1, 2, 7, 33, 64])
+        # heavy duplication: keys drawn from a tiny domain half the time
+        dom = rnd.choice([2, 3, 1000])
+        rows = [
+            (i, rnd.randrange(-dom, dom), rnd.uniform(-5, 5))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, k long, v double")
+        parts = rnd.choice([2, 5, 32])
+        order = ["k", "id"]
+
+        serial_rn = {
+            r.id: r.rn
+            for r in df.withColumn(
+                "rn", F.row_number().over(W.orderBy(*order))
+            ).collect()
+        }
+        got_rn = {
+            r.id: r.rn
+            for r in GW.global_row_number(df, order, partitions=parts).collect()
+        }
+        assert got_rn == serial_rn, f"rn trial={trial} n={n} parts={parts}"
+
+        k = rnd.choice([1, 3, 16])
+        serial_nt = {
+            r.id: r.b
+            for r in df.withColumn("b", F.ntile(k).over(W.orderBy(*order))).collect()
+        }
+        got_nt = {
+            r.id: r.bucket
+            for r in GW.global_ntile(df, order, k, partitions=parts).collect()
+        }
+        assert got_nt == serial_nt, f"ntile trial={trial} n={n} k={k}"
+
+        serial_sum = {
+            r.id: round(r.s, 6)
+            for r in df.withColumn(
+                "s",
+                F.sum("v").over(
+                    W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+            ).collect()
+        }
+        got_sum = {
+            r.id: round(r.running_sum, 6)
+            for r in GW.global_running_sum(df, order, "v", partitions=parts).collect()
+        }
+        assert got_sum == serial_sum, f"sum trial={trial}"
