@@ -671,3 +671,58 @@ def expr_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "expr_decimal_exact",
+    tags=("expr", "decimal", "types"),
+    oracle="""
+WITH amt AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+         CAST(l_discount AS DECIMAL(12,2))      AS disc
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT)                         AS n,
+       CAST(sum(price) * 100 AS BIGINT)                 AS total_cents,
+       CAST(sum(price * (1 - disc)) * 10000 AS BIGINT)  AS disc_total_e4,
+       CAST(CAST(sum(price) * 100 AS BIGINT) // count(*) AS BIGINT)
+         AS avg_cents
+FROM amt
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def expr_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic and aggregation — the catalog row for
+    the reference's DECIMAL32/64 types, which its catalog declares but
+    its runtime never produces (SURVEY §1.2); Spark supports them
+    outright. Prices cast to DECIMAL(12,2), summed exactly (no binary
+    float drift by construction — decimal sums are integer arithmetic
+    under the hood), and the product price*(1-disc) carries the exact
+    4-digit scale the decimal multiplication rules produce. Totals are
+    emitted as penny/1e-4-unit BIGINTs, so the oracle compare is exact
+    integer equality — no rounding convention involved at all, unlike
+    every float-typed money entry.
+
+    Scale notes: decimal aggregation is Tungsten-native (backed by long
+    arithmetic for precision <= 18 and by Decimal128 above), partial
+    aggregation and whole-stage codegen apply as for any numeric —
+    exactness costs one extra multiply per row, not a different plan."""
+    li = T(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return (
+        li.select("l_returnflag", price.alias("price"), disc.alias("disc"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("price")) * 100).cast("long").alias("total_cents"),
+            (F.sum(F.col("price") * (1 - F.col("disc"))) * 10000)
+            .cast("long")
+            .alias("disc_total_e4"),
+        )
+        .withColumn("avg_cents", F.expr("total_cents div n"))
+        .select("l_returnflag", "n", "total_cents", "disc_total_e4", "avg_cents")
+        .orderBy("l_returnflag")
+    )
