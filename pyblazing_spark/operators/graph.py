@@ -312,3 +312,80 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def kcore_peel_summary(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "s1",
+    dst: str = "s2",
+) -> DataFrame:
+    """Bounded synchronous k-core peeling over an undirected edge list
+    (one row per edge, ``src < dst``): each round simultaneously removes
+    EVERY node whose current degree is below ``k``, then drops the edges
+    that touched one. Synchronous removal makes the result independent
+    of any tie-break order, so a fixed round count is deterministic.
+
+    Returns one row per round — ``(round, n_removed, n_nodes, n_edges)``
+    with node/edge counts AFTER that round's peel — the shape degree-
+    distribution monitoring wants (how fast does the corpus graph shed
+    its periphery?). Full k-core = run until ``n_removed`` hits 0.
+
+    Scale design: mirrors the CC loops above — each round is one degree
+    aggregation (two-long rows) plus two left-anti joins against the
+    removed-node set, sized to cluster parallelism via
+    ``loop_shuffle_confs``; every round's edge survivor set is eagerly
+    ``localCheckpoint``ed so round *i* never re-executes rounds
+    1..*i-1* and the plan tree stays O(1) deep. Constraint propagation
+    is disabled for the loop's duration for the same LogicalRDD
+    self-union reason documented on :func:`connected_components_star`
+    (the degree pass unions ``src`` and ``dst`` projections of the same
+    checkpointed plan)."""
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    spark = edges.sparkSession
+    confs = dict(loop_shuffle_confs(spark))
+    confs["spark.sql.constraintPropagation.enabled"] = "false"
+    with scoped_conf(spark, confs):
+        cur = edges.select(src, dst).localCheckpoint(eager=True)
+        summaries = []
+        for r in range(1, rounds + 1):
+            deg = (
+                cur.select(F.col(src).alias("node"))
+                .unionAll(cur.select(F.col(dst).alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            removed = deg.where(F.col("deg") < k).select("node").localCheckpoint(
+                eager=True
+            )
+            cur = (
+                cur.join(removed, cur[src] == removed["node"], "left_anti")
+                .join(removed, cur[dst] == removed["node"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            n_nodes = (
+                cur.select(F.col(src).alias("node"))
+                .unionAll(cur.select(F.col(dst).alias("node")))
+                .agg(F.countDistinct("node").alias("n_nodes"))
+            )
+            summaries.append(
+                removed.agg(F.count(F.lit(1)).alias("n_removed"))
+                .crossJoin(n_nodes)
+                .crossJoin(cur.agg(F.count(F.lit(1)).alias("n_edges")))
+                .select(
+                    F.lit(r).cast("int").alias("round"),
+                    "n_removed",
+                    "n_nodes",
+                    "n_edges",
+                )
+            )
+        out = summaries[0]
+        for s in summaries[1:]:
+            out = out.unionAll(s)
+        # materialize inside the scope so the disabled-constraint plans
+        # never escape into a caller running under default confs
+        return out.orderBy("round").localCheckpoint(eager=True)

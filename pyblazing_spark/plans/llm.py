@@ -1795,3 +1795,119 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_bounded(
         ranked(pairs1, 1).unionAll(ranked(pairs2, 2)).orderBy("round", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): hash every k-word gram, slide a w-gram window, keep each
+# window's minimum hash (ties -> rightmost). Guarantees every w-gram run
+# contributes a fingerprint while selecting ~2/(w+1) of all grams — the
+# position-robust local fingerprint exact-md5 (text_fingerprint) can't give.
+_WINNOW_K = 3  # gram width, words
+_WINNOW_W = 4  # window width, grams
+_WINNOW_POS = 1 << 20  # position packing base (doc positions < 2^20)
+
+# md5-hex -> 32-bit integer, digit by digit over a precomputed hex column
+# (mirrors Spark's `conv(substr(md5(gram),1,8),16,10)`; 2^32 * 2^20 < 2^63
+# so hash*POS + pos packs losslessly into a BIGINT).
+_SQL_MD5_32 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(mh, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "text_winnowing",
+    tags=("llm", "text", "fingerprint", "dedup"),
+    oracle=rf"""
+WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+ toks AS (SELECT doc_id, string_split_regex(t, '\s+') AS tk FROM docs),
+ ok AS (SELECT doc_id, tk, len(tk) - {_WINNOW_K - 1} AS n_grams
+        FROM toks WHERE len(tk) >= {_WINNOW_K + _WINNOW_W - 1}),
+ idx AS (SELECT doc_id, n_grams, tk,
+         unnest(generate_series(1, n_grams)) AS i FROM ok),
+ g AS (SELECT doc_id, n_grams, i,
+       md5(array_to_string(tk[i:i+{_WINNOW_K - 1}], ' ')) AS mh FROM idx),
+ h AS (SELECT doc_id, n_grams, i, ({_SQL_MD5_32}) AS h32 FROM g),
+ p AS (SELECT doc_id, n_grams, i,
+       h32 * {_WINNOW_POS} + ({_WINNOW_POS} - i) AS packed FROM h),
+ wm AS (SELECT doc_id, n_grams, i,
+        min(packed) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+        FROM p),
+ sel AS (SELECT doc_id, n_grams, fp FROM wm
+         WHERE i <= n_grams - {_WINNOW_W - 1}),
+ agg AS (SELECT doc_id, min(n_grams) AS n_grams,
+         count(DISTINCT fp) AS n_fps,
+         count(DISTINCT fp // {_WINNOW_POS}) AS n_hashes
+         FROM sel GROUP BY doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_grams - {_WINNOW_W - 1} AS BIGINT) AS n_windows,
+       n_fps, n_hashes,
+       round(n_fps * 1.0 / (n_grams - {_WINNOW_W - 1}) + 1e-9, 4) AS density
+FROM agg ORDER BY doc_id
+""",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS; Schleimer et al. 2003):
+    per doc, the count of selected (position-bearing) fingerprints,
+    distinct selected hashes, and selection density over full windows.
+
+    Packing ``hash * 2^20 + (2^20 - pos)`` makes ONE window-min per
+    position implement the whole select rule — min hash, ties to the
+    RIGHTMOST position (robust winnowing) — with no self-join back to
+    recover the argmin. Scale shape: grams are hashed in the scan stage
+    (md5 -> 32-bit, position-packed into a long); the only shuffle is
+    the doc_id-partitioned window + final groupBy, carrying four long
+    columns — gram TEXT never shuffles. The window frame is
+    ``ROWS BETWEEN CURRENT AND w-1 FOLLOWING`` per doc, so state is
+    w longs per task. Oracle: identical digit-by-digit md5 packing in
+    DuckDB — full-equality check, not a property proxy."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    K, Wn, P = _WINNOW_K, _WINNOW_W, _WINNOW_POS
+    toks = docs.select("doc_id", TXT.tokens(F.col("text")).alias("__tk")).where(
+        F.size("__tk") >= K + Wn - 1
+    )
+    base = toks.select(
+        "doc_id", "__tk", (F.size("__tk") - F.lit(K - 1)).cast("long").alias("n_grams")
+    )
+    pos = base.select(
+        "doc_id",
+        "__tk",
+        "n_grams",
+        F.explode(F.sequence(F.lit(1), F.col("n_grams").cast("int"))).alias("__i"),
+    )
+    gram = F.concat_ws(
+        " ",
+        F.element_at("__tk", F.col("__i")),
+        F.element_at("__tk", F.col("__i") + F.lit(1)),
+        F.element_at("__tk", F.col("__i") + F.lit(2)),
+    )
+    h32 = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    packed = (h32 * F.lit(P) + (F.lit(P) - F.col("__i"))).alias("__packed")
+    p = pos.select("doc_id", "n_grams", "__i", packed)
+    win = Window.partitionBy("doc_id").orderBy("__i").rowsBetween(0, Wn - 1)
+    sel = p.select(
+        "doc_id", "n_grams", "__i", F.min("__packed").over(win).alias("__fp")
+    ).where(F.col("__i") <= F.col("n_grams") - F.lit(Wn - 1))
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.min("n_grams").alias("n_grams"),
+            F.countDistinct("__fp").alias("n_fps"),
+            F.countDistinct(F.expr(f"__fp div {P}")).alias("n_hashes"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("n_grams") - F.lit(Wn - 1)).alias("n_windows"),
+            "n_fps",
+            "n_hashes",
+            F.round(
+                F.col("n_fps") / (F.col("n_grams") - F.lit(Wn - 1)) + F.lit(1e-9), 4
+            ).alias("density"),
+        )
+        .orderBy("doc_id")
+    )

@@ -638,3 +638,80 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# Unrolled k-core peel oracle: round r's survivor edge set e{r} drops
+# every edge touching a node whose degree in e{r-1} fell below K. Every
+# multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+# each round references its predecessor three times — unmaterialized, the
+# fact-scale co-occurrence join would replicate ~3^rounds times.
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [
+        """
+WITH co AS MATERIALIZED (
+  SELECT a.l_partkey AS s1, b.l_partkey AS s2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+ e0 AS MATERIALIZED (SELECT s1, s2 FROM co)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+ d{r} AS (SELECT node, count(*) AS deg FROM (
+      SELECT s1 AS node FROM e{r - 1} UNION ALL SELECT s2 FROM e{r - 1})
+    GROUP BY node),
+ r{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg < {k}),
+ e{r} AS MATERIALIZED (SELECT s1, s2 FROM e{r - 1}
+    WHERE s1 NOT IN (SELECT node FROM r{r})
+      AND s2 NOT IN (SELECT node FROM r{r}))"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS INTEGER) AS round,
+       (SELECT count(*) FROM r{r}) AS n_removed,
+       (SELECT count(DISTINCT node) FROM (
+          SELECT s1 AS node FROM e{r} UNION ALL SELECT s2 FROM e{r})) AS n_nodes,
+       (SELECT count(*) FROM e{r}) AS n_edges"""
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + f"\nSELECT * FROM (\n{rows}\n) ORDER BY round"
+
+
+@register(
+    "graph_kcore",
+    tags=("graph", "kcore", "analytics"),
+    oracle=_kcore_oracle(3, 3),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k=3, 3 synchronous rounds) over the part
+    co-purchase graph — parts co-occurring in >= 2 orders — reporting
+    per-round removals and the surviving graph size. The periphery-
+    shedding profile is the standard corpus-graph health probe before
+    community/triangle analytics; synchronous whole-round removal keeps
+    a fixed round count deterministic (no tie-break order).
+
+    Scale shape: the only fact-scale work is the co-occurrence
+    aggregation (self-equi-join on l_orderkey, map-side-combined to
+    (part, part, count) longs); the peel loop runs on the aggregated
+    edge list via :func:`pyblazing_spark.operators.graph.kcore_peel_summary`
+    — per round one degree aggregation + two left-anti joins, each
+    survivor set eagerly checkpointed so the plan tree stays O(1).
+    Reference parity: BlazingSQL has no graph kernels; this extends the
+    catalog's analytics family (pagerank, triangles) per the
+    training-pipeline brief."""
+    from pyblazing_spark.operators.graph import kcore_peel_summary
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("s1"), F.col("b.l_partkey").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("s1", "s2")
+    )
+    return kcore_peel_summary(edges, k=3, rounds=3)

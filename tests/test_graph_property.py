@@ -121,3 +121,34 @@ def test_span_coverage_matches_reference(spark, docs):
     }
     want = _ref_span_coverage(docs, k, m)
     assert got == want, docs
+
+
+def _ref_kcore_rounds(edges, k, rounds):
+    """Pure-Python synchronous peel: per round drop ALL nodes with
+    deg < k at once, then their edges."""
+    E = set(edges)
+    out = []
+    for _ in range(rounds):
+        deg = {}
+        for a, b in E:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        rm = {n for n, d in deg.items() if d < k}
+        E = {(a, b) for (a, b) in E if a not in rm and b not in rm}
+        nodes = {n for e in E for n in e}
+        out.append((len(rm), len(nodes), len(E)))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(_graph(), st.integers(min_value=1, max_value=4))
+def test_kcore_peel_matches_reference(spark, edges, k):
+    from pyblazing_spark.operators.graph import kcore_peel_summary
+
+    edges = sorted(set(edges))
+    df = spark.createDataFrame(edges, "s1 long, s2 long")
+    got = [
+        (r.n_removed, r.n_nodes, r.n_edges)
+        for r in kcore_peel_summary(df, k=k, rounds=3).orderBy("round").collect()
+    ]
+    assert got == _ref_kcore_rounds(edges, k, 3)

@@ -300,3 +300,49 @@ def test_duplicated_span_coverage_exact_intervals(spark):
     # the same selected grams mark both docs, so both unions cover the
     # same content-defined sample set: equal dup_chars
     assert rows[1]["dup_chars"] == rows[2]["dup_chars"]
+
+
+def test_winnowing_matches_python_reference(spark, sf_dir):
+    """text_winnowing vs an independent hashlib/pure-Python winnower,
+    including the every-window-covered guarantee on the reference side."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from pyblazing_spark.plans.llm import (
+        _WINNOW_K,
+        _WINNOW_POS,
+        _WINNOW_W,
+        text_winnowing,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    K, W, P = _WINNOW_K, _WINNOW_W, _WINNOW_POS
+    expect = []
+    for doc_id, text in docs.itertuples(index=False):
+        tk = re.split(r"\s+", text.strip())
+        if len(tk) < K + W - 1:
+            continue
+        grams = [" ".join(tk[i : i + K]) for i in range(len(tk) - K + 1)]
+        packed = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) * P + (P - (i + 1))
+            for i, g in enumerate(grams)
+        ]
+        n_windows = len(grams) - W + 1
+        fps = {min(packed[i : i + W]) for i in range(n_windows)}
+        # winnowing guarantee: every full window contains a selection
+        for i in range(n_windows):
+            assert any(pk in fps for pk in packed[i : i + W])
+        expect.append(
+            (
+                doc_id,
+                len(grams),
+                n_windows,
+                len(fps),
+                len({f // P for f in fps}),
+                round(len(fps) / n_windows + 1e-9, 4),
+            )
+        )
+    got = [tuple(r) for r in text_winnowing(spark, sf_dir).collect()]
+    assert got == sorted(expect)
