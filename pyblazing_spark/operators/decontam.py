@@ -62,3 +62,43 @@ def decontaminate(
         corpus, benchmark, text_col, id_col, shingle_words, min_hits
     )
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 5,
+) -> DataFrame:
+    """Per-corpus-doc contamination accounting: distinct shingle count,
+    how many of those shingles appear anywhere in the benchmark set, and
+    the contaminated fraction — the graded report (Dolma/RedPajama-style)
+    behind the binary keep/drop of :func:`contaminated_ids`, for picking
+    a drop threshold instead of hard-coding min_hits.
+
+    Scale shape: both shingle passes shuffle only (id, hash64) longs;
+    the total-count and hit-count aggregations share the corpus shingle
+    subtree (identical exchange -> ReusedExchange), and the benchmark
+    side stays a broadcast-sized distinct hash set."""
+    c = _hashed_shingle_rows(corpus, text_col, id_col, shingle_words).distinct()
+    b = (
+        _hashed_shingle_rows(benchmark, text_col, id_col, shingle_words)
+        .select("__h")
+        .distinct()
+    )
+    tot = c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        c.join(b, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return tot.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles") + F.lit(1e-9),
+            4,
+        ).alias("frac"),
+    )

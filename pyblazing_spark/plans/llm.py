@@ -1911,3 +1911,43 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "decontam_fraction",
+    tags=("llm", "decontam"),
+    oracle=r"""
+WITH corpus AS (SELECT doc_id, trim(text) AS t FROM documents WHERE doc_id >= 50),
+ bench AS (SELECT trim(text) AS t FROM documents WHERE doc_id < 50),
+ ctoks AS (SELECT doc_id, string_split_regex(t, '\s+') AS tk FROM corpus),
+ cidx AS (SELECT doc_id, tk,
+          unnest(generate_series(1, greatest(1, len(tk)-4))) AS i FROM ctoks),
+ csh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s FROM cidx),
+ btoks AS (SELECT string_split_regex(t, '\s+') AS tk FROM bench),
+ bidx AS (SELECT tk, unnest(generate_series(1, greatest(1, len(tk)-4))) AS i
+          FROM btoks),
+ bsh AS (SELECT DISTINCT array_to_string(tk[i:i+4], ' ') AS s FROM bidx),
+ tot AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id),
+ hits AS (SELECT doc_id, count(*) AS n_hits FROM csh
+          WHERE s IN (SELECT s FROM bsh) GROUP BY doc_id)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0 / t.n_shingles + 1e-9, 4) AS frac
+FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id
+""",
+)
+def decontam_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination report: for every corpus doc (doc_id >= 50),
+    its distinct 5-token shingle count, how many of those shingles occur
+    in the held-out set (doc_id < 50), and the contaminated fraction —
+    the threshold-picking companion to ``decontam_overlap``'s binary
+    flag (:func:`pyblazing_spark.operators.decontam.contamination_report`).
+    Hashed shingles are bijective with the oracle's string shingles, so
+    counts and fractions match exactly."""
+    from pyblazing_spark.operators.decontam import contamination_report
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 50)
+    bench = docs.where(F.col("doc_id") < 50)
+    return contamination_report(corpus, bench, shingle_words=5).orderBy("doc_id")

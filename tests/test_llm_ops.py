@@ -346,3 +346,29 @@ def test_winnowing_matches_python_reference(spark, sf_dir):
         )
     got = [tuple(r) for r in text_winnowing(spark, sf_dir).collect()]
     assert got == sorted(expect)
+
+
+def test_contamination_report_consistent_with_flags(spark, sf_dir):
+    """report.n_hits > 0 <=> contaminated_ids flags the doc, and
+    fractions are within (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.operators.decontam import (
+        contaminated_ids,
+        contamination_report,
+    )
+    from pyblazing_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 50)
+    bench = docs.where(F.col("doc_id") < 50)
+    rep = contamination_report(corpus, bench).collect()
+    flagged = {
+        r.doc_id for r in contaminated_ids(corpus, bench, shingle_words=5).collect()
+    }
+    assert {r.doc_id for r in rep if r.n_hits > 0} == flagged
+    for r in rep:
+        assert 0 < r.n_shingles
+        assert 0 <= r.n_hits <= r.n_shingles
+        expected = round(r.n_hits / r.n_shingles + 1e-9, 4)
+        assert abs(r.frac - expected) < 1e-12
