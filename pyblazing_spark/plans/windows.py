@@ -576,3 +576,43 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 ORDER BY user_id, event_id
 """
     )
+
+
+@register(
+    "win_distinct_frame",
+    tags=("window", "frame", "distinct"),
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       count(DISTINCT o_orderpriority) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_distinct_prio
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def win_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregate over a sliding ROWS frame — per customer, how
+    many distinct order priorities the trailing 5 orders span. Spark has
+    no native ``count(DISTINCT) OVER``; the equivalent plan is
+    ``size(array_distinct(collect_list(x) OVER frame))`` — collect_list
+    and array_distinct are JVM built-ins (no interpreted lambda), and the
+    frame bounds the per-row array at 5 elements, so window state stays
+    O(frame), not O(partition). The reference throws on any DISTINCT
+    window aggregate (BatchWindowFunctionProcessing.cpp's kernel list);
+    DuckDB executes it natively, giving a full-equality oracle."""
+    orders = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.size(F.array_distinct(F.collect_list("o_orderpriority").over(w)))
+            .cast("long")
+            .alias("n_distinct_prio"),
+        )
+        .orderBy("o_orderkey")
+    )
