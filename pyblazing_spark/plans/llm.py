@@ -1951,3 +1951,112 @@ def decontam_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") >= 50)
     bench = docs.where(F.col("doc_id") < 50)
     return contamination_report(corpus, bench, shingle_words=5).orderBy("doc_id")
+
+
+@register(
+    "source_orc_roundtrip",
+    tags=("source", "orc"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)              AS n,
+       round(sum(o_totalprice) + 1e-4, 2)    AS total_price
+FROM orders
+WHERE o_orderkey < 2000 AND o_totalprice > 100000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source path driven end-to-end through the formal gate: an
+    orders slice is written as ORC, read back through
+    :func:`pyblazing_spark.sources.files.read_files` (the
+    ``create_table`` route for ``.orc`` paths — reference parity:
+    OrcParser/orc_parser.cpp), filtered (ORC predicate pushdown — same
+    plan audit family as parquet), and aggregated; must equal the same
+    query over the original parquet."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.files import read_files
+
+    out = tempfile.mkdtemp(prefix="pbs_orc_")
+    try:
+        (
+            T(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 2000)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.mode("overwrite")
+            .orc(out + "/orders_orc")
+        )
+        back, fmt = read_files(spark, [out + "/orders_orc"], file_format="orc")
+        assert fmt == "orc"
+        return (
+            back.where(F.col("o_totalprice") > 100000)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
+            # materialize BEFORE the temp dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "source_csv_roundtrip",
+    tags=("source", "csv"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)              AS n,
+       round(sum(o_totalprice) + 1e-4, 2)    AS total_price
+FROM orders
+WHERE o_orderkey < 3000 AND o_totalprice > 80000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source path driven end-to-end through the formal gate: an
+    orders slice is written headerless, read back through
+    :func:`pyblazing_spark.sources.files.read_files` with the
+    reference-style ``names``/``dtype`` kwargs (declared schema, no
+    inference pass — reference parity: CSVParser + cudf dtype strings),
+    filtered and aggregated; must equal the same query over the
+    original parquet."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.files import read_files
+
+    out = tempfile.mkdtemp(prefix="pbs_csv_")
+    try:
+        (
+            T(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 3000)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.mode("overwrite")
+            .csv(out + "/orders_csv")
+        )
+        back, fmt = read_files(
+            spark,
+            [out + "/orders_csv"],
+            file_format="csv",
+            names=["o_orderkey", "o_orderstatus", "o_totalprice"],
+            dtype=["int64", "str", "float64"],
+        )
+        assert fmt == "csv"
+        return (
+            back.where(F.col("o_totalprice") > 80000)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
