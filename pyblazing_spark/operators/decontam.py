@@ -77,28 +77,32 @@ def contamination_report(
     behind the binary keep/drop of :func:`contaminated_ids`, for picking
     a drop threshold instead of hard-coding min_hits.
 
-    Scale shape: both shingle passes shuffle only (id, hash64) longs;
-    the total-count and hit-count aggregations share the corpus shingle
-    subtree (identical exchange -> ReusedExchange), and the benchmark
-    side stays a broadcast-sized distinct hash set."""
+    Scale shape: ONE pass over the corpus shingles — each distinct
+    (id, hash64) row is tagged by a left join against the benchmark's
+    distinct hash set (broadcast-sized; DISTINCT benchmark hashes mean
+    no row multiplication), then a single groupBy counts rows and tags
+    together. Only (id, hash64, flag) longs ever shuffle; no second
+    shingle pass, no exchange-reuse dependence."""
     c = _hashed_shingle_rows(corpus, text_col, id_col, shingle_words).distinct()
     b = (
         _hashed_shingle_rows(benchmark, text_col, id_col, shingle_words)
         .select("__h")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    tot = c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        c.join(b, "__h", "left_semi")
+    return (
+        c.join(F.broadcast(b), "__h", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return tot.join(hits, id_col, "left").select(
-        id_col,
-        "n_shingles",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        F.round(
-            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles") + F.lit(1e-9),
-            4,
-        ).alias("frac"),
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("n_shingles") + F.lit(1e-9), 4
+            ).alias("frac"),
+        )
     )

@@ -391,3 +391,38 @@ def test_weighted_reservoir_plans_as_take_ordered(spark, sf_dir):
     df = plans.REGISTRY["sample_weighted_reservoir"].fn(spark, sf_dir)
     plan = _executed_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_winnowing_never_shuffles_text_or_grams(spark, sf_dir):
+    """text_winnowing hashes grams in the scan stage; every Exchange
+    (the doc_id window + final groupBy) must carry only long columns —
+    neither the text nor the token array may shuffle."""
+    df = plans.REGISTRY["text_winnowing"].fn(spark, sf_dir)
+    for inp in _exchange_inputs(df):
+        assert "text" not in inp and "__tk" not in inp, inp
+
+
+def test_contamination_report_is_one_pass_no_text_shuffle(spark, sf_dir):
+    """decontam_fraction counts totals and hits in ONE aggregation over
+    the tagged corpus shingles (benchmark side broadcast): the plan must
+    contain exactly one BroadcastHashJoin over the shingle stream, no
+    SortMergeJoin, and no Exchange carrying text."""
+    df = plans.REGISTRY["decontam_fraction"].fn(spark, sf_dir)
+    # final AQE plan only — the trailing "== Initial Plan ==" echo
+    # repeats the tree and would double-count the join.
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    for inp in _exchange_inputs(df):
+        assert "text" not in inp, inp
+
+
+def test_kcore_rounds_run_on_checkpointed_edges(spark, sf_dir):
+    """graph_kcore's result plan must be a materialized scan (the loop's
+    final localCheckpoint), not a re-derivation of the peel rounds: the
+    executed plan of the RETURNED frame contains no Join/Generate — all
+    fact-scale work happened inside the loop."""
+    df = plans.REGISTRY["graph_kcore"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan
