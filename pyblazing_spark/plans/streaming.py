@@ -240,3 +240,48 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@register(
+    "stream_window_topk",
+    tags=("streaming", "window", "topk"),
+    oracle="""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+ r AS (
+  SELECT hour_bucket, event_type, n,
+         CAST(row_number() OVER (PARTITION BY hour_bucket
+                                 ORDER BY n DESC, event_type) AS INTEGER) AS rn
+  FROM c)
+SELECT hour_bucket, event_type, n, rn
+FROM r WHERE rn <= 3
+ORDER BY hour_bucket, rn
+""",
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous top-k: the stateful half (watermarked tumbling-window
+    counts) runs IN the stream; the rank-and-keep-3 half runs as a batch
+    window over the drained sink — the standard streaming-top-k split,
+    since streaming aggregation cannot host a rank function. State in
+    the streaming half is (open windows x event types); the sink the
+    rank pass reads is already aggregate-sized (windows x types, not
+    events), so the downstream top-k is cheap at any stream rate."""
+    from pyspark.sql import Window as W
+
+    stream = read_events_stream(spark, sf_dir)
+    drained = run_available_now(
+        windowed_counts_stream(stream), output_mode="complete"
+    )
+    w = W.partitionBy("hour_bucket").orderBy(F.desc("n"), "event_type")
+    return (
+        drained.select(
+            F.col("hour_bucket").cast("timestamp_ntz").alias("hour_bucket"),
+            "event_type",
+            "n",
+        )
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .orderBy("hour_bucket", "rn")
+    )
