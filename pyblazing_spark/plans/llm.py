@@ -2060,3 +2060,65 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "source_schema_evolution",
+    tags=("source", "parquet", "schema"),
+    oracle="""
+WITH old_part AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey < 1000),
+ new_part AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000),
+ unioned AS (SELECT * FROM old_part UNION ALL SELECT * FROM new_part)
+SELECT CAST(count(*) AS BIGINT)                       AS n_rows,
+       CAST(count(o_orderpriority) AS BIGINT)                 AS n_with_priority,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT)        AS n_priorities,
+       round(sum(o_totalprice) + 1e-4, 2)             AS total_price
+FROM unioned
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution through the formal gate: an 'old' file
+    written WITHOUT the o_orderpriority column and a 'new' file written with it
+    are read as one dataset via ``mergeSchema`` — rows from the old file
+    surface NULL o_orderpriority, exactly the production contract when a column
+    is added mid-pipeline (reference parity: the schema-unification path
+    in ParquetParser; Spark's merged footer schema replaces it). The
+    aggregate must equal a NULL-padded UNION over the original parquet."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pbs_evo_")
+    try:
+        od = T(spark, sf_dir, "orders")
+        (
+            od.where(F.col("o_orderkey") < 1000)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(out + "/data/part_old")
+        )
+        (
+            od.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(out + "/data/part_new")
+        )
+        merged = (
+            spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true")
+            .parquet(out + "/data")
+        )
+        return (
+            merged.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("o_orderpriority").alias("n_with_priority"),
+                F.countDistinct("o_orderpriority").alias("n_priorities"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
