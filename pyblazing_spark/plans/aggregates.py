@@ -792,3 +792,35 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_grouping_marker",
+    tags=("aggregate", "rollup", "grouping"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT)  AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT)  AS g_status,
+       CAST(count(*) AS BIGINT)                AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+""",
+)
+def agg_grouping_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — the only way a consumer can tell
+    a subtotal row from a genuine NULL group value, which matters the
+    moment a grouping column is nullable. Both engines compute the
+    marker natively (Spark: Expand + grouping metadata; the reference
+    has no rollup at all)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
