@@ -2122,3 +2122,60 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "pipeline_quality_deciles",
+    tags=("llm", "pipeline", "quality", "global-window"),
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         round(least(1.0, {_SQL_TOKN} / 100.0) * 0.3
+               + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  * 1.0 / length(lower(text))) * 0.4
+               + least(1.0, ({_sql_stop('en')}) / 5.0) * 0.3
+               - (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  * 1.0 / length(text)) * 0.2, 4) AS score,
+         {_SQL_TOKN} AS n_toks
+  FROM documents),
+ d AS (SELECT doc_id, score, n_toks,
+       ntile(10) OVER (ORDER BY score, doc_id) AS decile FROM q)
+SELECT decile,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       round(min(score) + 1e-9, 4) AS min_score,
+       round(max(score) + 1e-9, 4) AS max_score
+FROM d
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def pipeline_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ablation report: rank the corpus into global quality
+    deciles and report each decile's doc and TOKEN mass — the table a
+    data-mix owner reads to pick a filter threshold ("dropping the
+    bottom 3 deciles costs X% of tokens"). The global decile split uses
+    the two-phase :func:`pyblazing_spark.operators.global_window.global_ntile`
+    (range-bucket + per-bucket window + ≤32-row offset broadcast), never
+    an unpartitioned ntile window; the oracle's plain ntile proves the
+    parallel form computes the identical split. Scores are rounded to
+    4dp by quality_score itself, so the order key is discrete and the
+    (score, doc_id) tie-break is engine-stable."""
+    from pyblazing_spark.operators.global_window import global_ntile
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        TXT.quality_score(F.col("text")).alias("score"),
+        TXT.token_count(F.col("text")).cast("long").alias("n_toks"),
+    )
+    d = global_ntile(docs, ["score", "doc_id"], 10, out_col="decile")
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.min("score") + F.lit(1e-9), 4).alias("min_score"),
+            F.round(F.max("score") + F.lit(1e-9), 4).alias("max_score"),
+        )
+        .orderBy("decile")
+    )
