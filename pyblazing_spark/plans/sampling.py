@@ -276,3 +276,64 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# Poisson(1) CDF quantized to /256 buckets: P(0)=.3679 -> 94, then 188,
+# 235, 251; the >=4 tail takes the last 5 buckets. Shared thresholds keep
+# the Spark CASE and the oracle CASE the same distribution by construction.
+_POISSON_CUTS = (94, 188, 235, 251)
+
+
+@register(
+    "sample_poisson_bootstrap",
+    tags=("sampling", "bootstrap", "deterministic"),
+    oracle=f"""
+WITH b AS (
+  SELECT o_orderstatus, o_totalprice,
+         {_sql_bucket('o_orderkey', 256)} AS bkt
+  FROM orders),
+ k AS (
+  SELECT o_orderstatus, o_totalprice,
+         CASE WHEN bkt < {_POISSON_CUTS[0]} THEN 0
+              WHEN bkt < {_POISSON_CUTS[1]} THEN 1
+              WHEN bkt < {_POISSON_CUTS[2]} THEN 2
+              WHEN bkt < {_POISSON_CUTS[3]} THEN 3
+              ELSE 4 END AS k
+  FROM b)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)        AS n_orig,
+       CAST(sum(k) AS BIGINT)          AS n_resampled,
+       round(sum(k * o_totalprice) + 1e-4, 2) AS resampled_total
+FROM k
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (the bagging/online-bootstrap
+    resampling primitive): each row's replicate count k is drawn from a
+    quantized Poisson(1) via its md5 bucket — reproducible across
+    engines, reruns, and partitionings, like every sampler here. The
+    scalable form keeps k as a REPLICATE WEIGHT (sum(k), sum(k*x))
+    instead of exploding rows, so the bootstrap aggregate costs exactly
+    one scan-stage projection + the same groupBy the plain aggregate
+    pays — no data expansion at 100 TB."""
+    od = T(spark, sf_dir, "orders")
+    bkt = hash_bucket("o_orderkey", 256)
+    k = (
+        F.when(bkt < _POISSON_CUTS[0], 0)
+        .when(bkt < _POISSON_CUTS[1], 1)
+        .when(bkt < _POISSON_CUTS[2], 2)
+        .when(bkt < _POISSON_CUTS[3], 3)
+        .otherwise(4)
+    )
+    return (
+        od.select("o_orderstatus", "o_totalprice", k.alias("k"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orig"),
+            F.sum("k").cast("long").alias("n_resampled"),
+            money(F.sum(F.col("k") * F.col("o_totalprice"))).alias("resampled_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
