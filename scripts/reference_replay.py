@@ -487,6 +487,24 @@ def oracle_translate(sql: str) -> str:
             f"y -> upper(y[1:1]) || y[2:]), ' ')"
         ),
     )
+    # numbering delta: DuckDB's dayofweek is Sunday=0..Saturday=6; Spark
+    # AND Calcite number Sunday=1..Saturday=7 — shift the oracle so the
+    # dayOfWeekSuite compares for real instead of being skipped.
+    sql = _rewrite_calls(
+        sql, "DAYOFWEEK", lambda a: f"(dayofweek({a[0]}) + 1)"
+    )
+    # negative-length delta: DuckDB LEFT/RIGHT follow Postgres (negative n
+    # drops n chars from the other end); Spark and Calcite return '' —
+    # emulate Spark's semantics so substringSuite/TEST_12 compares.
+    for fn in ("LEFT", "RIGHT"):
+        sql = _rewrite_calls(
+            sql, fn,
+            lambda a, f=fn.lower(): (
+                f"(CASE WHEN ({a[1]}) < 0 THEN '' ELSE {f}({a[0]}, {a[1]}) END)"
+                if len(a) == 2
+                else f"{f}({', '.join(a)})"
+            ),
+        )
     return sql
 
 
@@ -503,20 +521,7 @@ def oracle_translate(sql: str) -> str:
 #:   follows Postgres (drop last/first n chars: LEFT('abcdefgh',-5) =
 #:   'abc'); Spark and Calcite return '' (we match the reference).
 ORACLE_DIALECT_SKIP = {
-    ("castSuite", "TEST_10"),
-    ("castSuite", "TEST_13"),
-    #: TPCHSuite/TEST_15 (runnable since the CTE-column-alias fix):
-    #: ``cast(sum(...) AS INTEGER)`` — same double->int rounding delta
-    #: as castSuite TEST_10/13 (DuckDB rounds, Spark AND Calcite/cuDF
-    #: truncate; we match the reference). Max diff is exactly 1.
-    ("TPCHSuite", "TEST_15"),
-    ("dayOfWeekSuite", "TEST_01"),
-    ("dayOfWeekSuite", "TEST_02"),
-    ("dayOfWeekSuite", "TEST_03"),
-    ("dayOfWeekSuite", "TEST_04"),
-    ("dayOfWeekSuite", "TEST_05"),
     ("dateSuite", "TEST_08"),
-    ("substringSuite", "TEST_12"),
     #: windowFunctionSuite/TEST_22: final ``ORDER BY l_orderkey, max_keys
     #: LIMIT 50`` sorts on NON-UNIQUE keys (several lineitem rows share an
     #: orderkey and window value but differ in the projected
@@ -526,6 +531,35 @@ ORACLE_DIALECT_SKIP = {
     #: hole and passes only when its data happens not to tie at the cut.
     ("windowFunctionSuite", "TEST_22"),
 }
+
+#: Oracle-side patches for double->int CAST: DuckDB's CAST(double AS
+#: INTEGER) ROUNDS; Spark and Calcite/cuDF TRUNCATE (we match the
+#: reference). trunc() on the oracle side makes the three affected
+#: corpus queries directly comparable instead of skipped. Applied to the
+#: ORACLE SQL only, per (suite, test), before oracle_translate.
+ORACLE_SQL_PATCH: dict[tuple[str, str], tuple[str, str]] = {
+    ("castSuite", "TEST_10"): (
+        r"(?i)cast\(o_totalprice\s+AS\s+INTEGER\)",
+        "cast(trunc(o_totalprice) AS INTEGER)",
+    ),
+    ("castSuite", "TEST_13"): (
+        r"(?i)cast\(o_totalprice\s+AS\s+INTEGER\)",
+        "cast(trunc(o_totalprice) AS INTEGER)",
+    ),
+    ("TPCHSuite", "TEST_15"): (
+        r"(?i)cast\(sum\(l_extendedprice \* \(1-l_discount\)\)\s+AS\s+INTEGER\)",
+        "cast(trunc(sum(l_extendedprice * (1-l_discount))) AS INTEGER)",
+    ),
+}
+
+
+def _patch_oracle_sql(suite: str, test: str, sql: str) -> str:
+    patch = ORACLE_SQL_PATCH.get((suite, test))
+    if patch is None:
+        return sql
+    patched = re.sub(patch[0], patch[1], sql)
+    assert patched != sql, f"oracle patch for {suite}/{test} did not match"
+    return patched
 
 
 #: CTE definitions (``WITH name AS (`` / ``, name AS (``) — those names are
@@ -644,7 +678,7 @@ def main() -> int:
             # gap on OUR side — only acceptable if DuckDB rejects it too
             # (i.e. it's nonstandard SQL, not a missing shim).
             try:
-                con.execute(oracle_translate(sql)).df()
+                con.execute(oracle_translate(_patch_oracle_sql(suite, test, sql))).df()
             except Exception:
                 n_dialect += 1
                 if verbose:
@@ -654,7 +688,7 @@ def main() -> int:
             failures.append(f"{tag}: spark-only parse failure: {str(exc).splitlines()[0][:160]}")
             continue
         try:
-            theirs = con.execute(oracle_translate(sql)).df()
+            theirs = con.execute(oracle_translate(_patch_oracle_sql(suite, test, sql))).df()
         except Exception as exc:
             n_dialect += 1
             if verbose:

@@ -1,6 +1,6 @@
 """A deterministic sample of the reference's own e2e SQL corpus, run
 verbatim through BlazingContext vs DuckDB (the full sweep is
-``scripts/reference_replay.py`` — 580/580 comparable queries match over
+``scripts/reference_replay.py`` — 631/631 comparable queries match over
 the derived-column-extended fixtures; this keeps a fast slice of it in
 the regular gate so dialect-shim regressions surface immediately)."""
 
@@ -13,6 +13,7 @@ from pyblazing_spark.context import BlazingContext
 from scripts.reference_replay import (
     ORACLE_DIALECT_SKIP,
     _compare,
+    _patch_oracle_sql,
     load_corpus,
     oracle_translate,
     register_fixtures,
@@ -44,7 +45,7 @@ def corpus_env(spark, sf_dir):
 def test_reference_query(corpus_env, suite, test, sql):
     bc, con = corpus_env
     try:
-        theirs = con.execute(oracle_translate(sql)).df()
+        theirs = con.execute(oracle_translate(_patch_oracle_sql(suite, test, sql))).df()
     except Exception:
         pytest.skip("oracle cannot run this dialect")
     ours = bc.sql(sql, eager=True)
