@@ -317,20 +317,21 @@ SELECT
     "nested_not_exists",
     tags=("nested", "sql", "correlated", "anti"),
     oracle="""
-SELECT c_mktsegment, count(*) AS n_inactive
+SELECT c_mktsegment, count(*) AS n_small
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
-                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+                    AND o_totalprice > 400000)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
 )
 def nested_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated NOT EXISTS via ``spark.sql`` — customers with no
-    recent order, counted per segment. Catalyst's
+    big-ticket order, counted per segment (the 400000 bar keeps the
+    result non-empty at every fixture SF). Catalyst's
     RewritePredicateSubquery plans this as a LEFT ANTI join with the
-    date filter pushed below it — the complement of
+    price filter pushed below it — the complement of
     ``nested_sql_form``'s EXISTS -> left-semi evidence (the filtering
     join pair SURVEY §2.2 calls the anti/semi superset)."""
     from pyblazing_spark.sources.tables import register_views
@@ -338,11 +339,11 @@ def nested_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(
         """
-        SELECT c_mktsegment, count(*) AS n_inactive
+        SELECT c_mktsegment, count(*) AS n_small
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
-                            AND o_orderdate >= TIMESTAMP '1998-01-01')
+                            AND o_totalprice > 400000)
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
         """
