@@ -129,6 +129,14 @@ def main() -> int:
         "dedup_semantic", "sort_pareto_frontier",
         "events_attribution", "text_lm_bigram", "events_anomaly_zscore",
         "pipeline_dedup_e2e",
+        # round-5 continuation: the new operators whose plans could
+        # change shape at 10x (iterative peel, doc windows, broadcast
+        # tagging, global ntile, frame windows, streaming drain,
+        # rollup/anti joins, weight-based bootstrap).
+        "graph_kcore", "text_winnowing", "decontam_fraction",
+        "pipeline_quality_deciles", "win_distinct_frame",
+        "stream_window_topk", "agg_grouping_marker", "nested_not_exists",
+        "sample_poisson_bootstrap",
     }
     timings: dict[str, float] = {}
     n_ok = n_bad = 0
