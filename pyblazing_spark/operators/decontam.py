@@ -70,6 +70,7 @@ def contamination_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_words: int = 5,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Per-corpus-doc contamination accounting: distinct shingle count,
     how many of those shingles appear anywhere in the benchmark set, and
@@ -82,7 +83,12 @@ def contamination_report(
     distinct hash set (broadcast-sized; DISTINCT benchmark hashes mean
     no row multiplication), then a single groupBy counts rows and tags
     together. Only (id, hash64, flag) longs ever shuffle; no second
-    shingle pass, no exchange-reuse dependence."""
+    shingle pass, no exchange-reuse dependence.
+
+    ``broadcast_benchmark=False`` drops the broadcast hint for callers
+    whose held-out set is too large to broadcast (8 GB hint ceiling) —
+    AQE then picks broadcast vs shuffle from the measured size, exactly
+    as :func:`contaminated_ids` does."""
     c = _hashed_shingle_rows(corpus, text_col, id_col, shingle_words).distinct()
     b = (
         _hashed_shingle_rows(benchmark, text_col, id_col, shingle_words)
@@ -90,8 +96,10 @@ def contamination_report(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
+    if broadcast_benchmark:
+        b = F.broadcast(b)
     return (
-        c.join(F.broadcast(b), "__h", "left")
+        c.join(b, "__h", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -2130,12 +2130,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH q AS (
   SELECT doc_id,
-         round(least(1.0, {_SQL_TOKN} / 100.0) * 0.3
-               + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-                  * 1.0 / length(lower(text))) * 0.4
-               + least(1.0, ({_sql_stop('en')}) / 5.0) * 0.3
-               - (length(regexp_replace(text, '[^0-9]', '', 'g'))
-                  * 1.0 / length(text)) * 0.2, 4) AS score,
+         {_SQL_SCORE} AS score,
          {_SQL_TOKN} AS n_toks
   FROM documents),
  d AS (SELECT doc_id, score, n_toks,

@@ -333,7 +333,7 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orig"),
             F.sum("k").cast("long").alias("n_resampled"),
-            money(F.sum(F.col("k") * F.col("o_totalprice"))).alias("resampled_total"),
+            money(F.sum(F.col("k") * F.col("o_totalprice")) + 1e-4).alias("resampled_total"),
         )
         .orderBy("o_orderstatus")
     )

@@ -509,17 +509,14 @@ def oracle_translate(sql: str) -> str:
 
 
 #: Queries where OUR result matches the reference's semantics but DuckDB
-#: (the stand-in oracle) legitimately differs — documented engine-dialect
-#: deltas, not parity failures:
-#: - castSuite/TEST_10, TEST_13: double->int CAST rounds in DuckDB,
-#:   truncates in Spark AND Calcite/cuDF (we match the reference).
-#: - dayOfWeekSuite/*: DuckDB numbers Sunday=0; Spark and Calcite both
-#:   number Sunday=1 (we match the reference; SURVEY.md §2.7).
+#: (the stand-in oracle) legitimately differs in a way no shim can fix —
+#: documented engine-dialect deltas, not parity failures. (The formerly
+#: skipped DAYOFWEEK numbering, negative-length LEFT/RIGHT, and
+#: double->int CAST deltas are now SHIMMED on the oracle side — see the
+#: dayofweek/left/right rewrites in oracle_translate and
+#: ORACLE_SQL_PATCH below — and compare for real.)
 #: - dateSuite/TEST_08: CURRENT_TIME/CURRENT_TIMESTAMP — wall-clock moves
 #:   between the two engine invocations; inherently incomparable.
-#: - substringSuite/TEST_12: LEFT/RIGHT with NEGATIVE length: DuckDB
-#:   follows Postgres (drop last/first n chars: LEFT('abcdefgh',-5) =
-#:   'abc'); Spark and Calcite return '' (we match the reference).
 ORACLE_DIALECT_SKIP = {
     ("dateSuite", "TEST_08"),
     #: windowFunctionSuite/TEST_22: final ``ORDER BY l_orderkey, max_keys
@@ -671,6 +668,10 @@ def main() -> int:
         if (suite, test) in ORACLE_DIALECT_SKIP:
             n_oracle_skip += 1
             continue
+        # Patch OUTSIDE the try blocks: _patch_oracle_sql asserts its
+        # regex matched, and that guard must abort the run loudly, not
+        # be swallowed into a silent dialect-skip by the handlers below.
+        oracle_sql = _patch_oracle_sql(suite, test, sql)
         try:
             ours = bc.sql(sql, eager=True)
         except Exception as exc:
@@ -678,7 +679,7 @@ def main() -> int:
             # gap on OUR side — only acceptable if DuckDB rejects it too
             # (i.e. it's nonstandard SQL, not a missing shim).
             try:
-                con.execute(oracle_translate(_patch_oracle_sql(suite, test, sql))).df()
+                con.execute(oracle_translate(oracle_sql)).df()
             except Exception:
                 n_dialect += 1
                 if verbose:
@@ -688,7 +689,7 @@ def main() -> int:
             failures.append(f"{tag}: spark-only parse failure: {str(exc).splitlines()[0][:160]}")
             continue
         try:
-            theirs = con.execute(oracle_translate(_patch_oracle_sql(suite, test, sql))).df()
+            theirs = con.execute(oracle_translate(oracle_sql)).df()
         except Exception as exc:
             n_dialect += 1
             if verbose:

@@ -44,8 +44,11 @@ def corpus_env(spark, sf_dir):
 )
 def test_reference_query(corpus_env, suite, test, sql):
     bc, con = corpus_env
+    # patch OUTSIDE the try: its matched-regex assertion must FAIL the
+    # test on corpus drift, not be skipped as an oracle dialect gap
+    oracle_sql = _patch_oracle_sql(suite, test, sql)
     try:
-        theirs = con.execute(oracle_translate(_patch_oracle_sql(suite, test, sql))).df()
+        theirs = con.execute(oracle_translate(oracle_sql)).df()
     except Exception:
         pytest.skip("oracle cannot run this dialect")
     ours = bc.sql(sql, eager=True)
