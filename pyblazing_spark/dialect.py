@@ -56,6 +56,14 @@ _FMT_TOKENS: tuple[tuple[str, str], ...] = (
 )
 
 _TO_FN_NAME = re.compile(r"(?i)\b(TO_DATE|TO_TIMESTAMP)\s*\(")
+#: POSIX backreference inside a single-quoted string literal that is an
+#: argument of REGEXP_REPLACE: Calcite/cuDF replacement strings spell
+#: group refs ``\1``; Spark's replacement syntax is Java's ``$1`` (and
+#: Spark's string parser would strip the bare backslash anyway, turning
+#: '\2--\1' into the literal '2--1'). Scoped to REGEXP_REPLACE calls so
+#: backslashes in other literals are untouched.
+_REGEXP_REPLACE_NAME = re.compile(r"(?i)\bREGEXP_REPLACE\s*\(")
+_BACKREF = re.compile(r"\\(\d)")
 _FMT_LIT = re.compile(r",\s*'([^']*)'\s*$")
 #: Bare (length-free) VARCHAR/CHAR cast targets — Calcite-legal, Spark not.
 _BARE_VARCHAR = re.compile(r"(?i)\bAS\s+(?:VARCHAR|CHAR)\s*(\))")
@@ -104,6 +112,34 @@ def _matching_paren(sql: str, open_idx: int) -> int:
     return -1
 
 
+def _rewrite_regexp_backrefs(sql: str) -> str:
+    """``\\1`` -> ``$1`` inside every string literal of each
+    REGEXP_REPLACE call (Calcite replacement syntax -> Spark/Java's).
+    The pattern argument never legally contains ``\\digit`` in the
+    corpus (group refs inside a PATTERN would be back-matches, which
+    cuDF doesn't support either), so rewriting every literal in the
+    call is safe and avoids argument-position parsing."""
+    out, pos = [], 0
+    for m in _REGEXP_REPLACE_NAME.finditer(sql):
+        open_idx = m.end() - 1
+        if open_idx < pos:
+            continue
+        close_idx = _matching_paren(sql, open_idx)
+        if close_idx < 0:
+            continue
+        inner = sql[open_idx + 1 : close_idx]
+        inner = re.sub(
+            r"'([^']*)'",
+            lambda lm: "'" + _BACKREF.sub(r"$\1", lm.group(1)) + "'",
+            inner,
+        )
+        out.append(sql[pos : open_idx + 1])
+        out.append(inner)
+        pos = close_idx
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def prepare(sql: str) -> str:
     """Rewrite reference-dialect constructs to Spark SQL. Identity for
     queries that don't use them.
@@ -115,6 +151,7 @@ def prepare(sql: str) -> str:
     sql = _BARE_VARCHAR.sub(r"AS STRING\1", sql)
     sql = _SLASH_DATE.sub(r"DATE '\1-\2-\3'", sql)
     sql = _INTERVAL_PRECISION.sub(r"\1", sql)
+    sql = _rewrite_regexp_backrefs(sql)
     out, pos = [], 0
     for m in _TO_FN_NAME.finditer(sql):
         open_idx = m.end() - 1

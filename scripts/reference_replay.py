@@ -469,15 +469,23 @@ def oracle_translate(sql: str) -> str:
         ),
     )
     # Spark/Calcite 3-arg REGEXP_REPLACE replaces ALL matches; DuckDB's
-    # replaces only the first unless given the 'g' flag. 4-arg (position)
-    # forms pass through — DuckDB rejects them and the query stays a
-    # documented capability skip.
+    # replaces only the first unless given the 'g' flag. The 4-arg
+    # (position) form — replace all matches starting at pos, prefix
+    # untouched (verified against Spark's native 4-arg) — has no DuckDB
+    # equivalent; compose it from substring + global replace. DuckDB
+    # replacement strings keep Calcite's \1 backrefs natively.
     sql = _rewrite_calls(
         sql, "REGEXP_REPLACE",
         lambda a: (
             f"regexp_replace({', '.join(a)}, 'g')"
             if len(a) == 3
-            else f"REGEXP_REPLACE({', '.join(a)})"
+            else (
+                f"(substring({a[0]}, 1, ({a[3]}) - 1) || "
+                f"regexp_replace(substring({a[0]}, {a[3]}), "
+                f"{a[1]}, {a[2]}, 'g'))"
+                if len(a) == 4
+                else f"REGEXP_REPLACE({', '.join(a)})"
+            )
         ),
     )
     sql = _rewrite_calls(
@@ -517,6 +525,16 @@ def oracle_translate(sql: str) -> str:
 #: ORACLE_SQL_PATCH below — and compare for real.)
 #: - dateSuite/TEST_08: CURRENT_TIME/CURRENT_TIMESTAMP — wall-clock moves
 #:   between the two engine invocations; inherently incomparable.
+#: The reference's intentional-error queries (messageValidationSuite
+#: SETUP blocks carry MESSAGE_VALIDATION, not an expected result):
+#: TEST_03 calls the nonexistent function maxi(); TEST_04 is a syntax
+#: error. Parity means WE must reject them too — the replay asserts
+#: bc.sql raises, and counts a successful parse as a FAILURE.
+NEGATIVE_TESTS = {
+    ("messageValidationSuite", "TEST_03"),
+    ("messageValidationSuite", "TEST_04"),
+}
+
 ORACLE_DIALECT_SKIP = {
     ("dateSuite", "TEST_08"),
     #: windowFunctionSuite/TEST_22: final ``ORDER BY l_orderkey, max_keys
@@ -667,6 +685,18 @@ def main() -> int:
         tag = f"{suite}/{test}"
         if (suite, test) in ORACLE_DIALECT_SKIP:
             n_oracle_skip += 1
+            continue
+        if (suite, test) in NEGATIVE_TESTS:
+            # the reference expects these to ERROR — so must we
+            try:
+                bc.sql(sql, eager=True)
+            except Exception:
+                n_ok += 1
+                if verbose:
+                    print(f"  OK (rejected, as the reference expects) {tag}")
+                continue
+            n_bad += 1
+            failures.append(f"{tag}: negative test PARSED (reference expects an error)")
             continue
         # Patch OUTSIDE the try blocks: _patch_oracle_sql asserts its
         # regex matched, and that guard must abort the run loudly, not

@@ -100,3 +100,34 @@ def test_eager_mode_uses_reference_arithmetic(bc):
     assert pdf["d"].isna().all()
     # and the session conf is restored afterwards
     assert bc.spark.conf.get("spark.sql.ansi.enabled", None) != "false"
+
+
+def test_regexp_replace_backrefs_and_position(spark):
+    """Calcite '\\1' replacement backrefs -> Spark '$1', scoped to
+    REGEXP_REPLACE calls; the 4-arg position form must equal DuckDB's
+    substring composition (the oracle shim) on a concrete value."""
+    import duckdb
+
+    from pyblazing_spark.dialect import prepare
+    from scripts.reference_replay import oracle_translate
+
+    sql = (
+        r"SELECT REGEXP_REPLACE(x, '(b)(c)', '\2--\1') AS a, "
+        r"REGEXP_REPLACE(x, 'e|a', 'Z', 4) AS b, '\1 untouched' AS c FROM t"
+    )
+    prepared = prepare(sql)
+    assert "'$2--$1'" in prepared
+    assert r"'\1 untouched'" in prepared  # literals outside the call keep \1
+    spark_df = spark.sql(
+        prepare(
+            r"SELECT REGEXP_REPLACE('abcdefa', '(b)(c)', '\2--\1') AS a, "
+            r"REGEXP_REPLACE('abcdefa', 'e|a', 'Z', 4) AS b"
+        )
+    ).collect()[0]
+    duck = duckdb.sql(
+        oracle_translate(
+            r"SELECT REGEXP_REPLACE('abcdefa', '(b)(c)', '\2--\1') AS a, "
+            r"REGEXP_REPLACE('abcdefa', 'e|a', 'Z', 4) AS b"
+        )
+    ).fetchone()
+    assert (spark_df.a, spark_df.b) == duck

@@ -11,6 +11,7 @@ import pytest
 
 from pyblazing_spark.context import BlazingContext
 from scripts.reference_replay import (
+    NEGATIVE_TESTS,
     ORACLE_DIALECT_SKIP,
     _compare,
     _patch_oracle_sql,
@@ -26,7 +27,9 @@ def _sample():
     cand = [
         (s, t, q)
         for s, t, q in load_corpus()
-        if runnable(q) and (s, t) not in ORACLE_DIALECT_SKIP
+        if runnable(q)
+        and (s, t) not in ORACLE_DIALECT_SKIP
+        and (s, t) not in NEGATIVE_TESTS
     ]
     return cand[::8]
 
