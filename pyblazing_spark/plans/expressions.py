@@ -726,3 +726,40 @@ def expr_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "n", "total_cents", "disc_total_e4", "avg_cents")
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "expr_regexp_position",
+    tags=("expression", "regexp", "dialect"),
+    oracle=r"""
+SELECT c_custkey,
+       regexp_replace(c_name, '([0-9])([0-9])', '\2\1', 'g') AS swapped,
+       (substring(c_name, 1, 10 - 1) ||
+        regexp_replace(substring(c_name, 10), '[0-9]', '#', 'g')) AS masked_from_10
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+""",
+)
+def expr_regexp_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replacement backreferences + POSITIONAL regexp_replace — the two
+    REGEXP_REPLACE forms the reference's Calcite layer accepts
+    (simpleStringSuite/TEST_17) beyond plain 3-arg: Spark expresses the
+    backref with Java's ``$n`` (the dialect shim translates Calcite's
+    ``\\n`` spelling — ``dialect.py``) and has a NATIVE 4-arg position
+    form; the oracle composes position from substring + global replace,
+    since DuckDB has none. Pure scan-stage codegen either way."""
+    cu = T(spark, sf_dir, "customer")
+    return (
+        cu.where(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            F.regexp_replace(F.col("c_name"), r"([0-9])([0-9])", r"$2$1").alias(
+                "swapped"
+            ),
+            F.expr(r"regexp_replace(c_name, '[0-9]', '#', 10)").alias(
+                "masked_from_10"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
