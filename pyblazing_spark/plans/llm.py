@@ -2174,3 +2174,135 @@ def pipeline_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    tags=("join", "dpp", "partition-pruning"),
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT o_orderpriority AS prio,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'hot' ELSE 'cold' END AS klass
+  FROM orders)
+SELECT f.o_orderpriority,
+       CAST(count(*) AS BIGINT)            AS n,
+       round(sum(o_totalprice) + 1e-4, 2)  AS total
+FROM orders f JOIN dim d ON f.o_orderpriority = d.prio
+WHERE d.klass = 'hot'
+GROUP BY f.o_orderpriority
+ORDER BY f.o_orderpriority
+""",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning driven end-to-end: the fact side is a
+    Hive-partitioned parquet tree (partitioned on o_orderpriority), the
+    dim side carries a NON-partition predicate (klass = 'hot'), so only
+    a runtime subquery over the dim can prune fact partitions — the
+    star-schema scan pattern that reads 2/5 of the fact at 100 TB
+    instead of all of it. The DPP subquery in the fact scan's
+    PartitionFilters is plan-audited (tests/test_plan_audits.py); this
+    entry proves values. The reference's skip-data subsystem is the
+    counterpart surface (SURVEY §4) — Catalyst's
+    PartitionPruning rule replaces it wholesale."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pbs_dpp_")
+    try:
+        od = T(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        od.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            out + "/fact"
+        )
+        # explicit schema: an empty-input write leaves only _SUCCESS in
+        # the tree and schema inference on zero files throws (same trap
+        # sink_partitioned_roundtrip documents)
+        fact = spark.read.schema(
+            "o_orderkey bigint, o_totalprice double, o_orderpriority string"
+        ).parquet(out + "/fact")
+        dim = (
+            od.select(F.col("o_orderpriority").alias("prio"))
+            .distinct()
+            .withColumn(
+                "klass",
+                F.when(
+                    F.col("prio").isin("1-URGENT", "2-HIGH"), "hot"
+                ).otherwise("cold"),
+            )
+        )
+        return (
+            fact.join(dim, fact.o_orderpriority == dim.prio)
+            .where(F.col("klass") == "hot")
+            .groupBy(F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total"),
+            )
+            .orderBy("o_orderpriority")
+            # materialize BEFORE the temp dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "pipeline_data_card",
+    tags=("llm", "pipeline", "reporting"),
+    oracle=f"""
+WITH d AS (
+  SELECT source, lang, md5({_SQL_NORM}) AS fp,
+         {_SQL_TOKN} AS toks, {_SQL_SCORE} AS score
+  FROM documents),
+ per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT)          AS n_docs,
+         CAST(sum(toks) AS BIGINT)         AS n_tokens,
+         round(avg(score) + 1e-9, 4)       AS avg_quality,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT fp) AS BIGINT)   AS n_unique
+  FROM d GROUP BY source)
+SELECT source, n_docs, n_tokens, avg_quality, n_langs,
+       CAST(n_docs - n_unique AS BIGINT) AS dup_docs
+FROM per
+ORDER BY source
+""",
+)
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card in ONE aggregation pass: doc and
+    token mass, mean quality, language spread, and exact-duplicate
+    burden — the summary table a dataset release ships (datasheets /
+    data-statements practice) and the first thing a mix owner reads.
+    Tokens, fingerprints, and scores are all scan-stage expressions;
+    the only shuffle is the groupBy(source) (Catalyst expands the two
+    DISTINCT aggregates), so the card costs one pass at any corpus
+    size."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        TXT.fingerprint(F.col("text")).alias("fp"),
+        TXT.token_count(F.col("text")).cast("long").alias("toks"),
+        TXT.quality_score(F.col("text")).alias("score"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.round(F.avg("score") + F.lit(1e-9), 4).alias("avg_quality"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "avg_quality",
+            "n_langs",
+            (F.col("n_docs") - F.col("n_unique")).alias("dup_docs"),
+        )
+        .orderBy("source")
+    )

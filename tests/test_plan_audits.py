@@ -426,3 +426,46 @@ def test_kcore_rounds_run_on_checkpointed_edges(spark, sf_dir):
     plan = _executed_plan(df)
     assert "Scan ExistingRDD" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_dpp_subquery_prunes_fact_partitions(spark, sf_dir):
+    """The join_dynamic_partition_pruning shape must plan a
+    dynamicpruning subquery into the partitioned fact scan's
+    PartitionFilters — the registered entry materializes (checkpoint
+    before its temp dir vanishes), so the audit rebuilds the same join
+    here and inspects the live plan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.sources.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="dpp_audit_")
+    try:
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        od.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            out + "/fact"
+        )
+        fact = spark.read.parquet(out + "/fact")
+        dim = (
+            od.select(F.col("o_orderpriority").alias("prio"))
+            .distinct()
+            .withColumn(
+                "klass",
+                F.when(F.col("prio").isin("1-URGENT", "2-HIGH"), "hot").otherwise(
+                    "cold"
+                ),
+            )
+        )
+        j = (
+            fact.join(dim, fact.o_orderpriority == dim.prio)
+            .where(F.col("klass") == "hot")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "dynamicpruning" in _executed_plan(j).lower()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
