@@ -2306,3 +2306,129 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "source_json_roundtrip",
+    tags=("source", "json"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)              AS n,
+       round(sum(o_totalprice) + 1e-4, 2)    AS total_price
+FROM orders
+WHERE o_orderkey < 2500 AND o_totalprice > 90000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source path through the formal gate (completing the
+    format roundtrip family: parquet/ORC/CSV/JSON): an orders slice is
+    written as JSON lines, read back through
+    :func:`pyblazing_spark.sources.files.read_files` (the
+    ``create_table`` route for ``.json`` paths — reference parity:
+    JSONParser with cudf read_json lines=True), filtered and
+    aggregated; must equal the same query over the original parquet."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.files import read_files
+
+    out = tempfile.mkdtemp(prefix="pbs_json_")
+    try:
+        (
+            T(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 2500)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.mode("overwrite")
+            .json(out + "/orders_json")
+        )
+        back, fmt = read_files(
+            spark,
+            [out + "/orders_json"],
+            file_format="json",
+            names=["o_orderkey", "o_orderstatus", "o_totalprice"],
+            dtype=["int64", "str", "float64"],
+        )
+        assert fmt == "json"
+        return (
+            back.where(F.col("o_totalprice") > 90000)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "text_tfidf_keywords",
+    tags=("llm", "text", "retrieval", "keywords"),
+    oracle=r"""
+WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+ tok AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS term FROM docs),
+ tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term),
+ df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+ n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+ scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1e-9, 4)
+           AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ ranked AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS INTEGER) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, score
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3 terms): term
+    frequency per doc x add-one idf over the corpus — the classic
+    keyword/tag stage of a curation pipeline. Ranking uses the
+    4dp-ROUNDED score (ties broken by term) on BOTH engines, so a
+    last-ulp ln() difference between libms can never flip a rank.
+
+    Scale shape: same vocabulary discipline as text_top_tokens/BM25 —
+    the (doc, term) tf aggregation map-side combines before its
+    exchange, the df table is vocabulary-sized (Zipf-bounded) and joins
+    back broadcast, and N rides a one-row broadcast; full text never
+    shuffles, only tokens and counts."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1e-9),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
+    )

@@ -167,6 +167,18 @@ def read_files(
         return df, "csv"
     if fmt == "json":
         options = {"multiLine": "false" if kwargs.get("lines", True) else "true"}
+        names = kwargs.get("names")
+        dtypes = kwargs.get("dtype")
+        if names and dtypes:
+            # declared schema (same cudf-style kwargs the CSV path takes):
+            # skips the inference pass, and an empty-input write — only
+            # _SUCCESS in the dir — still reads back as an empty frame
+            # instead of throwing UNABLE_TO_INFER_SCHEMA.
+            reader = reader.schema(
+                ", ".join(
+                    f"`{n}` {_spark_type(str(t))}" for n, t in zip(names, dtypes)
+                )
+            )
         return reader.options(**options).json(paths), "json"
     if fmt == "orc":
         return reader.orc(*paths), "orc"
