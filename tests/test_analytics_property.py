@@ -107,3 +107,74 @@ def test_pareto_sweep_window_is_partitioned(spark, sf_dir):
     assert data_windows, plan
     for line in data_windows:
         assert "__pid" in line, f"unpartitioned sweep window: {line}"
+
+
+@st.composite
+def _word_docs(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=4))
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(n_docs):
+        n = draw(st.integers(min_value=6, max_value=20))
+        docs.append((i, " ".join(draw(st.sampled_from(vocab)) for _ in range(n))))
+    return docs
+
+
+@settings(max_examples=5, deadline=None)
+@given(_word_docs())
+def test_winnowing_property_random_docs(spark, docs):
+    """text_winnowing's pipeline vs the hashlib reference on adversarial
+    random docs (tiny vocab -> heavy hash ties exercising the
+    rightmost-position tie rule), via a temp parquet documents table."""
+    import hashlib
+    import re as _re
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from pyblazing_spark.plans.llm import (
+        _WINNOW_K,
+        _WINNOW_POS,
+        _WINNOW_W,
+        text_winnowing,
+    )
+
+    K, W, P = _WINNOW_K, _WINNOW_W, _WINNOW_POS
+    out = tempfile.mkdtemp(prefix="winnow_prop_")
+    try:
+        pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in docs],
+                "text": [t for _, t in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["prop"] * len(docs),
+                "n_chars": [len(t) for _, t in docs],
+            }
+        ).to_parquet(out + "/documents.parquet")
+        got = [tuple(r) for r in text_winnowing(spark, out).collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    expect = []
+    for doc_id, text in docs:
+        tk = _re.split(r"\s+", text.strip())
+        if len(tk) < K + W - 1:
+            continue
+        grams = [" ".join(tk[i : i + K]) for i in range(len(tk) - K + 1)]
+        packed = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) * P + (P - (i + 1))
+            for i, g in enumerate(grams)
+        ]
+        n_win = len(grams) - W + 1
+        fps = {min(packed[i : i + W]) for i in range(n_win)}
+        expect.append(
+            (
+                doc_id,
+                len(grams),
+                n_win,
+                len(fps),
+                len({f // P for f in fps}),
+                round(len(fps) / n_win + 1e-9, 4),
+            )
+        )
+    assert got == sorted(expect)
