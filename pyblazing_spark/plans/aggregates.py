@@ -824,3 +824,68 @@ def agg_grouping_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
         .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "agg_weighted_median",
+    tags=("aggregate", "weighted", "median", "window"),
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         CAST(l_quantity AS BIGINT) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+ c AS (
+  SELECT flag, price, wt,
+         sum(wt) OVER (PARTITION BY flag ORDER BY price, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(wt) OVER (PARTITION BY flag) AS total_w
+  FROM w)
+SELECT flag, round(min(price), 2) AS weighted_median,
+       CAST(min(total_w) AS BIGINT) AS total_weight
+FROM c
+WHERE cumw * 2 >= total_w
+GROUP BY flag
+ORDER BY flag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (price weighted by quantity) per return
+    flag — neither engine has a native weighted percentile, so both
+    compose it identically: a cumulative-weight window over the sorted
+    partition, then the first price whose cumulative weight crosses
+    half the total. Weights are cast to BIGINT so the running and total
+    sums are exact integers — the crossing comparison (cumw*2 >= total)
+    can never be flipped by float summation order. Scale shape: one
+    shuffle on the group key; the cumulative window is the same
+    per-partition sequential pass a sort pays anyway."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum_w = (
+        Window.partitionBy("flag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("flag")
+    c = li.select(
+        "flag",
+        "price",
+        F.sum("wt").over(cum_w).alias("cumw"),
+        F.sum("wt").over(tot_w).alias("total_w"),
+    )
+    return (
+        c.where(F.col("cumw") * 2 >= F.col("total_w"))
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median"),
+            F.min("total_w").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
