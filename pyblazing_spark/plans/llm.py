@@ -2432,3 +2432,60 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "pipeline_source_gini",
+    tags=("llm", "pipeline", "reporting", "mixture"),
+    oracle=f"""
+WITH per AS (
+  SELECT source, CAST(sum({_SQL_TOKN}) AS BIGINT) AS toks
+  FROM documents GROUP BY source),
+ r AS (
+  SELECT toks,
+         CAST(row_number() OVER (ORDER BY toks, source) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(toks) OVER () AS BIGINT) AS tot
+  FROM per)
+SELECT CAST(min(n) AS BIGINT)   AS n_sources,
+       CAST(min(tot) AS BIGINT) AS total_tokens,
+       round((2.0 * sum(i * toks) - (min(n) + 1.0) * min(tot))
+             / (min(n) * 1.0 * min(tot)) + 1e-9, 4) AS gini
+FROM r
+""",
+)
+def pipeline_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across sources — the mix-imbalance
+    scalar a data-mix owner tracks (0 = perfectly balanced corpus,
+    -> 1 = one source dominates). Every term of the classic sorted
+    formula ``(2*Σ i*x_i - (n+1)*Σx) / (n*Σx)`` is an exact BIGINT
+    until the final division, so no float summation-order risk.
+
+    Scale shape: the fact-scale work is one token-count aggregation to
+    a DIMENSION-sized (per-source) table; the rank/sum windows run over
+    those ~20 rows, so the unpartitioned window is bounded by the
+    source dimension, not the corpus."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(TXT.token_count(F.col("text")).cast("long")).alias("toks")
+    )
+    w_rank = Window.orderBy("toks", "source")
+    w_all = Window.partitionBy()
+    r = per.select(
+        "toks",
+        F.row_number().over(w_rank).cast("long").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("toks").over(w_all).alias("tot"),
+    )
+    return r.agg(
+        F.min("n").cast("long").alias("n_sources"),
+        F.min("tot").cast("long").alias("total_tokens"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("toks")) - (F.min("n") + F.lit(1.0)) * F.min("tot"))
+            / (F.min("n") * 1.0 * F.min("tot"))
+            + F.lit(1e-9),
+            4,
+        ).alias("gini"),
+    )
