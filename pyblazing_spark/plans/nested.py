@@ -348,3 +348,49 @@ def nested_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@register(
+    "nested_recursive_cte",
+    tags=("nested", "cte", "recursive", "sql"),
+    oracle="""
+WITH RECURSIVE anc(part, node) AS (
+  SELECT p_partkey, p_partkey FROM part WHERE p_partkey BETWEEN 1 AND 63
+  UNION ALL
+  SELECT part, node // 2 FROM anc WHERE node > 1)
+SELECT part,
+       CAST(count(*) AS BIGINT) AS chain_len,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM anc
+GROUP BY part
+ORDER BY part
+""",
+)
+def nested_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through ``spark.sql`` — ancestry chains in the
+    implicit binary tree parent(n) = n div 2 over partkeys 1..63 (6
+    levels), aggregated per starting part. Spark 4 executes recursive
+    CTEs natively (UnionLoop iterations); DuckDB recurses the same
+    UNION ALL. The reference has no recursion at all (Calcite parses
+    it; the engine lacks an iteration operator) — this is modern-SQL
+    surface beyond the §2.7 checklist. Halving terminates in
+    O(log part) rounds; engine dialects differ only in the
+    integer-divide spelling (DIV vs //)."""
+    from pyblazing_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(part, node) AS (
+          SELECT p_partkey, p_partkey FROM part
+          WHERE p_partkey BETWEEN 1 AND 63
+          UNION ALL
+          SELECT part, node DIV 2 FROM anc WHERE node > 1)
+        SELECT part,
+               count(*)  AS chain_len,
+               sum(node) AS node_sum
+        FROM anc
+        GROUP BY part
+        ORDER BY part
+        """
+    )
