@@ -865,3 +865,78 @@ def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("user_id", "event_id").limit(2000)
+
+
+@register(
+    "events_ab_lift",
+    tags=("events", "ab-test", "analytics"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id),
+ v AS (
+  SELECT variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted,
+         round(sum(converted) * 1.0 / count(*) + 1e-9, 4) AS conv_rate
+  FROM u GROUP BY variant)
+SELECT a.n_users AS n_a, a.n_converted AS conv_a, a.conv_rate AS rate_a,
+       b.n_users AS n_b, b.n_converted AS conv_b, b.conv_rate AS rate_b,
+       round(b.conv_rate - a.conv_rate + 1e-9, 4) AS abs_lift
+FROM (SELECT * FROM v WHERE variant = 'A') a
+CROSS JOIN (SELECT * FROM v WHERE variant = 'B') b
+""",
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users split into variants
+    by md5 hash bucket (the same engine-portable assignment every
+    sampler here uses — reproducible across reruns, engines, and
+    cluster sizes, which is what makes an experiment auditable),
+    conversion = any 'purchase' event, reporting per-variant rates and
+    the absolute lift. Scale shape: one per-user aggregation (map-side
+    combined max over the fact scan), then a two-row variant rollup —
+    nothing user-level ever leaves the first shuffle."""
+    ev = T(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(bucket == 0, "A").otherwise("B").alias("variant"), "converted"
+        )
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted") / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("conv_rate"),
+    )
+    a = v.where(F.col("variant") == "A").select(
+        F.col("n_users").alias("n_a"),
+        F.col("n_converted").alias("conv_a"),
+        F.col("conv_rate").alias("rate_a"),
+    )
+    b = v.where(F.col("variant") == "B").select(
+        F.col("n_users").alias("n_b"),
+        F.col("n_converted").alias("conv_b"),
+        F.col("conv_rate").alias("rate_b"),
+    )
+    return a.crossJoin(b).select(
+        "n_a", "conv_a", "rate_a", "n_b", "conv_b", "rate_b",
+        F.round(F.col("rate_b") - F.col("rate_a") + F.lit(1e-9), 4).alias("abs_lift"),
+    )
