@@ -118,3 +118,61 @@ def range_join(
         & (F.col(left_point) <= F.col(right_end))
     )
     return joined.drop("__bucket")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right row at-or-after each left row
+    (the "time-to-next-event" direction — next purchase after a click,
+    next error after a deploy). Same union + one-window shape as
+    :func:`asof_join`, mirrored: left rows sort BEFORE right rows at
+    equal timestamps (so an exact tie is visible), and a
+    ``first(ignorenulls)`` over ``[CURRENT ROW, UNBOUNDED FOLLOWING]``
+    carries the next right payload backward. ONE shuffle on the key."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    payload = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    left_only = [c for c in left.columns if c not in (on, left_ts)]
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in left_only],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{right_ts}{suffix}"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    )
+    w = (
+        W.partitionBy(on)
+        .orderBy("__t", "__side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    carried = unioned.select(
+        on,
+        "__t",
+        "__side",
+        *left_only,
+        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return (
+        carried.where(F.col("__side") == 0)
+        .drop("__side")
+        .withColumnRenamed("__t", left_ts)
+    )

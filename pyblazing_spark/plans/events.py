@@ -940,3 +940,40 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "conv_a", "rate_a", "n_b", "conv_b", "rate_b",
         F.round(F.col("rate_b") - F.col("rate_a") + F.lit(1e-9), 4).alias("abs_lift"),
     )
+
+
+@register(
+    "join_asof_forward",
+    tags=("events", "asof", "temporal", "forward"),
+    oracle="""
+WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+ buys AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.ts,
+       b.ts AS ts_right, round(b.value, 2) AS value_right
+FROM clicks c ASOF LEFT JOIN buys b
+  ON c.user_id = b.user_id AND c.ts <= b.ts
+ORDER BY c.user_id, c.event_id
+LIMIT 2000
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward point-in-time join: each click matched to the user's NEXT
+    purchase (time-to-conversion direction) — the mirrored union +
+    carry-BACKWARD window, one shuffle on user_id; DuckDB's native
+    forward ASOF (``l.ts <= r.ts``) is the oracle.
+
+    See :func:`pyblazing_spark.operators.temporal.asof_join_forward`."""
+    from pyblazing_spark.operators.temporal import asof_join_forward
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join_forward(clicks, buys, on="user_id", right_cols=["value"])
+    return (
+        out.select(
+            "user_id", "event_id", "ts", "ts_right",
+            F.round("value_right", 2).alias("value_right"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(2000)
+    )
