@@ -137,6 +137,11 @@ def main() -> int:
         "pipeline_quality_deciles", "win_distinct_frame",
         "stream_window_topk", "agg_grouping_marker", "nested_not_exists",
         "sample_poisson_bootstrap",
+        # later continuation batches
+        "agg_weighted_median", "pipeline_source_gini", "pipeline_data_card",
+        "text_tfidf_keywords", "join_dynamic_partition_pruning",
+        "nested_recursive_cte", "events_ab_lift", "join_asof_forward",
+        "expr_regexp_position", "source_json_roundtrip",
     }
     timings: dict[str, float] = {}
     n_ok = n_bad = 0
