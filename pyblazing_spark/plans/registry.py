@@ -74,6 +74,22 @@ def register(
 _FAMILY_PRIORITY = ("win", "join", "setop", "nested", "multimodal", "stream")
 
 
+def _row_is_green(row: object) -> bool:
+    """True only for a FULLY green driver row.  ``schema_match`` /
+    ``hash_match`` may be absent or ``None`` for rows-only (no-oracle)
+    entries — only an explicit ``False`` (a recorded mismatch) disqualifies.
+    A hash-fail row must re-enter the head of the rotation rather than
+    queue behind never-checked entries (round-5 verdict: expr_math's stale
+    r02 hash-fail counted as covered under the old rows-only predicate)."""
+    return (
+        isinstance(row, dict)
+        and bool(row.get("rows_match"))
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+        and row.get("err") is None
+    )
+
+
 def _driver_coverage() -> dict[str, int]:
     """name -> latest round with a green driver row, from committed
     CORRECTNESS_r*.json artifacts at the repo root (file-relative so the
@@ -89,7 +105,7 @@ def _driver_coverage() -> dict[str, int]:
         if not isinstance(data, dict):
             continue
         for name, row in data.items():
-            if isinstance(row, dict) and row.get("rows_match") and row.get("err") is None:
+            if _row_is_green(row):
                 covered[name] = max(covered.get(name, -1), rnd)
     return covered
 

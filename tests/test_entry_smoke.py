@@ -108,3 +108,22 @@ def test_driver_rotation_order():
     assert qnames == order
     onames = [n for n in order if plans.REGISTRY[n].oracle]
     assert list(plans.oracle_sql()) == onames
+
+
+def test_rotation_coverage_predicate():
+    """A driver row only counts as coverage when FULLY green: a recorded
+    hash/schema mismatch must re-enter the rotation head (round-5 verdict:
+    expr_math's r02 hash-fail was wrongly treated as covered).  Absent or
+    None hash/schema fields (rows-only no-oracle entries) still count."""
+    from pyblazing_spark.plans.registry import _row_is_green
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    assert _row_is_green(green)
+    assert _row_is_green({"rows_match": True, "err": None})  # rows-only entry
+    assert _row_is_green({**green, "hash_match": None, "schema_match": None})
+    assert not _row_is_green({**green, "hash_match": False})  # the r02 expr_math shape
+    assert not _row_is_green({**green, "schema_match": False})
+    assert not _row_is_green({**green, "rows_match": False})
+    assert not _row_is_green({**green, "err": "boom"})
+    assert not _row_is_green(None)
+    assert not _row_is_green("not-a-row")
