@@ -24,6 +24,99 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _asof_union_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str,
+    forward: bool,
+) -> DataFrame:
+    """Shared union + one-window as-of engine.
+
+    The whole right payload (requested columns + the right timestamp)
+    rides in ONE struct column, so every output field provably comes
+    from the SAME right row — carrying columns independently with
+    first/last(ignorenulls) would stitch fields from different right
+    rows whenever a payload value is legitimately NULL.  Equal right
+    timestamps per key are tie-broken by ``xxhash64`` of the payload
+    struct, which is deterministic across runs/partitionings (both
+    directions resolve a tie to the payload with the SMALLEST hash)."""
+    payload_names = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    left_only = [c for c in left.columns if c not in (on, left_ts)]
+
+    r_payload = F.struct(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    )
+    # A NULL struct (not a struct of NULL fields): WHEN false THEN ...
+    # with no ELSE yields NULL of the branch's struct type, which
+    # first/last(ignorenulls) skips wholesale.
+    l_payload = F.when(
+        F.lit(False),
+        F.struct(
+            *[
+                F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+            F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{right_ts}{suffix}"),
+        ),
+    )
+    # Side tags: the visible-tie side sorts first.  Backward (<=): right
+    # rows sort BEFORE left rows at equal timestamps so an exact tie is
+    # visible to last() over [unbounded preceding, current].  Forward
+    # (>=): left rows sort BEFORE right rows so the tie is visible to
+    # first() over [current, unbounded following].
+    l_side, r_side = (0, 1) if forward else (1, 0)
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(l_side).alias("__side"),
+        *[F.col(c) for c in left_only],
+        l_payload.alias("__payload"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(r_side).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
+        r_payload.alias("__payload"),
+    )
+    unioned = l_tagged.unionByName(r_tagged).withColumn(
+        "__tie", F.coalesce(F.xxhash64("__payload"), F.lit(0))
+    )
+    if forward:
+        order = [F.col("__t"), F.col("__side"), F.col("__tie")]
+        frame = (W.currentRow, W.unboundedFollowing)
+        pick = F.first
+    else:
+        # Descending tie: last() over ascending order picks the final
+        # right row among equal timestamps — descending hash order makes
+        # that the SMALLEST hash, matching the forward direction.
+        order = [F.col("__t"), F.col("__side"), F.col("__tie").desc()]
+        frame = (W.unboundedPreceding, W.currentRow)
+        pick = F.last
+    w = W.partitionBy(on).orderBy(*order).rowsBetween(*frame)
+    carried = unioned.select(
+        on,
+        "__t",
+        "__side",
+        *left_only,
+        pick("__payload", ignorenulls=True).over(w).alias("__payload"),
+    )
+    return (
+        carried.where(F.col("__side") == l_side)
+        .select(
+            on,
+            F.col("__t").alias(left_ts),
+            *left_only,
+            *[F.col("__payload").getField(p).alias(p) for p in payload_names],
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -36,48 +129,14 @@ def asof_join(
     """Backward as-of join: latest right row at-or-before each left row.
 
     Result: every left row + ``{right_ts}{suffix}`` + the requested
-    right payload columns (NULL when no right row precedes)."""
+    right payload columns (NULL when no right row precedes).  All
+    payload fields come from the same right row (struct-carried), and
+    equal right timestamps tie-break deterministically."""
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
-    payload = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
-    left_only = [c for c in left.columns if c not in (on, left_ts)]
-
-    l_tagged = left.select(
-        F.col(on),
-        F.col(left_ts).alias("__t"),
-        F.lit(1).alias("__side"),
-        *[F.col(c) for c in left_only],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in right_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{right_ts}{suffix}"),
-    )
-    r_tagged = right.select(
-        F.col(on),
-        F.col(right_ts).alias("__t"),
-        F.lit(0).alias("__side"),
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
-    )
-    # right rows sort before left rows at equal timestamps, so an exact
-    # tie is visible to the left row (ASOF <= semantics).
-    w = (
-        W.partitionBy(on)
-        .orderBy("__t", "__side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    unioned = l_tagged.unionByName(r_tagged)
-    carried = unioned.select(
-        on,
-        "__t",
-        "__side",
-        *left_only,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
-    )
-    return (
-        carried.where(F.col("__side") == 1)
-        .drop("__side")
-        .withColumnRenamed("__t", left_ts)
+    return _asof_union_window(
+        left, right, on, left_ts, right_ts, right_cols, suffix, forward=False
     )
 
 
@@ -135,44 +194,12 @@ def asof_join_forward(
     :func:`asof_join`, mirrored: left rows sort BEFORE right rows at
     equal timestamps (so an exact tie is visible), and a
     ``first(ignorenulls)`` over ``[CURRENT ROW, UNBOUNDED FOLLOWING]``
-    carries the next right payload backward. ONE shuffle on the key."""
+    carries the next right payload backward. ONE shuffle on the key.
+    All payload fields come from the same right row (struct-carried),
+    and equal right timestamps tie-break deterministically."""
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
-    payload = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
-    left_only = [c for c in left.columns if c not in (on, left_ts)]
-
-    l_tagged = left.select(
-        F.col(on),
-        F.col(left_ts).alias("__t"),
-        F.lit(0).alias("__side"),
-        *[F.col(c) for c in left_only],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in right_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{right_ts}{suffix}"),
-    )
-    r_tagged = right.select(
-        F.col(on),
-        F.col(right_ts).alias("__t"),
-        F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
-    )
-    w = (
-        W.partitionBy(on)
-        .orderBy("__t", "__side")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    unioned = l_tagged.unionByName(r_tagged)
-    carried = unioned.select(
-        on,
-        "__t",
-        "__side",
-        *left_only,
-        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in payload],
-    )
-    return (
-        carried.where(F.col("__side") == 0)
-        .drop("__side")
-        .withColumnRenamed("__t", left_ts)
+    return _asof_union_window(
+        left, right, on, left_ts, right_ts, right_cols, suffix, forward=True
     )

@@ -38,6 +38,71 @@ def test_asof_join_semantics(spark):
     assert out["c"].px_right is None and out["c"].ts_right is None
 
 
+def test_asof_null_payload_not_stitched(spark):
+    """A legitimately-NULL right payload value must ride with ITS OWN
+    row's timestamp — column-wise first/last(ignorenulls) used to stitch
+    the value from a farther right row onto the nearer row's ts
+    (ADVICE r5 #1).  Both directions, struct-carried payload."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "L")],
+        "uid bigint, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),
+            (1, _ts("2024-01-01T11:00:00"), None),  # nearest-before: NULL px
+        ],
+        "uid bigint, ts timestamp_ntz, px double",
+    )
+    (row,) = TP.asof_join(left, right, on="uid", right_cols=["px"]).collect()
+    assert row.ts_right == _ts("2024-01-01T11:00:00")
+    assert row.px_right is None  # NOT 100.0 from the 10:00 row
+
+    right_fwd = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T13:00:00"), None),  # nearest-after: NULL px
+            (1, _ts("2024-01-01T14:00:00"), 300.0),
+        ],
+        "uid bigint, ts timestamp_ntz, px double",
+    )
+    (row,) = TP.asof_join_forward(
+        left, right_fwd, on="uid", right_cols=["px"]
+    ).collect()
+    assert row.ts_right == _ts("2024-01-01T13:00:00")
+    assert row.px_right is None  # NOT 300.0 from the 14:00 row
+
+
+def test_asof_equal_right_ts_deterministic(spark):
+    """Equal right timestamps per key tie-break deterministically (by
+    payload-struct hash) and identically in both directions."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"))], "uid bigint, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T11:00:00"), 1.0),
+            (1, _ts("2024-01-01T11:00:00"), 2.0),
+            (1, _ts("2024-01-01T13:00:00"), 3.0),
+            (1, _ts("2024-01-01T13:00:00"), 4.0),
+        ],
+        "uid bigint, ts timestamp_ntz, px double",
+    )
+    back = [
+        TP.asof_join(left, right.repartition(n), on="uid", right_cols=["px"])
+        .collect()[0]
+        .px_right
+        for n in (1, 3, 7)
+    ]
+    fwd = [
+        TP.asof_join_forward(left, right.repartition(n), on="uid", right_cols=["px"])
+        .collect()[0]
+        .px_right
+        for n in (1, 3, 7)
+    ]
+    assert len(set(back)) == 1 and back[0] in (1.0, 2.0)
+    assert len(set(fwd)) == 1 and fwd[0] in (3.0, 4.0)
+
+
 def test_asof_join_matches_duckdb_shape_on_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
