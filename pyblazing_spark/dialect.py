@@ -112,13 +112,41 @@ def _matching_paren(sql: str, open_idx: int) -> int:
     return -1
 
 
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split an argument list on commas at paren depth 0, skipping
+    commas inside single-quoted literals ('' is the escaped quote)."""
+    parts, start, depth, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
 def _rewrite_regexp_backrefs(sql: str) -> str:
-    """``\\1`` -> ``$1`` inside every string literal of each
-    REGEXP_REPLACE call (Calcite replacement syntax -> Spark/Java's).
-    The pattern argument never legally contains ``\\digit`` in the
-    corpus (group refs inside a PATTERN would be back-matches, which
-    cuDF doesn't support either), so rewriting every literal in the
-    call is safe and avoids argument-position parsing."""
+    """``\\1`` -> ``$1`` inside the string literals of the THIRD
+    (replacement) argument of each REGEXP_REPLACE call (Calcite
+    replacement syntax -> Spark/Java's).  The subject and pattern
+    arguments are recursed into (for nested REGEXP_REPLACE) but their
+    literals are left untouched: a pattern like ``'(a)\\1'`` is a
+    back-match that must survive verbatim — the old rewrite-every-
+    literal shortcut would have silently corrupted it to ``'(a)$1'``."""
     out, pos = [], 0
     for m in _REGEXP_REPLACE_NAME.finditer(sql):
         open_idx = m.end() - 1
@@ -128,11 +156,20 @@ def _rewrite_regexp_backrefs(sql: str) -> str:
         if close_idx < 0:
             continue
         inner = sql[open_idx + 1 : close_idx]
-        inner = re.sub(
-            r"'([^']*)'",
-            lambda lm: "'" + _BACKREF.sub(r"$\1", lm.group(1)) + "'",
-            inner,
-        )
+        args = _split_top_level_commas(inner)
+        if len(args) >= 3:
+            # subject/pattern: recurse for nested calls, literals intact;
+            # replacement (and any trailing flags arg): rewrite backrefs.
+            head = [_rewrite_regexp_backrefs(a) for a in args[:2]]
+            tail = [
+                re.sub(
+                    r"'([^']*)'",
+                    lambda lm: "'" + _BACKREF.sub(r"$\1", lm.group(1)) + "'",
+                    a,
+                )
+                for a in args[2:]
+            ]
+            inner = ",".join(head + tail)
         out.append(sql[pos : open_idx + 1])
         out.append(inner)
         pos = close_idx

@@ -131,3 +131,29 @@ def test_regexp_replace_backrefs_and_position(spark):
         )
     ).fetchone()
     assert (spark_df.a, spark_df.b) == duck
+
+
+def test_regexp_replace_pattern_backmatch_preserved(spark):
+    """A back-match like '(a)\\1' in the PATTERN argument must survive
+    verbatim (ADVICE r5 #2: the old rewrite corrupted every literal in
+    the call, turning the pattern into '(a)$1'). Only the replacement
+    (and trailing args) get the '\\1' -> '$1' rewrite; nested calls in
+    the subject argument are still reached."""
+    from pyblazing_spark.dialect import prepare
+
+    sql = r"SELECT REGEXP_REPLACE(x, '(a)\1', '<\1>') AS a FROM t"
+    prepared = prepare(sql)
+    assert r"'(a)\1'" in prepared  # pattern untouched
+    assert "'<$1>'" in prepared  # replacement rewritten
+    # end-to-end: doubled 'a' collapses via the back-match pattern
+    # (backslash doubled for Spark's escape-processing string literals —
+    # prepare() must pass it through untouched)
+    e2e = prepare(r"SELECT REGEXP_REPLACE('xaayb', '(a)\\1', '<\1>') AS a")
+    assert r"'(a)\\1'" in e2e and "'<$1>'" in e2e
+    row = spark.sql(e2e).collect()[0]
+    assert row.a == "x<a>yb"
+    # nested REGEXP_REPLACE in the subject argument still rewritten
+    nested = prepare(
+        r"SELECT REGEXP_REPLACE(REGEXP_REPLACE(x, '(b)', '[\1]'), '(c)', '{\1}') FROM t"
+    )
+    assert "'[$1]'" in nested and "'{$1}'" in nested
