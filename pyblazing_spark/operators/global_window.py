@@ -44,12 +44,33 @@ def _range_bucket(
     full-tuple form compared an n-field struct against each boundary
     per row and shipped the sample over py4j; scalar compares + Arrow
     are measurably cheaper at ~sf1.) Same data -> same boundaries ->
-    every re-evaluation of every branch agrees."""
+    every re-evaluation of every branch agrees.
+
+    The sample is collected with ``toArrow()`` (not ``toPandas()``):
+    pandas coerces an int64 column containing NULLs to float64, which
+    loses exactness above 2^53 — boundary literals could shift and skew
+    the buckets (bucket-id CORRECTNESS is unaffected: boundaries are
+    fixed literals applied uniformly).  Arrow keeps nullable int64
+    exact; NULL keys are additionally filtered Spark-side so they never
+    occupy sample slots.
+
+    100 TB cost note: the ``fraction=0.05`` sample is a full column
+    scan of the leading key before the LIMIT.  Parquet column pruning
+    makes that a single-column read, so at 100 TB it reads ~1 column x
+    all row groups once per helper call — bounded but not free.  A
+    per-partition reservoir (``mapInPandas`` emitting <=k rows per
+    partition) would read the same bytes; a genuinely bounded variant
+    needs scan-level TABLESAMPLE pushdown Spark's parquet source does
+    not expose.  The deterministic-literals contract (same data -> same
+    boundaries across plan branches) is load-bearing — do not swap in
+    ``repartitionByRange``-style randomized sampling (SCALE.md
+    §"_range_bucket sample scan")."""
     key0 = order_cols[0]
-    pdf = df.select(key0).sample(fraction=0.05, seed=42).limit(sample_rows).toPandas()
-    if len(pdf) == 0:  # tiny input where the 5% sample came back empty
-        pdf = df.select(key0).limit(sample_rows).toPandas()
-    sample = sorted(pdf[key0].dropna().tolist())
+    nonnull = df.select(key0).where(F.col(key0).isNotNull())
+    tbl = nonnull.sample(fraction=0.05, seed=42).limit(sample_rows).toArrow()
+    if tbl.num_rows == 0:  # tiny input where the 5% sample came back empty
+        tbl = nonnull.limit(sample_rows).toArrow()
+    sample = sorted(tbl.column(0).drop_null().to_pylist())
     if len(sample) < 2 or partitions < 2:
         return F.lit(0)
     step = max(1, len(sample) // partitions)
