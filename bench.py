@@ -11,12 +11,84 @@ warm-up query amortizes JVM/codegen startup out of the numbers.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _run_control(reps: int) -> dict:
+    """A/B control: re-run the PREVIOUS round's bench (the commit that
+    produced the newest committed BENCH_r*.json) in a detached worktree,
+    back-to-back with this run, so the artifact is self-adjudicating —
+    a total that moved vs last round can be read as environment drift
+    (control moved too) or a code regression (control held) without a
+    day of forensics (round-5 verdict: the +11.6% took exactly that).
+
+    The control subprocess gets SPARK_GRAFT_BENCH_CONTROL=0 so a
+    future bench.py that also carries this logic cannot recurse.  Every
+    failure mode degrades to a skip reason in the JSON, never a crash."""
+    if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") != "1":
+        return {"control": "skipped (SPARK_GRAFT_BENCH_CONTROL != 1)"}
+    arts = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
+    if not arts:
+        return {"control": "skipped (no committed BENCH_r*.json)"}
+    art = os.path.basename(arts[-1])
+    wt = os.path.join(_REPO, ".bench_control", "wt")
+    try:
+        commit = subprocess.check_output(
+            ["git", "log", "-n1", "--format=%H", "--", art],
+            cwd=_REPO, text=True, stderr=subprocess.DEVNULL,
+        ).strip()
+        if not commit:
+            return {"control": f"skipped ({art} has no commit)"}
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=_REPO, capture_output=True,
+        )
+        add = subprocess.run(
+            ["git", "worktree", "add", "--force", "--detach", wt, commit],
+            cwd=_REPO, capture_output=True, text=True,
+        )
+        if add.returncode != 0:
+            return {"control": f"skipped (worktree add failed: {add.stderr.strip()[:200]})"}
+        env = os.environ.copy()
+        env["SPARK_GRAFT_BENCH_CONTROL"] = "0"
+        env["SPARK_GRAFT_BENCH_REPS"] = str(reps)
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], cwd=wt, env=env,
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = next(
+            (ln for ln in reversed(proc.stdout.strip().splitlines()) if ln.startswith("{")),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            return {
+                "control": f"failed (rc={proc.returncode}: "
+                f"{(proc.stderr or proc.stdout).strip()[-200:]})",
+                "control_commit": commit,
+            }
+        ctl = json.loads(line)
+        return {
+            "control_commit": commit,
+            "control_artifact": art,
+            "control_value": ctl.get("value"),
+            "control_queries": ctl.get("queries"),
+        }
+    except Exception as exc:  # noqa: BLE001 — control is best-effort by design
+        return {"control": f"failed ({type(exc).__name__}: {exc})"}
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=_REPO, capture_output=True,
+        )
 
 
 def main() -> None:
@@ -69,12 +141,13 @@ def main() -> None:
     # query.
     qs["tpch_q6"](spark, sf_dir).collect()
 
-    # Median-of-3 per query: a single run cannot distinguish a ±0.25 s
-    # scheduler wobble from a plan regression, so each query is timed
-    # three times and the MEDIAN is the headline number. The full spread
-    # is recorded under "runs" so a future anchor comparison can tell
-    # noise from signal straight from the artifact.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Trimmed median per query (round-5 verdict: 3 reps could not
+    # resolve a 20% per-query move): each query is timed `reps` times
+    # (default 5), the min and max are DROPPED, and the median of the
+    # rest is the headline number. The full spread is recorded under
+    # "runs" so an anchor comparison can tell noise from signal
+    # straight from the artifact.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in sorted(qs):
@@ -89,7 +162,13 @@ def main() -> None:
             qs[name](spark, sf_dir).collect()
             runs.append(round(time.perf_counter() - t0, 3))
         spreads[name] = runs
-        timings[name] = sorted(runs)[len(runs) // 2]
+        trimmed = sorted(runs)[1:-1] if len(runs) >= 3 else sorted(runs)
+        timings[name] = trimmed[len(trimmed) // 2]
+
+    # Free this process's JVM before the control subprocess starts its
+    # own (two concurrent 48g drivers would contend and bias the A/B).
+    spark.stop()
+    control = _run_control(reps)
 
     print(
         json.dumps(
@@ -100,9 +179,10 @@ def main() -> None:
                 "queries": timings,
                 "runs": spreads,
                 "reps": reps,
-                "stat": "median",
+                "stat": "trimmed-median (drop min/max, median of rest)",
                 "sf": sf,
                 "warm_dir": warm_dir or "none (no sibling sf0.001; per-query warm pass skipped)",
+                **control,
             }
         )
     )

@@ -56,3 +56,30 @@ def test_reference_query(corpus_env, suite, test, sql):
         pytest.skip("oracle cannot run this dialect")
     ours = bc.sql(sql, eager=True)
     _compare(ours, theirs, tolerance=0.01)
+
+
+def _negatives():
+    """The corpus's intentional-error queries — ALWAYS in the gate
+    (never subject to the 1-in-8 sampling), so the asserted-rejection
+    behavior is CI-guarded, not only checked by full replay runs."""
+    return [
+        (s, t, q) for s, t, q in load_corpus() if (s, t) in NEGATIVE_TESTS
+    ]
+
+
+@pytest.mark.parametrize(
+    "suite,test,sql", _negatives(), ids=[f"{s}-{t}" for s, t, _ in _negatives()]
+)
+def test_reference_negative_query_rejected(corpus_env, suite, test, sql):
+    """The reference expects these queries to ERROR — so must we."""
+    bc, _ = corpus_env
+    with pytest.raises(Exception):
+        bc.sql(sql, eager=True)
+
+
+def test_all_negative_tests_present_in_corpus():
+    """Corpus drift guard: both asserted-rejection queries must exist in
+    the loaded corpus (a missing YAML would silently empty the
+    parametrization above and the guard would vacuously pass)."""
+    found = {(s, t) for s, t, _ in load_corpus()}
+    assert NEGATIVE_TESTS <= found, NEGATIVE_TESTS - found
