@@ -505,15 +505,23 @@ def _sniff_decode(data: bytes) -> tuple[int, int, bytes] | None:
     if data[:4] in (TIFF_SIG_LE, TIFF_SIG_BE):
         return decode_tiff(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
-        from pyblazing_spark.operators.webp import decode_webp_lossless
+        from pyblazing_spark.operators.webp import decode_webp
 
         try:
-            return decode_webp_lossless(data)
+            # from-spec VP8L first; lossy VP8 / VP8X / transform-bearing
+            # VP8L fall back to the system libwebp (ctypes) when present.
+            return decode_webp(data)
         except NotImplementedError:
-            # Lossy VP8 / VP8X / transform-bearing VP8L streams are a
-            # documented decoder hole: fall through to the same
-            # graceful-skip path as any other unrecognized buffer
-            # instead of failing the whole batch.
+            # No native library: those streams remain a documented
+            # decoder hole — fall through to the same graceful-skip
+            # path as any other unrecognized buffer instead of failing
+            # the whole batch.
+            return None
+        except ValueError:
+            # CORRUPT webp (bad/truncated bitstream, native decode
+            # failure): graceful skip, matching this branch's pre-native
+            # behavior — at 100 TB corrupt foreign blobs exist and one
+            # must not error the batch.
             return None
     return None
 

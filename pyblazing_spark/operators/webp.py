@@ -388,3 +388,156 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, bytes]:
         else:
             raise NotImplementedError("vp8l color cache symbol")
     return width, height, out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Native libwebp path (lossy VP8 + full-format VP8L) via ctypes.
+#
+# The container ships the OS's public libwebp shared library
+# (/usr/lib/x86_64-linux-gnu/libwebp.so.7, v1.2.4) — no Python binding
+# (PIL/cv2 absent), so a minimal ctypes surface over the stable C ABI
+# (WebPDecodeRGBA / WebPEncodeRGB / WebPEncodeLosslessRGB / WebPFree)
+# provides what the from-spec pure-Python decoder above cannot: lossy
+# VP8 key-frame pixels and transform/color-cache-bearing VP8L streams.
+# Division of labor:
+#   - the from-spec codec stays PRIMARY for the simple VP8L subset (it
+#     is deterministic, dependency-free, and oracle-verified);
+#   - :func:`decode_webp` falls back to the native decoder exactly where
+#     the from-spec one raises NotImplementedError;
+#   - when the library is absent the NotImplementedError propagates —
+#     the documented refuse-don't-fabricate boundary is unchanged.
+
+_LIBWEBP: object | bool | None = None  # None = not probed, False = absent
+
+
+def _load_libwebp():
+    """Memoized ctypes handle to the system libwebp, or None if absent.
+    Return types are declared explicitly — the default c_int restype
+    would TRUNCATE 64-bit pointers returned by the decode calls."""
+    global _LIBWEBP
+    if _LIBWEBP is None:
+        import ctypes
+        import ctypes.util
+
+        names = [ctypes.util.find_library("webp"), "libwebp.so.7", "libwebp.so"]
+        _LIBWEBP = False
+        for name in names:
+            if not name:
+                continue
+            try:
+                lib = ctypes.CDLL(name)
+                lib.WebPDecodeRGBA.restype = ctypes.c_void_p
+                lib.WebPDecodeRGBA.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                lib.WebPEncodeRGB.restype = ctypes.c_size_t
+                lib.WebPEncodeRGB.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_float,
+                    ctypes.POINTER(ctypes.c_void_p),
+                ]
+                lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+                lib.WebPEncodeLosslessRGB.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_void_p),
+                ]
+                lib.WebPFree.restype = None
+                lib.WebPFree.argtypes = [ctypes.c_void_p]
+                _LIBWEBP = lib
+                break
+            except (OSError, AttributeError):
+                continue
+    return _LIBWEBP or None
+
+
+def decode_webp_native(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, rgb_bytes) via the system libwebp — handles
+    lossy VP8, extended VP8X, and every VP8L feature. Raises
+    NotImplementedError when the library is absent (the graceful-skip
+    boundary) and ValueError on a corrupt stream."""
+    import ctypes
+
+    lib = _load_libwebp()
+    if lib is None:
+        raise NotImplementedError("system libwebp not available")
+    w, h = ctypes.c_int(0), ctypes.c_int(0)
+    ptr = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    if not ptr:
+        raise ValueError("webp: native decode failed (corrupt stream)")
+    try:
+        rgba = ctypes.string_at(ptr, w.value * h.value * 4)
+    finally:
+        lib.WebPFree(ptr)
+    rgb = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)[:, :3]
+    return w.value, h.value, rgb.tobytes()
+
+
+def encode_webp_lossy(
+    width: int, height: int, rgb: bytes, quality: float = 90.0
+) -> bytes:
+    """Lossy VP8 WebP buffer from raw RGB via the system libwebp
+    (test-fixture and transcode path; raises NotImplementedError when
+    the library is absent)."""
+    import ctypes
+
+    lib = _load_libwebp()
+    if lib is None:
+        raise NotImplementedError("system libwebp not available")
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    out = ctypes.c_void_p()
+    size = lib.WebPEncodeRGB(
+        rgb, width, height, width * 3, float(quality), ctypes.byref(out)
+    )
+    if not size or not out:
+        raise ValueError("webp: native lossy encode failed")
+    try:
+        return ctypes.string_at(out, size)
+    finally:
+        lib.WebPFree(out)
+
+
+def encode_webp_lossless_native(width: int, height: int, rgb: bytes) -> bytes:
+    """Lossless WebP via the system libwebp — unlike
+    :func:`encode_webp_lossless` (from-spec literal stream) the native
+    encoder freely uses transforms/color cache, so its output exercises
+    the decode features OUR decoder refuses; used to test the native
+    fallback seam."""
+    import ctypes
+
+    lib = _load_libwebp()
+    if lib is None:
+        raise NotImplementedError("system libwebp not available")
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    out = ctypes.c_void_p()
+    size = lib.WebPEncodeLosslessRGB(rgb, width, height, width * 3, ctypes.byref(out))
+    if not size or not out:
+        raise ValueError("webp: native lossless encode failed")
+    try:
+        return ctypes.string_at(out, size)
+    finally:
+        lib.WebPFree(out)
+
+
+def decode_webp(data: bytes) -> tuple[int, int, bytes]:
+    """Unified WebP decode: the from-spec pure-Python VP8L decoder
+    first (deterministic, oracle-verified), native libwebp for
+    everything it refuses (lossy VP8, VP8X, VP8L transforms/color
+    cache). With no native library the original NotImplementedError
+    propagates — refuse, never fabricate."""
+    try:
+        return decode_webp_lossless(data)
+    except NotImplementedError:
+        if _load_libwebp() is None:
+            raise
+        return decode_webp_native(data)
