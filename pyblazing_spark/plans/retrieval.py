@@ -253,6 +253,168 @@ def join_runtime_minmax_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_BITS = 16384  # m — bloom bitmap size in bits (2 KiB)
+_BLOOM_WORD = 32  # bits per bitmap word: masks stay < 2^32, sign-safe in
+#                   both engines (a 1<<63 long flips negative and engines
+#                   could disagree on printing, so never set bit 63)
+_BLOOM_SLICES = (1, 9, 17)  # md5 hex offsets of the k=3 hash functions
+
+
+def _bloom_hash_sql(col: str, start: int) -> str:
+    """One bloom hash in [0, _BLOOM_BITS): 8 md5 hex digits → int % m.
+
+    Identical text evaluates in both Spark SQL and DuckDB (same
+    md5-derived convention as plans/sampling.py::hash_bucket), which is
+    what makes the bloom bitmap — and therefore every pass/fail
+    decision — bit-identical across engines."""
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CAST(CAST({col} AS STRING) AS BINARY)), "
+        f"{start}, 8), 16, 10) AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+def _bloom_hash_duck(col: str, start: int) -> str:
+    return (
+        f"('0x' || substring(md5(CAST({col} AS VARCHAR)), {start}, 8))::BIGINT"
+        f" % {_BLOOM_BITS}"
+    )
+
+
+@register(
+    "join_bloom_prune",
+    tags=("join", "runtime-filter", "bloom", "pushdown"),
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+ pos AS (
+  SELECT {_bloom_hash_duck('c_custkey', 1)} AS h FROM dim
+  UNION ALL SELECT {_bloom_hash_duck('c_custkey', 9)} FROM dim
+  UNION ALL SELECT {_bloom_hash_duck('c_custkey', 17)} FROM dim),
+ words AS (
+  SELECT h // {_BLOOM_WORD} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(h % {_BLOOM_WORD} AS INTEGER)) AS mask
+  FROM pos GROUP BY h // {_BLOOM_WORD}),
+ fact AS (
+  SELECT o_custkey, o_orderpriority,
+         {_bloom_hash_duck('o_custkey', 1)} AS h1,
+         {_bloom_hash_duck('o_custkey', 9)} AS h2,
+         {_bloom_hash_duck('o_custkey', 17)} AS h3
+  FROM orders),
+ passed AS (
+  SELECT f.o_custkey, f.o_orderpriority
+  FROM fact f
+  JOIN words w1 ON w1.word = f.h1 // {_BLOOM_WORD}
+   AND (w1.mask & (CAST(1 AS BIGINT) << CAST(f.h1 % {_BLOOM_WORD} AS INTEGER))) <> 0
+  JOIN words w2 ON w2.word = f.h2 // {_BLOOM_WORD}
+   AND (w2.mask & (CAST(1 AS BIGINT) << CAST(f.h2 % {_BLOOM_WORD} AS INTEGER))) <> 0
+  JOIN words w3 ON w3.word = f.h3 // {_BLOOM_WORD}
+   AND (w3.mask & (CAST(1 AS BIGINT) << CAST(f.h3 % {_BLOOM_WORD} AS INTEGER))) <> 0)
+SELECT p.o_orderpriority,
+       CAST(count(*) AS BIGINT)                              AS n_pass_bloom,
+       CAST(count(d.c_custkey) AS BIGINT)                    AS n_exact_match,
+       CAST(count(*) FILTER (WHERE d.c_custkey IS NULL) AS BIGINT)
+                                                             AS n_false_pos
+FROM passed p LEFT JOIN dim d ON p.o_custkey = d.c_custkey
+GROUP BY p.o_orderpriority
+ORDER BY p.o_orderpriority
+""",
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-filter semi-join pruning: hash the filtered
+    dimension's join keys (k=3 md5-derived hashes) into a 16384-bit
+    bitmap, collect the bitmap (bounded: ≤512 int32-range words, ~2 KiB
+    — the same bounded driver action as ``join_runtime_minmax_filter``'s
+    (min, max) row), embed it as a LITERAL array, and test the fact
+    side's keys against it as pure scan-stage codegen BEFORE any join.
+
+    This is the manual form of Spark's runtime bloom-filter join
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, which only
+    triggers on shuffle-join candidates): where the min/max entry prunes
+    by RANGE, the bloom prunes by MEMBERSHIP, so it keeps working when
+    the dimension's keys are scattered across the whole key domain and a
+    BETWEEN filter would pass everything. False positives are expected
+    and re-checked by the exact join (counted in ``n_false_pos``); false
+    negatives are impossible. At 100 TB the 2 KiB bitmap rides the task
+    closure to every executor and prunes the fact scan before the
+    shuffle/join, exactly like the reference's runtime row-group
+    skipping (engine/src bloom-filter pushdown has no direct reference
+    counterpart — the closest is its min-max skipdata metadata).
+
+    The md5-slice hash convention is shared with the DuckDB oracle, so
+    the bitmap — and every per-row pass/fail — is engine-identical and
+    value-compared, not property-checked. An empty dimension leaves an
+    all-zero bitmap: no fact row passes, matching the empty join."""
+    dim = (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    n_words = _BLOOM_BITS // _BLOOM_WORD
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_hash_sql("c_custkey", s))
+                    for s in _BLOOM_SLICES
+                ]
+            )
+        ).alias("h")
+    )
+    word_rows = (
+        pos.groupBy(F.expr(f"h div {_BLOOM_WORD}").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(h % {_BLOOM_WORD} AS INT))"
+                )
+            ).alias("mask")
+        )
+        .collect()
+    )
+    masks = {int(r["word"]): int(r["mask"]) for r in word_rows}
+    bitmap = [masks.get(i, 0) for i in range(n_words)]
+    arr = F.array(*[F.lit(v).cast("long") for v in bitmap])
+    orders = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    fact = orders.withColumn("__bloom", arr)
+    for i, s in enumerate(_BLOOM_SLICES, start=1):
+        fact = fact.withColumn(f"__h{i}", F.expr(_bloom_hash_sql("o_custkey", s)))
+    passed = fact.where(
+        F.lit(True)
+        & (
+            F.expr(
+                f"(element_at(__bloom, CAST(__h1 div {_BLOOM_WORD} AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(__h1 % {_BLOOM_WORD} AS INT))) <> 0"
+            )
+        )
+        & (
+            F.expr(
+                f"(element_at(__bloom, CAST(__h2 div {_BLOOM_WORD} AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(__h2 % {_BLOOM_WORD} AS INT))) <> 0"
+            )
+        )
+        & (
+            F.expr(
+                f"(element_at(__bloom, CAST(__h3 div {_BLOOM_WORD} AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(__h3 % {_BLOOM_WORD} AS INT))) <> 0"
+            )
+        )
+    ).select("o_custkey", "o_orderpriority")
+    return (
+        passed.join(
+            F.broadcast(dim), passed.o_custkey == dim.c_custkey, "left"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pass_bloom"),
+            F.count("c_custkey").alias("n_exact_match"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_false_pos"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _morton_sql(x: str, y: str, bits: int = 8) -> str:
     """Morton/Z-order interleave as portable integer arithmetic
     (identical text works in both Spark SQL and DuckDB)."""

@@ -304,6 +304,35 @@ def test_runtime_minmax_filter_reaches_fact_scan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_bloom_prune_filters_fact_before_any_shuffle(spark, sf_dir):
+    """join_bloom_prune's whole point: the literal bloom bitmap must be
+    tested against the fact keys as pure scan-stage JVM codegen (md5 +
+    shiftleft + element_at — no Python boundary), the orders side must
+    hit the bloom Filter BEFORE any Exchange (at 100 TB the pruning
+    must precede the shuffle to be worth anything), the dimension
+    re-check join must broadcast, and the only shuffle left is the
+    final tiny per-priority aggregation."""
+    df = plans.REGISTRY["join_bloom_prune"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan, plan
+    filters = [b for b in plan.split("\n\n") if ") Filter" in b]
+    assert any("shiftleft" in b and "md5" in b for b in filters), plan
+    # the fact datapath: scan -> bloom filter -> broadcast join -> agg;
+    # the ONLY hash-partitioned Exchange is the final o_orderpriority agg
+    shuffle_exchanges = [
+        l
+        for l in plan.splitlines()
+        if ") Exchange" in l or l.strip().startswith("Exchange")
+    ]
+    hash_parts = [l for l in shuffle_exchanges if "hashpartitioning" in l]
+    assert len(hash_parts) <= 1, shuffle_exchanges
+    for l in hash_parts:
+        assert "o_orderpriority" in l, l
+
+
 def test_zorder_morton_code_stays_in_codegen(spark, sf_dir):
     """The Morton interleave must be pure JVM bit arithmetic inside
     WholeStageCodegen — no Python boundary — and the bucket assignment
