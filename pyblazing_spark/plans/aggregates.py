@@ -505,6 +505,123 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_PROBE_KEYS = (1, 7, 42, 77, 123, 150)
+_CMS_EPS = 0.001
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+
+
+@register(
+    "agg_countmin_rollup",
+    tags=("aggregate", "approx", "sketch", "heavy-hitters"),
+    oracle=f"""
+WITH keys(probe_key) AS (
+  VALUES (1), (7), (42), (77), (123), (150)),
+ exact AS (
+  SELECT k.probe_key,
+         CAST(count(o.o_custkey) AS BIGINT) AS exact_count
+  FROM keys k LEFT JOIN orders o ON o.o_custkey = k.probe_key
+  GROUP BY k.probe_key)
+SELECT CAST(probe_key AS BIGINT) AS probe_key,
+       exact_count,
+       TRUE AS cms_never_undercounts,
+       TRUE AS cms_within_eps_n,
+       (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+         AS n_sketches_merged
+FROM exact
+ORDER BY probe_key
+""",
+)
+def agg_countmin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Count-Min-Sketch frequency rollup: per-priority CMS
+    sketches over the order custkeys (``count_min_sketch`` aggregate,
+    eps=0.001 / conf=0.99 / fixed seed), MERGED into one global sketch
+    via the sketch library's ``mergeInPlace`` — never re-scanning the
+    fact — then probed for a bounded literal key set.
+
+    The frequency-sketch sibling of ``agg_sketch_rollup`` (HLL counts
+    DISTINCTS; CMS estimates per-key FREQUENCIES — the heavy-hitters /
+    per-key-quota primitive). Mergeability is the 100 TB property: a
+    1000-executor rollup tree combines ~80 KB sketches along any
+    dimension hierarchy (hour → day, priority → all) instead of
+    re-shuffling raw keys per level. Spark exposes no SQL-level CMS
+    merge/probe (unlike HLL's ``hll_union_agg``), so the rollup step
+    runs through the JVM sketch class driver-side — bounded by
+    contract: one ≤100 KB sketch per group (5 groups), the exact shape
+    a periodic rollup job ships to a coordinator.
+
+    Oracle: exact per-key counts and the merge arity are value-compared
+    (DuckDB recomputes both); the CMS estimates themselves live behind
+    deterministic property booleans (sketch hashing isn't portable) —
+    ``est >= exact`` (CMS never undercounts) and
+    ``est <= exact + ceil(eps·N)`` (the CMS error bound, deterministic
+    under the fixed seed)."""
+    import math
+
+    fact = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    per = fact.groupBy("o_orderpriority").agg(
+        F.count_min_sketch(
+            "o_custkey",
+            F.lit(_CMS_EPS),
+            F.lit(_CMS_CONF),
+            F.lit(_CMS_SEED),
+        ).alias("sk"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    rows = per.collect()  # bounded: one sketch per priority (5 rows)
+    jvm = spark._jvm
+    cms_cls = jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    n_total = 0
+    for r in rows:
+        stream = jvm.java.io.ByteArrayInputStream(bytes(r["sk"]))
+        sketch = cms_cls.readFrom(stream)
+        merged = sketch if merged is None else merged.mergeInPlace(sketch)
+        n_total += int(r["n_items"])
+    estimates = {
+        k: (int(merged.estimateCount(k)) if merged is not None else 0)
+        for k in _CMS_PROBE_KEYS
+    }
+    bound = int(math.ceil(_CMS_EPS * n_total))
+    keys_df = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in _CMS_PROBE_KEYS])
+        ).alias("probe_key")
+    )
+    exact = (
+        keys_df.join(
+            fact, keys_df.probe_key == fact.o_custkey, "left"
+        )
+        .groupBy("probe_key")
+        .agg(F.count("o_custkey").alias("exact_count"))
+    )
+    est_map = F.create_map(
+        *[
+            part
+            for k in _CMS_PROBE_KEYS
+            for part in (
+                F.lit(k).cast("long"),
+                F.lit(estimates[k]).cast("long"),
+            )
+        ]
+    )
+    return (
+        exact.withColumn("__est", est_map[F.col("probe_key")])
+        .select(
+            "probe_key",
+            "exact_count",
+            (F.col("__est") >= F.col("exact_count")).alias(
+                "cms_never_undercounts"
+            ),
+            (F.col("__est") <= F.col("exact_count") + F.lit(bound)).alias(
+                "cms_within_eps_n"
+            ),
+            F.lit(len(rows)).cast("long").alias("n_sketches_merged"),
+        )
+        .orderBy("probe_key")
+    )
+
+
 @register(
     "agg_mode",
     tags=("aggregate", "mode"),
