@@ -977,3 +977,70 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_id")
         .limit(2000)
     )
+
+
+@register(
+    "events_sequence_motif",
+    tags=("events", "window", "pattern"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS prev1,
+         lag(event_type, 2) OVER w AS prev2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ m1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seq
+  WHERE prev2 = 'view' AND prev1 = 'click' AND event_type = 'purchase'),
+ m2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seq
+  WHERE prev1 = 'error' AND event_type = 'error')
+SELECT 'error,error' AS motif, n_occurrences, n_users FROM m2
+UNION ALL
+SELECT 'view,click,purchase', n_occurrences, n_users FROM m1
+ORDER BY motif
+""",
+)
+def events_sequence_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence-motif detection (the MATCH_RECOGNIZE /
+    funnel-pattern shape): count occurrences of ordered event patterns
+    inside each user's timeline — here the purchase path
+    view→click→purchase and the repeated-failure pair error→error —
+    plus how many distinct users exhibit each.
+
+    Scale shape: the pattern is matched with LAG offsets inside ONE
+    window pass (a single user_id shuffle shared by both lags — Spark
+    plans both offsets in one Window operator), then counted with
+    map-side partials; no per-user string materialization, no
+    self-joins, state bounded by the motif length regardless of a
+    user's history size. Longer motifs add lag columns, not passes.
+    Overlapping matches count individually (every event closing a
+    pattern instance is one occurrence) — the semantics streaming CEP
+    engines use."""
+    ev = T(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(wseq).alias("prev1"),
+        F.lag("event_type", 2).over(wseq).alias("prev2"),
+    )
+    m1 = seq.where(
+        (F.col("prev2") == "view")
+        & (F.col("prev1") == "click")
+        & (F.col("event_type") == "purchase")
+    ).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(F.lit("view,click,purchase").alias("motif"), "n_occurrences", "n_users")
+    m2 = seq.where(
+        (F.col("prev1") == "error") & (F.col("event_type") == "error")
+    ).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(F.lit("error,error").alias("motif"), "n_occurrences", "n_users")
+    return m2.unionByName(m1).orderBy("motif")

@@ -337,3 +337,68 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sample_group_split",
+    tags=("sampling", "llm", "leakage"),
+    oracle=f"""
+WITH s AS (
+  SELECT CASE WHEN {_sql_bucket('user_id')} < 80 THEN 'train'
+              ELSE 'test' END AS split,
+         user_id, value
+  FROM events),
+ stats AS (
+  SELECT split,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(*) AS BIGINT)                AS n_events,
+         round(sum(value) + 1e-4, 2)             AS total_value
+  FROM s GROUP BY split),
+ gi AS (
+  SELECT (max(k) = 1) AS group_intact
+  FROM (SELECT user_id, count(DISTINCT split) AS k
+        FROM s GROUP BY user_id))
+SELECT split, n_users, n_events, total_value, group_intact
+FROM stats CROSS JOIN gi
+ORDER BY split
+""",
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-integrity train/test split: the split is keyed on
+    md5(user_id) — the GROUP — not on the row, so every event of a user
+    lands in the same split and user-level signal can never leak from
+    train into test (the classic evaluation-leakage bug a row-keyed
+    split like ``sample_train_test_split`` would commit on grouped
+    data).
+
+    Scale shape: the assignment is a pure per-row expression on the
+    group key (scan-stage codegen, no user table join, no shuffle to
+    assign); the only shuffles are the two small verification
+    aggregates. Adding data never moves an existing user between
+    splits, and the same expression evaluated engine-side anywhere (a
+    1000-executor cluster, DuckDB, a feature store) reproduces the
+    identical split — which is exactly what the oracle certifies. The
+    ``group_intact`` bit re-derives per-user split cardinality on BOTH
+    engines (max distinct-splits-per-user == 1)."""
+    e = T(spark, sf_dir, "events").select("user_id", "value")
+    b = hash_bucket("user_id")
+    per = e.select(
+        F.when(b < 80, "train").otherwise("test").alias("split"),
+        "user_id",
+        "value",
+    )
+    stats = per.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        money(F.sum("value") + 1e-4).alias("total_value"),
+    )
+    intact = (
+        per.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg((F.max("k") == 1).alias("group_intact"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(intact))
+        .select("split", "n_users", "n_events", "total_value", "group_intact")
+        .orderBy("split")
+    )
