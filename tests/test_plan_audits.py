@@ -304,6 +304,25 @@ def test_runtime_minmax_filter_reaches_fact_scan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_schema_validate_is_one_scan_per_table(spark, sf_dir):
+    """pipeline_schema_validate's scale claim: all seven contract rules
+    evaluate from ONE scan of orders and ONE scan of documents (plus
+    the broadcast customer key side) — never one job per rule — and the
+    referential rule must not force a shuffle join."""
+    df = plans.REGISTRY["pipeline_schema_validate"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" not in plan, plan
+    for table, want in (("orders", 1), ("documents", 1), ("customer", 1)):
+        n = sum(
+            1
+            for b in plan.split("\n\n")
+            if "Scan parquet" in b and f"{table}.parquet" in b
+        )
+        assert n == want, (table, n, plan)
+
+
 def test_bloom_prune_filters_fact_before_any_shuffle(spark, sf_dir):
     """join_bloom_prune's whole point: the literal bloom bitmap must be
     tested against the fact keys as pure scan-stage JVM codegen (md5 +
