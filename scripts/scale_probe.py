@@ -142,6 +142,10 @@ def main() -> int:
         "text_tfidf_keywords", "join_dynamic_partition_pruning",
         "nested_recursive_cte", "events_ab_lift", "join_asof_forward",
         "expr_regexp_position", "source_json_roundtrip",
+        # round-6 additions: literal-bitmap bloom pruning, driver-side
+        # sketch merge, one-scan contract report, native lossy decode.
+        "join_bloom_prune", "agg_countmin_rollup",
+        "pipeline_schema_validate", "multimodal_decode_webp_lossy",
     }
     timings: dict[str, float] = {}
     n_ok = n_bad = 0
