@@ -1012,15 +1012,18 @@ def events_sequence_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     view→click→purchase and the repeated-failure pair error→error —
     plus how many distinct users exhibit each.
 
-    Scale shape: the pattern is matched with LAG offsets inside ONE
-    window pass (a single user_id shuffle shared by both lags — Spark
-    plans both offsets in one Window operator), then counted with
-    map-side partials; no per-user string materialization, no
-    self-joins, state bounded by the motif length regardless of a
-    user's history size. Longer motifs add lag columns, not passes.
-    Overlapping matches count individually (every event closing a
-    pattern instance is one occurrence) — the semantics streaming CEP
-    engines use."""
+    Scale shape: BOTH motifs are matched from ONE window pass (a
+    single user_id shuffle; both LAG offsets plan into one Window
+    operator — asserted in tests/test_plan_audits.py) and counted by
+    ONE aggregate job with conditional counts (the two
+    count-distinct-user measures share the scan via Spark's Expand),
+    then unpivoted with ``stack`` — never one scan-window-aggregate
+    chain per motif. No per-user string materialization, no
+    self-joins; state is bounded by the motif length regardless of a
+    user's history size, and longer motifs add lag columns, not
+    passes. Overlapping matches count individually (every event
+    closing a pattern instance is one occurrence) — the semantics
+    streaming CEP engines use."""
     ev = T(spark, sf_dir, "events")
     wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -1029,18 +1032,23 @@ def events_sequence_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type", 1).over(wseq).alias("prev1"),
         F.lag("event_type", 2).over(wseq).alias("prev2"),
     )
-    m1 = seq.where(
+    f1 = (
         (F.col("prev2") == "view")
         & (F.col("prev1") == "click")
         & (F.col("event_type") == "purchase")
-    ).agg(
-        F.count(F.lit(1)).alias("n_occurrences"),
-        F.countDistinct("user_id").alias("n_users"),
-    ).select(F.lit("view,click,purchase").alias("motif"), "n_occurrences", "n_users")
-    m2 = seq.where(
-        (F.col("prev1") == "error") & (F.col("event_type") == "error")
-    ).agg(
-        F.count(F.lit(1)).alias("n_occurrences"),
-        F.countDistinct("user_id").alias("n_users"),
-    ).select(F.lit("error,error").alias("motif"), "n_occurrences", "n_users")
-    return m2.unionByName(m1).orderBy("motif")
+    )
+    f2 = (F.col("prev1") == "error") & (F.col("event_type") == "error")
+    agg = seq.agg(
+        F.sum(F.when(f1, 1).otherwise(0)).alias("n1"),
+        F.countDistinct(F.when(f1, F.col("user_id"))).alias("u1"),
+        F.sum(F.when(f2, 1).otherwise(0)).alias("n2"),
+        F.countDistinct(F.when(f2, F.col("user_id"))).alias("u2"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2,"
+            " 'error,error', n2, u2,"
+            " 'view,click,purchase', n1, u1)"
+            " AS (motif, n_occurrences, n_users)"
+        )
+    ).orderBy("motif")

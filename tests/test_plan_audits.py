@@ -304,6 +304,23 @@ def test_runtime_minmax_filter_reaches_fact_scan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_sequence_motif_is_one_window_one_scan(spark, sf_dir):
+    """events_sequence_motif's scale claim: both motifs match from ONE
+    events scan and ONE Window operator (both lags share the user_id
+    shuffle), counted by one aggregate job — never a
+    scan-window-aggregate chain per motif."""
+    df = plans.REGISTRY["events_sequence_motif"].fn(spark, sf_dir)
+    # AQE's toString prints the plan twice (Final + Initial sections);
+    # count nodes in the final section only.
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    n_scans = sum(
+        1 for l in plan.splitlines() if "Scan parquet" in l or "Scan ExistingRDD" in l
+    )
+    n_windows = plan.count("Window [")
+    assert n_scans == 1, plan
+    assert n_windows == 1, plan
+
+
 def test_schema_validate_is_one_scan_per_table(spark, sf_dir):
     """pipeline_schema_validate's scale claim: all seven contract rules
     evaluate from ONE scan of orders and ONE scan of documents (plus
