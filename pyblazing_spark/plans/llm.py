@@ -2125,6 +2125,78 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_text_roundtrip",
+    tags=("source", "text"),
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)    AS total_chars,
+       CAST(min(doc_id) AS BIGINT)     AS min_doc_id
+FROM documents
+WHERE doc_id < 300
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented TEXT source driven end-to-end through the formal
+    gate (beyond the reference surface — its create_table routes
+    csv/json/parquet/orc only): a documents slice is serialized as
+    tab-delimited single-line records via ``write.text``, read back
+    with ``spark.read.text`` (one ``value`` column per line), re-parsed
+    with scan-stage ``split``/``getItem`` codegen, and aggregated; the
+    result must equal the same aggregate over the original parquet.
+
+    The text source is the raw-corpus landing format (one JSONL/TSV
+    record per line) every ingestion pipeline starts from; at 100 TB
+    the read is a splittable line scan with the same
+    ``maxPartitionBytes`` task sizing as any file source, and parsing
+    happens in whole-stage codegen (no Python). Newline-safety is part
+    of the contract: only newline-free derived fields are serialized
+    here — raw text bodies belong in parquet/ORC columns (their
+    round-trip entries), never in line-oriented files."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pbs_text_")
+    try:
+        (
+            T(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 300)
+            .select(
+                F.concat_ws(
+                    "\t",
+                    F.col("doc_id").cast("string"),
+                    "lang",
+                    F.col("n_chars").cast("string"),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(out + "/docs_txt")
+        )
+        back = spark.read.text(out + "/docs_txt")
+        parsed = back.select(
+            F.split(F.col("value"), "\t").alias("f")
+        ).select(
+            F.col("f").getItem(0).cast("long").alias("doc_id"),
+            F.col("f").getItem(1).alias("lang"),
+            F.col("f").getItem(2).cast("long").alias("n_chars"),
+        )
+        return (
+            parsed.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.min("doc_id").alias("min_doc_id"),
+            )
+            .orderBy("lang")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "pipeline_quality_deciles",
     tags=("llm", "pipeline", "quality", "global-window"),
     oracle=f"""
