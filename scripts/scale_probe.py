@@ -146,6 +146,18 @@ def main() -> int:
         # sketch merge, one-scan contract report, native lossy decode.
         "join_bloom_prune", "agg_countmin_rollup",
         "pipeline_schema_validate", "multimodal_decode_webp_lossy",
+        "sample_group_split", "events_sequence_motif",
+        "source_text_roundtrip",
+        # round-6 widening: scale-sensitive entries that had never run
+        # at 10x (Arrow cogroup, two-phase global windows, wedge joins,
+        # star rounds, interval-union windows, FFT kernels, bag setops,
+        # dictionary fuzzy join, frame medians, watermarked joins).
+        "join_asof_cogroup", "win_global_scaled", "graph_triangles",
+        "dedup_components_star", "dedup_substring_coverage",
+        "dedup_containment", "multimodal_audio_spectrum",
+        "setop_bag_semantics", "join_edit_distance", "win_median_frame",
+        "sample_weighted_reservoir", "stream_stream_join",
+        "events_gap_fill_linear", "text_hash_classifier", "expr_math",
     }
     timings: dict[str, float] = {}
     n_ok = n_bad = 0
