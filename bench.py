@@ -39,15 +39,24 @@ def _run_control(reps: int) -> dict:
     arts = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
     if not arts:
         return {"control": "skipped (no committed BENCH_r*.json)"}
-    art = os.path.basename(arts[-1])
     wt = os.path.join(_REPO, ".bench_control", "wt")
     try:
-        commit = subprocess.check_output(
-            ["git", "log", "-n1", "--format=%H", "--", art],
-            cwd=_REPO, text=True, stderr=subprocess.DEVNULL,
-        ).strip()
+        # Newest-first, take the first artifact that actually HAS a commit:
+        # the freshest BENCH_r*.json on disk is usually the uncommitted one
+        # this very run is about to produce, and `git log -- <art>` on it
+        # is empty — the control should fall back to the newest COMMITTED
+        # artifact instead of silently skipping.
+        art, commit = None, ""
+        for cand in reversed(arts):
+            c = subprocess.check_output(
+                ["git", "log", "-n1", "--format=%H", "--", os.path.basename(cand)],
+                cwd=_REPO, text=True, stderr=subprocess.DEVNULL,
+            ).strip()
+            if c:
+                art, commit = os.path.basename(cand), c
+                break
         if not commit:
-            return {"control": f"skipped ({art} has no commit)"}
+            return {"control": "skipped (no BENCH_r*.json has a commit)"}
         subprocess.run(
             ["git", "worktree", "remove", "--force", wt],
             cwd=_REPO, capture_output=True,

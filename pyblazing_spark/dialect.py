@@ -139,6 +139,37 @@ def _split_top_level_commas(s: str) -> list[str]:
     return parts
 
 
+def _rewrite_replacement_literals(s: str) -> str:
+    """``\\1`` -> ``$1`` inside every single-quoted literal of ``s`` —
+    only safe on text known to contain no nested REGEXP_REPLACE call."""
+    return re.sub(
+        r"'([^']*)'",
+        lambda lm: "'" + _BACKREF.sub(r"$\1", lm.group(1)) + "'",
+        s,
+    )
+
+
+def _rewrite_replacement_arg(a: str) -> str:
+    """Rewrite backrefs in a REPLACEMENT argument: literals outside any
+    nested REGEXP_REPLACE span get ``\\1`` -> ``$1``; each nested call
+    span is recursed position-aware instead, so a nested call's own
+    PATTERN literal (e.g. the back-match ``'(a)\\1'``) stays verbatim
+    while its nested replacement arg is still rewritten."""
+    out, pos = [], 0
+    for m in _REGEXP_REPLACE_NAME.finditer(a):
+        open_idx = m.end() - 1
+        if open_idx < pos:
+            continue
+        close_idx = _matching_paren(a, open_idx)
+        if close_idx < 0:
+            continue
+        out.append(_rewrite_replacement_literals(a[pos : m.start()]))
+        out.append(_rewrite_regexp_backrefs(a[m.start() : close_idx + 1]))
+        pos = close_idx + 1
+    out.append(_rewrite_replacement_literals(a[pos:]))
+    return "".join(out)
+
+
 def _rewrite_regexp_backrefs(sql: str) -> str:
     """``\\1`` -> ``$1`` inside the string literals of the THIRD
     (replacement) argument of each REGEXP_REPLACE call (Calcite
@@ -159,16 +190,12 @@ def _rewrite_regexp_backrefs(sql: str) -> str:
         args = _split_top_level_commas(inner)
         if len(args) >= 3:
             # subject/pattern: recurse for nested calls, literals intact;
-            # replacement (and any trailing flags arg): rewrite backrefs.
+            # replacement (and any trailing flags arg): rewrite backrefs —
+            # but only OUTSIDE any nested REGEXP_REPLACE span, which gets
+            # its own position-aware recursion (its inner PATTERN literal
+            # may hold a back-match '(a)\1' that must survive verbatim).
             head = [_rewrite_regexp_backrefs(a) for a in args[:2]]
-            tail = [
-                re.sub(
-                    r"'([^']*)'",
-                    lambda lm: "'" + _BACKREF.sub(r"$\1", lm.group(1)) + "'",
-                    a,
-                )
-                for a in args[2:]
-            ]
+            tail = [_rewrite_replacement_arg(a) for a in args[2:]]
             inner = ",".join(head + tail)
         out.append(sql[pos : open_idx + 1])
         out.append(inner)

@@ -22,6 +22,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt: "T.DataType") -> bool:
+    """True if the type has a MapType anywhere — ``xxhash64`` raises on
+    maps (spark.sql.legacy.allowHashOnMapType defaults off), so such
+    fields must stay out of the tie-break hash."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def _asof_union_window(
@@ -41,9 +55,10 @@ def _asof_union_window(
     from the SAME right row — carrying columns independently with
     first/last(ignorenulls) would stitch fields from different right
     rows whenever a payload value is legitimately NULL.  Equal right
-    timestamps per key are tie-broken by ``xxhash64`` of the payload
-    struct, which is deterministic across runs/partitionings (both
-    directions resolve a tie to the payload with the SMALLEST hash)."""
+    timestamps per key are tie-broken by ``xxhash64`` of the payload's
+    hashable fields (maps excluded — xxhash64 raises on MapType), which
+    is deterministic across runs/partitionings (both directions resolve
+    a tie to the payload with the SMALLEST hash)."""
     payload_names = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
     left_only = [c for c in left.columns if c not in (on, left_ts)]
 
@@ -84,8 +99,21 @@ def _asof_union_window(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
         r_payload.alias("__payload"),
     )
+    # Tie hash over the HASHABLE payload fields only: xxhash64 raises an
+    # AnalysisException on MapType anywhere in its input, and map-valued
+    # right payloads are legal (the pre-r6 column-wise carrier accepted
+    # them).  The right timestamp field is always present and hashable,
+    # so the hash never degenerates to a constant.
+    right_types = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
+    hashable = [
+        f"{c}{suffix}" for c in right_cols if not _contains_map(right_types[c])
+    ] + [f"{right_ts}{suffix}"]
     unioned = l_tagged.unionByName(r_tagged).withColumn(
-        "__tie", F.coalesce(F.xxhash64("__payload"), F.lit(0))
+        "__tie",
+        F.coalesce(
+            F.xxhash64(*[F.col("__payload").getField(f) for f in hashable]),
+            F.lit(0),
+        ),
     )
     if forward:
         order = [F.col("__t"), F.col("__side"), F.col("__tie")]

@@ -113,7 +113,8 @@ def vector_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").alias("id_sum"),
             # +1e-6 tie-nudge: the 3dp-rounded d2 values are not exact
             # binary decimals, so their sum can straddle a .005 boundary
-            # differently per engine (CLAUDE.md rounding convention).
+            # differently per engine (TIE_NUDGE convention,
+            # functions/vectors.py).
             F.round(F.sum("d2") + 1e-6, 2).alias("inertia"),
         )
         .orderBy("cluster")

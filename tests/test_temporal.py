@@ -103,6 +103,32 @@ def test_asof_equal_right_ts_deterministic(spark):
     assert len(set(fwd)) == 1 and fwd[0] in (3.0, 4.0)
 
 
+def test_asof_map_typed_payload_carries(spark):
+    """Map-typed right payload columns work: the tie hash excludes them
+    (xxhash64 raises on MapType), but the carried struct still delivers
+    the map value — the pre-r6 column-wise carrier accepted maps, so
+    this is a capability-regression guard."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"))], "uid bigint, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), {"k": 1}, 10.0),
+            (1, _ts("2024-01-01T11:00:00"), {"k": 2}, 20.0),
+        ],
+        "uid bigint, ts timestamp_ntz, attrs map<string,bigint>, px double",
+    )
+    (row,) = TP.asof_join(
+        left, right, on="uid", right_cols=["attrs", "px"]
+    ).collect()
+    assert row.attrs_right == {"k": 2} and row.px_right == 20.0
+    # forward direction: no match after 12:00 -> NULL map, no crash
+    (fwd,) = TP.asof_join_forward(
+        left, right, on="uid", right_cols=["attrs", "px"]
+    ).collect()
+    assert fwd.attrs_right is None and fwd.px_right is None
+
+
 def test_asof_join_matches_duckdb_shape_on_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
