@@ -253,15 +253,37 @@ def join_runtime_minmax_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_BITS = 16384  # m — bloom bitmap size in bits (2 KiB)
 _BLOOM_WORD = 32  # bits per bitmap word: masks stay < 2^32, sign-safe in
 #                   both engines (a 1<<63 long flips negative and engines
 #                   could disagree on printing, so never set bit 63)
 _BLOOM_SLICES = (1, 9, 17)  # md5 hex offsets of the k=3 hash functions
+_BLOOM_BITS_PER_KEY = 10  # m ≈ 10 bits/key → FPR ≈ 1.7% at k=3
+_BLOOM_MAX_WORDS = 32768  # cap: 1 Mbit bitmap = 256 KiB literal array —
+#                           useful to ~100k build keys; beyond that the
+#                           filter degrades gracefully (FPR rises, the
+#                           exact join still re-checks) instead of the
+#                           bitmap outgrowing the task closure
+_BLOOM_MIN_WORDS = 2
 
 
-def _bloom_hash_sql(col: str, start: int) -> str:
-    """One bloom hash in [0, _BLOOM_BITS): 8 md5 hex digits → int % m.
+def _bloom_words(n_keys: int) -> int:
+    """Bitmap size in words from the build-side key count: next multiple
+    of the word size ≥ _BLOOM_BITS_PER_KEY·n, clamped to
+    [_BLOOM_MIN_WORDS, _BLOOM_MAX_WORDS].  The DuckDB oracle recomputes
+    the IDENTICAL formula in SQL (integer arithmetic only — no pow/log
+    float hazards), so both engines derive the same m and the per-row
+    pass/fail stays bit-identical."""
+    return max(
+        _BLOOM_MIN_WORDS,
+        min(
+            (_BLOOM_BITS_PER_KEY * n_keys + _BLOOM_WORD - 1) // _BLOOM_WORD,
+            _BLOOM_MAX_WORDS,
+        ),
+    )
+
+
+def _bloom_hash_sql(col: str, start: int, m: int) -> str:
+    """One bloom hash in [0, m): 8 md5 hex digits → int % m.
 
     Identical text evaluates in both Spark SQL and DuckDB (same
     md5-derived convention as plans/sampling.py::hash_bucket), which is
@@ -269,14 +291,16 @@ def _bloom_hash_sql(col: str, start: int) -> str:
     decision — bit-identical across engines."""
     return (
         f"CAST(CONV(SUBSTRING(MD5(CAST(CAST({col} AS STRING) AS BINARY)), "
-        f"{start}, 8), 16, 10) AS BIGINT) % {_BLOOM_BITS}"
+        f"{start}, 8), 16, 10) AS BIGINT) % {m}"
     )
 
 
-def _bloom_hash_duck(col: str, start: int) -> str:
+def _bloom_hash_duck(col: str, start: int, m: str) -> str:
+    """DuckDB twin of ``_bloom_hash_sql``; ``m`` is a SQL expression
+    (the params-CTE column) rather than a Python literal."""
     return (
         f"('0x' || substring(md5(CAST({col} AS VARCHAR)), {start}, 8))::BIGINT"
-        f" % {_BLOOM_BITS}"
+        f" % {m}"
     )
 
 
@@ -286,20 +310,28 @@ def _bloom_hash_duck(col: str, start: int) -> str:
     oracle=f"""
 WITH dim AS (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+ params AS (
+  -- build-side-derived bitmap size: the EXACT integer formula of
+  -- plans/retrieval.py::_bloom_words, so both engines agree on m
+  SELECT greatest({_BLOOM_MIN_WORDS},
+                  least(({_BLOOM_BITS_PER_KEY} * count(*) + {_BLOOM_WORD - 1})
+                          // {_BLOOM_WORD},
+                        {_BLOOM_MAX_WORDS})) * {_BLOOM_WORD} AS m
+  FROM dim),
  pos AS (
-  SELECT {_bloom_hash_duck('c_custkey', 1)} AS h FROM dim
-  UNION ALL SELECT {_bloom_hash_duck('c_custkey', 9)} FROM dim
-  UNION ALL SELECT {_bloom_hash_duck('c_custkey', 17)} FROM dim),
+  SELECT {_bloom_hash_duck('c_custkey', 1, 'p.m')} AS h FROM dim, params p
+  UNION ALL SELECT {_bloom_hash_duck('c_custkey', 9, 'p.m')} FROM dim, params p
+  UNION ALL SELECT {_bloom_hash_duck('c_custkey', 17, 'p.m')} FROM dim, params p),
  words AS (
   SELECT h // {_BLOOM_WORD} AS word,
          bit_or(CAST(1 AS BIGINT) << CAST(h % {_BLOOM_WORD} AS INTEGER)) AS mask
   FROM pos GROUP BY h // {_BLOOM_WORD}),
  fact AS (
   SELECT o_custkey, o_orderpriority,
-         {_bloom_hash_duck('o_custkey', 1)} AS h1,
-         {_bloom_hash_duck('o_custkey', 9)} AS h2,
-         {_bloom_hash_duck('o_custkey', 17)} AS h3
-  FROM orders),
+         {_bloom_hash_duck('o_custkey', 1, 'p.m')} AS h1,
+         {_bloom_hash_duck('o_custkey', 9, 'p.m')} AS h2,
+         {_bloom_hash_duck('o_custkey', 17, 'p.m')} AS h3
+  FROM orders, params p),
  passed AS (
   SELECT f.o_custkey, f.o_orderpriority
   FROM fact f
@@ -321,11 +353,16 @@ ORDER BY p.o_orderpriority
 )
 def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime BLOOM-filter semi-join pruning: hash the filtered
-    dimension's join keys (k=3 md5-derived hashes) into a 16384-bit
-    bitmap, collect the bitmap (bounded: ≤512 int32-range words, ~2 KiB
-    — the same bounded driver action as ``join_runtime_minmax_filter``'s
+    dimension's join keys (k=3 md5-derived hashes) into a bitmap SIZED
+    FROM THE BUILD SIDE (~10 bits/key, word-aligned, capped at 1 Mbit —
+    a fixed m saturates the moment the build side outgrows it: the r6
+    16384-bit literal hit FPR≈1 at the 10x probe's ~30k keys and pruned
+    nothing), collect the bitmap (bounded: ≤32768 words ≤256 KiB — the
+    same bounded driver action as ``join_runtime_minmax_filter``'s
     (min, max) row), embed it as a LITERAL array, and test the fact
     side's keys against it as pure scan-stage codegen BEFORE any join.
+    The sizing count is one extra dimension-sized job (`dim.count()`),
+    the same cost class as the bitmap build itself.
 
     This is the manual form of Spark's runtime bloom-filter join
     (`spark.sql.optimizer.runtime.bloomFilter.enabled`, which only
@@ -349,12 +386,13 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    n_words = _BLOOM_BITS // _BLOOM_WORD
+    n_words = _bloom_words(dim.count())
+    m = n_words * _BLOOM_WORD
     pos = dim.select(
         F.explode(
             F.array(
                 *[
-                    F.expr(_bloom_hash_sql("c_custkey", s))
+                    F.expr(_bloom_hash_sql("c_custkey", s, m))
                     for s in _BLOOM_SLICES
                 ]
             )
@@ -373,11 +411,14 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     masks = {int(r["word"]): int(r["mask"]) for r in word_rows}
     bitmap = [masks.get(i, 0) for i in range(n_words)]
-    arr = F.array(*[F.lit(v).cast("long") for v in bitmap])
+    # ONE ArrayType literal (F.lit on the list), not array(lit, lit, ...):
+    # at the 1 Mbit cap that's 32768 elements — a 32768-expression array
+    # constructor would bloat the Catalyst tree, a single literal doesn't.
+    arr = F.lit(bitmap).cast("array<bigint>")
     orders = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     fact = orders.withColumn("__bloom", arr)
     for i, s in enumerate(_BLOOM_SLICES, start=1):
-        fact = fact.withColumn(f"__h{i}", F.expr(_bloom_hash_sql("o_custkey", s)))
+        fact = fact.withColumn(f"__h{i}", F.expr(_bloom_hash_sql("o_custkey", s, m)))
     passed = fact.where(
         F.lit(True)
         & (
