@@ -93,6 +93,59 @@ def test_lsh_ann_recall(spark, sf_dir):
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cos) < 1e-6
 
 
+def test_singleton_prefilter_bit_identical(spark, sf_dir):
+    """The bloom singleton pre-filter (VERDICT r6 #8) is a pure wire
+    optimization: filtered and unfiltered inverted-index plans must
+    produce BIT-IDENTICAL pair sets (the filter certifies only shingles
+    that cannot contribute to any pair), and the bloom membership test
+    must appear as a Filter stage in the physical plan."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id < 200")
+        .select("doc_id", "text")
+    )
+    on = DD.ngram_jaccard_pairs(
+        docs, threshold=0.0, prefilter_singletons=True
+    ).orderBy("id_a", "id_b").collect()
+    off = DD.ngram_jaccard_pairs(
+        docs, threshold=0.0, prefilter_singletons=False
+    ).orderBy("id_a", "id_b").collect()
+    assert on == off and len(on) > 0
+    c_on = DD.containment_pairs(
+        docs, threshold=0.0, prefilter_singletons=True
+    ).orderBy("contained_id", "container_id").collect()
+    c_off = DD.containment_pairs(
+        docs, threshold=0.0, prefilter_singletons=False
+    ).orderBy("contained_id", "container_id").collect()
+    assert c_on == c_off and len(c_on) > 0
+    # plan: the bloom test runs as a Filter BEFORE the join exchange
+    plan = DD.containment_pairs(
+        docs, threshold=0.6, prefilter_singletons=True
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert any(
+        "element_at" in b and "xxhash64" in b and "shiftleft" in b
+        for b in plan.split("\n\n")
+        if ") Filter" in b
+    ), plan
+
+
+def test_singleton_prefilter_all_singletons_short_circuits(spark):
+    """A corpus where every shingle is unique has no possible pair: the
+    pre-filter's empty hot set short-circuits to an empty result with
+    the operator's normal schema."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijk"), (2, "zyxwvutsrqp")], "doc_id long, text string"
+    )
+    jac = DD.ngram_jaccard_pairs(docs, prefilter_singletons=True)
+    assert jac.count() == 0
+    assert jac.columns == ["id_a", "id_b", "jaccard"]
+    cont = DD.containment_pairs(docs, prefilter_singletons=True)
+    assert cont.count() == 0
+    assert cont.columns == ["contained_id", "container_id", "containment"]
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     once = DD.exact_dedup(docs)
