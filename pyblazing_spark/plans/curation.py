@@ -722,3 +722,231 @@ def pipeline_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+@register(
+    "pipeline_snapshot_diff",
+    tags=("pipeline", "reconciliation", "cdc", "drift"),
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS stat,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 11 <> 0),
+ new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END AS price,
+         o_orderstatus AS stat,
+         CASE WHEN o_orderkey % 17 = 0
+              THEN '9-RECRAWL' ELSE o_orderpriority END AS prio
+  FROM orders WHERE o_orderkey % 13 <> 0),
+ d AS MATERIALIZED (
+  SELECT coalesce(o.k, n.k) AS k,
+         (o.k IS NULL)                               AS is_add,
+         (n.k IS NULL)                               AS is_rm,
+         (o.k IS NOT NULL AND n.k IS NOT NULL
+          AND o.price IS DISTINCT FROM n.price)      AS chg_price,
+         (o.k IS NOT NULL AND n.k IS NOT NULL
+          AND o.stat IS DISTINCT FROM n.stat)        AS chg_stat,
+         (o.k IS NOT NULL AND n.k IS NOT NULL
+          AND o.prio IS DISTINCT FROM n.prio)        AS chg_prio
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k),
+ agg AS MATERIALIZED (
+  SELECT
+    sum(CASE WHEN is_add THEN 1 ELSE 0 END) AS n_add,
+    sum(CASE WHEN is_add THEN k ELSE 0 END) AS ks_add,
+    sum(CASE WHEN is_rm THEN 1 ELSE 0 END) AS n_rm,
+    sum(CASE WHEN is_rm THEN k ELSE 0 END) AS ks_rm,
+    sum(CASE WHEN chg_price OR chg_stat OR chg_prio THEN 1 ELSE 0 END) AS n_chg,
+    sum(CASE WHEN chg_price OR chg_stat OR chg_prio THEN k ELSE 0 END) AS ks_chg,
+    sum(CASE WHEN NOT (is_add OR is_rm OR chg_price OR chg_stat OR chg_prio)
+             THEN 1 ELSE 0 END) AS n_same,
+    sum(CASE WHEN NOT (is_add OR is_rm OR chg_price OR chg_stat OR chg_prio)
+             THEN k ELSE 0 END) AS ks_same,
+    sum(CASE WHEN chg_price THEN 1 ELSE 0 END) AS n_price,
+    sum(CASE WHEN chg_price THEN k ELSE 0 END) AS ks_price,
+    sum(CASE WHEN chg_stat THEN 1 ELSE 0 END) AS n_stat,
+    sum(CASE WHEN chg_stat THEN k ELSE 0 END) AS ks_stat,
+    sum(CASE WHEN chg_prio THEN 1 ELSE 0 END) AS n_prio,
+    sum(CASE WHEN chg_prio THEN k ELSE 0 END) AS ks_prio
+  FROM d)
+SELECT item, CAST(n AS BIGINT) AS n, CAST(key_sum AS BIGINT) AS key_sum
+FROM (
+  SELECT 'added' AS item, n_add AS n, ks_add AS key_sum FROM agg
+  UNION ALL SELECT 'removed', n_rm, ks_rm FROM agg
+  UNION ALL SELECT 'changed', n_chg, ks_chg FROM agg
+  UNION ALL SELECT 'unchanged', n_same, ks_same FROM agg
+  UNION ALL SELECT 'col:o_totalprice', n_price, ks_price FROM agg
+  UNION ALL SELECT 'col:o_orderstatus', n_stat, ks_stat FROM agg
+  UNION ALL SELECT 'col:o_orderpriority', n_prio, ks_prio FROM agg)
+ORDER BY item
+""",
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation with COLUMN-LEVEL drift: given two
+    versions of a table (yesterday's crawl vs today's re-crawl), report
+    added/removed/changed/unchanged row counts AND, for the changed
+    rows, WHICH columns drifted — the data-diff report every recurring
+    ingestion pipeline runs before promoting a snapshot, and the part
+    ``pipeline_merge_upsert`` (presence classification only) does not
+    cover. ``key_sum`` per item makes the oracle sensitive to WHICH
+    rows landed in each class, not just how many.
+
+    The new version is derived deterministically from the same source
+    (a price restatement on ``k % 5 = 0``, a priority override on
+    ``k % 17 = 0``, churn via different key filters), so both engines
+    rebuild both versions independently; ``o_orderstatus`` never
+    changes, pinning that a clean column reports exactly zero.
+
+    Scale: ONE hash exchange per side on the 8-byte key (zero with a
+    bucketed snapshot layout, cf. ``sink_bucketed_join``); per-row
+    comparison is scan-stage codegen via null-safe equality; the
+    CLAUDE-one-pass shape — all fourteen conditional aggregates in a
+    single Aggregate over the join, unpivoted with ``stack`` — so the
+    join output is traversed once. Floats are compared within-engine
+    only (counts and integer key sums are the only outputs), so no
+    cross-engine float tolerance is involved."""
+    orders = T(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_totalprice").alias("o_price"),
+        F.col("o_orderstatus").alias("o_stat"),
+        F.col("o_orderpriority").alias("o_prio"),
+    )
+    new = orders.where(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("nk"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("n_price"),
+        F.col("o_orderstatus").alias("n_stat"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("9-RECRAWL"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("n_prio"),
+    )
+    matched = F.col("ok").isNotNull() & F.col("nk").isNotNull()
+    d = old.join(new, old.ok == new.nk, "full_outer").select(
+        F.coalesce("ok", "nk").alias("k"),
+        F.col("ok").isNull().alias("is_add"),
+        F.col("nk").isNull().alias("is_rm"),
+        (matched & ~F.col("o_price").eqNullSafe(F.col("n_price"))).alias("chg_price"),
+        (matched & ~F.col("o_stat").eqNullSafe(F.col("n_stat"))).alias("chg_stat"),
+        (matched & ~F.col("o_prio").eqNullSafe(F.col("n_prio"))).alias("chg_prio"),
+    )
+    chg = F.col("chg_price") | F.col("chg_stat") | F.col("chg_prio")
+    same = ~(F.col("is_add") | F.col("is_rm") | chg)
+
+    def _pair(cond, tag):  # count + key-sum of a row class
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{tag}"),
+            F.sum(F.when(cond, F.col("k")).otherwise(0)).alias(f"ks_{tag}"),
+        ]
+
+    agg = d.agg(
+        *_pair(F.col("is_add"), "add"),
+        *_pair(F.col("is_rm"), "rm"),
+        *_pair(chg, "chg"),
+        *_pair(same, "same"),
+        *_pair(F.col("chg_price"), "price"),
+        *_pair(F.col("chg_stat"), "stat"),
+        *_pair(F.col("chg_prio"), "prio"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(7,"
+                " 'added', n_add, ks_add,"
+                " 'removed', n_rm, ks_rm,"
+                " 'changed', n_chg, ks_chg,"
+                " 'unchanged', n_same, ks_same,"
+                " 'col:o_totalprice', n_price, ks_price,"
+                " 'col:o_orderstatus', n_stat, ks_stat,"
+                " 'col:o_orderpriority', n_prio, ks_prio)"
+                " AS (item, n, key_sum)"
+            )
+        )
+        .select("item", F.col("n").cast("long"), F.col("key_sum").cast("long"))
+        .orderBy("item")
+    )
+
+
+@register(
+    "sink_compaction",
+    tags=("sink", "maintenance", "compaction", "small-files"),
+    oracle="""
+SELECT CAST(o_orderpriority AS VARCHAR)   AS o_orderpriority,
+       CAST(count(*) AS BIGINT)           AS n,
+       CAST(sum(o_orderkey) AS BIGINT)    AS key_sum,
+       round(sum(o_totalprice) + 1e-4, 2) AS total,
+       CAST(64 AS INTEGER)                AS n_files_before,
+       TRUE                               AS layout_ok
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE half of table maintenance
+    (:func:`pyblazing_spark.sources.sinks.compact_files`): a filtered
+    orders slice is first written deliberately FRAGMENTED (64 files via
+    round-robin repartition — the state streaming ingest leaves a table
+    in), then bin-packed into target-size files with a shuffle-free
+    ``coalesce`` rewrite, then read BACK and aggregated. The oracle
+    recomputes the aggregate from the source table, so a row lost,
+    duplicated, or mistyped anywhere in the fragment->compact->read
+    cycle fails the value compare; ``n_files_before`` pins the
+    fragmentation really happened and ``layout_ok`` pins the compacted
+    layout (>=1 file, strictly fewer than before, within the
+    ceil(bytes/target) bin-packing bound +1 for the non-splittable
+    remainder) — file COUNTS after compaction depend on parquet
+    encoding sizes, so the booleans, not the raw counts, are the
+    engine-portable contract (cf. ``psnr_ok`` in the codec entries).
+
+    Scale: compaction is the one table-maintenance job every 100 TB
+    deployment runs nightly; the ``coalesce`` path moves each byte
+    exactly twice (read + write) with NO Exchange in the plan
+    (plan-audited in tests), and the driver only ever touches file
+    METADATA (one listing per directory)."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.sinks import compact_files, write_files
+
+    base = tempfile.mkdtemp(prefix="sink_compact_")
+    frag_dir, packed_dir = f"{base}/frag", f"{base}/packed"
+    try:
+        od = (
+            T(spark, sf_dir, "orders")
+            .where(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        )
+        write_files(od.repartition(64), frag_dir)
+        stats = compact_files(spark, frag_dir, packed_dir, target_bytes=4 << 20)
+        layout_ok = (
+            stats["n_files_before"] == 64
+            and 1 <= stats["n_files_after"] < stats["n_files_before"]
+            and stats["n_files_after"] <= stats["target_files"] + 1
+        )
+        back = spark.read.schema(
+            "o_orderkey bigint, o_totalprice double, o_orderpriority string"
+        ).parquet(packed_dir)
+        return (
+            back.groupBy(
+                F.col("o_orderpriority").cast("string").alias("o_orderpriority")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total"),
+            )
+            .withColumn("n_files_before", F.lit(stats["n_files_before"]).cast("int"))
+            .withColumn("layout_ok", F.lit(bool(layout_ok)))
+            .orderBy("o_orderpriority")
+            # materialize BEFORE the temp dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -148,8 +148,11 @@ def main() -> int:
         "pipeline_schema_validate", "multimodal_decode_webp_lossy",
         "sample_group_split", "events_sequence_motif",
         "source_text_roundtrip",
-        # round-7 addition: MJPEG-AVI mux/demux/decode per video doc
-        "multimodal_video_frames",
+        # round-7 additions: MJPEG-AVI mux/demux/decode per video doc;
+        # column-drift snapshot reconciliation; shuffle-free small-file
+        # compaction.
+        "multimodal_video_frames", "pipeline_snapshot_diff",
+        "sink_compaction",
         # round-6 widening: scale-sensitive entries that had never run
         # at 10x (Arrow cogroup, two-phase global windows, wedge joins,
         # star rounds, interval-union windows, FFT kernels, bag setops,

@@ -534,3 +534,47 @@ def test_dpp_subquery_prunes_fact_partitions(spark, sf_dir):
         assert "dynamicpruning" in _executed_plan(j).lower()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compaction_rewrite_is_shuffle_free(spark, sf_dir, tmp_path):
+    """sink_compaction's core claim: the bin-packing rewrite moves each
+    byte twice (read + write) and NEVER through an Exchange — coalesce
+    merges input partitions in place. Audits the live compact_files
+    call on a freshly fragmented slice, then the equivalent
+    read->coalesce plan, then content equality of the rewrite."""
+    from pyblazing_spark.sources.sinks import compact_files, write_files
+    from pyblazing_spark.sources.tables import load_table
+
+    frag, packed = str(tmp_path / "frag"), str(tmp_path / "packed")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    write_files(od.repartition(32), frag)
+    stats = compact_files(spark, frag, packed, target_bytes=8 << 20)
+    assert stats["n_files_before"] == 32, stats
+    assert 1 <= stats["n_files_after"] < 32, stats
+    assert stats["n_files_after"] <= stats["target_files"] + 1, stats
+    # the compaction plan shape: scan -> coalesce -> write, no Exchange
+    df = spark.read.parquet(frag).coalesce(stats["target_files"])
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "Coalesce" in plan, plan
+    assert "Exchange" not in plan, plan
+    # the rewrite is lossless (bag equality both directions)
+    a, b = spark.read.parquet(frag), spark.read.parquet(packed)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_snapshot_diff_is_one_join_one_aggregate_pass(spark, sf_dir):
+    """pipeline_snapshot_diff's scale contract: both snapshot versions
+    are scanned ONCE each, all fourteen conditional aggregates ride a
+    single Aggregate over the join (no per-status re-traversal), and
+    the only exchanges are the two join sides plus the final singleton
+    aggregate — so the diff costs one fact-fact join, period."""
+    df = plans.REGISTRY["pipeline_snapshot_diff"].fn(spark, sf_dir)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 2, plan
+    n_exch = plan.count("Exchange")
+    assert n_exch <= 3, f"{n_exch} exchanges\n{plan}"
+    # one aggregate pass: partial+final pair only (2 nodes), not 7 branches
+    n_agg = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_agg <= 2, f"{n_agg} aggregate nodes\n{plan}"
