@@ -285,3 +285,125 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .orderBy("hour_bucket", "rn")
     )
+
+
+@register(
+    "stream_late_data_drop",
+    tags=("streaming", "watermark", "late-data", "append"),
+    oracle="""
+WITH arrived AS MATERIALIZED (
+  SELECT ts, event_type, value FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+ wm AS MATERIALIZED (
+  SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events
+  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+ dropped AS MATERIALIZED (
+  -- the engine's drop counter ticks on post-shuffle MERGED group rows
+  -- (partial agg + exchange + merge run before the state operator),
+  -- i.e. one per distinct (window, event_type) straggler group
+  SELECT count(*) AS n_late FROM (
+    SELECT DISTINCT date_trunc('hour', ts), event_type FROM events
+    WHERE ts < TIMESTAMP '2024-01-10 00:00:00'))
+SELECT date_trunc('hour', a.ts)            AS hour_bucket,
+       a.event_type,
+       CAST(count(*) AS BIGINT)            AS n,
+       round(sum(a.value), 2)              AS total_value,
+       CAST(d.n_late AS BIGINT)            AS n_late_dropped
+FROM arrived a, wm w, dropped d
+WHERE date_trunc('hour', a.ts) + INTERVAL 1 HOUR <= w.wm
+GROUP BY 1, 2, d.n_late
+ORDER BY hour_bucket, event_type
+""",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA accounting — the append-mode semantics no
+    other stream entry exercises (their single-file drains collapse to
+    one batch, so the watermark never advances between arrivals). Three
+    deterministic micro-batches via a controlled landing dir
+    (:func:`pyblazing_spark.streaming.ops.read_landing_stream`, one
+    file per batch in mtime order):
+
+    1. events with ``ts >= 2024-01-20`` (the fresh arrivals; their max
+       fixes the watermark at ``max_ts - 2h``),
+    2. events in ``[2024-01-15, 2024-01-20)`` (older but admitted:
+       Spark's late filter lags one batch — the plan carries a
+       late-events watermark and a STRICTER eviction watermark,
+       ``StateStoreSave ... <late_wm>, <eviction_wm>`` — so batch 2's
+       filter still sees the initial 0 while its eviction uses batch
+       1's max),
+    3. events with ``ts < 2024-01-10`` — stragglers arriving 5+ days
+       past the watermark: every row is DROPPED by the late filter.
+
+    The result is the append-mode emission (windows finalized by the
+    watermark: ``window.end <= max_ts - 2h``; later windows stay open
+    and are correctly withheld) over the ADMITTED batches only, plus
+    ``n_late_dropped`` — Spark's own per-batch
+    ``numRowsDroppedByWatermark`` counter summed across the drain —
+    which the oracle recomputes independently, so the engine's internal
+    accounting is value-compared, not trusted. (The counter ticks on
+    post-shuffle MERGED rows — partial aggregate + exchange + merge run
+    before the state operator — so its deterministic recompute is the
+    DISTINCT straggler (window, event_type) group count, not the raw
+    straggler row count.)
+
+    Scale: the watermark is what bounds state on an unbounded stream —
+    this entry pins both halves of that contract (drop late input,
+    finalize+evict closed windows) against a batch recompute; at
+    100 TB/day the same plan holds with the landing dir swapped for
+    Kafka."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.tables import load_table
+    from pyblazing_spark.streaming.ops import read_landing_stream
+
+    base = tempfile.mkdtemp(prefix="stream_late_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        t15 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+        t20 = F.lit("2024-01-20 00:00:00").cast("timestamp")
+        t10 = F.lit("2024-01-10 00:00:00").cast("timestamp")
+        arrivals = (
+            ("0_fresh", ev.where(F.col("ts") >= t20)),
+            ("1_recent", ev.where((F.col("ts") >= t15) & (F.col("ts") < t20))),
+            ("2_straggler", ev.where(F.col("ts") < t10)),
+        )
+        for i, (tag, df) in enumerate(arrivals):
+            tmp = os.path.join(base, tag)
+            df.coalesce(1).write.parquet(tmp)
+            dst = os.path.join(landing, f"{tag}.parquet")
+            shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+            # distinct mtimes pin the batch order (file source sorts
+            # oldest-first under latestFirst=false)
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        progress: list = []
+        out = run_available_now(
+            windowed_counts_stream(read_landing_stream(spark, landing)),
+            output_mode="append",
+            progress_out=progress,
+        )
+        n_dropped = sum(
+            s["numRowsDroppedByWatermark"]
+            for p in progress
+            for s in p["stateOperators"]
+        )
+        return (
+            out.withColumn("hour_bucket", F.col("hour_bucket").cast("timestamp_ntz"))
+            .withColumn("n_late_dropped", F.lit(n_dropped).cast("long"))
+            .orderBy("hour_bucket", "event_type")
+            # materialize BEFORE the landing dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -5,6 +5,7 @@ the build plan's north-star)."""
 from pyblazing_spark.streaming.ops import (  # noqa: F401
     dedup_stream,
     read_events_stream,
+    read_landing_stream,
     run_available_now,
     session_counts_stream,
     stateful_user_totals,

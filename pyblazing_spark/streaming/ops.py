@@ -178,8 +178,29 @@ def dedup_stream(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def read_landing_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """``readStream`` over a controlled landing DIRECTORY, one micro-batch
+    per file in modification-time order (``latestFirst=false``) — the
+    harness for deterministic MULTI-batch semantics (watermark
+    progression, late-data drops), where the single-file fixture read of
+    :func:`read_events_stream` would collapse everything into one batch
+    and the watermark could never advance between arrivals."""
+    ensure_runtime_confs(spark)
+    return (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(landing_dir)
+    )
+
+
 def run_available_now(
-    result: DataFrame, output_mode: str = "complete", timeout_sec: int = 300
+    result: DataFrame,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame to completion (``Trigger.AvailableNow``)
     into a memory sink and return the materialized result as a batch
@@ -221,6 +242,11 @@ def run_available_now(
                     f"stream drain did not finish within {timeout_sec}s — "
                     "the memory sink would hold a PARTIAL result"
                 )
+            if progress_out is not None:
+                # per-micro-batch progress (numInputRows, watermark,
+                # stateOperators[].numRowsDroppedByWatermark, ...) for
+                # callers that assert on the engine's own accounting
+                progress_out.extend(query.recentProgress)
         finally:
             query.stop()
     return spark.table(name)

@@ -103,3 +103,54 @@ def test_windowed_counts_incremental_equals_batch(spark, sf_dir, two_file_stream
     assert {(k[0].replace(tzinfo=None), k[1]): v for k, v in got.items()} == {
         (k[0], k[1]): v for k, v in exp.items()
     }
+
+
+def test_late_filter_lags_eviction_by_one_batch(spark, tmp_path):
+    """Pins the Spark >=3.4 two-watermark semantics stream_late_data_drop
+    depends on: within a batch, the LATE filter uses the previous
+    batch's watermark while EVICTION uses the fresh one — so an
+    old-but-second-batch row is admitted, and only a third-batch
+    straggler is dropped. If a Spark upgrade changes this, the entry's
+    three-batch construction must be revisited."""
+    import glob
+    import os
+    import shutil
+
+    from pyblazing_spark.streaming import read_landing_stream
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    batches = (
+        [(1, "2024-01-02 10:30:00"), (2, "2024-01-02 12:30:00")],  # wm -> 10:30
+        [(3, "2024-01-02 11:30:00")],  # below wm but admitted (late filter lags)
+        [(4, "2024-01-01 05:30:00"), (5, "2024-01-01 05:40:00")],  # dropped
+    )
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "event_id long, s string").select(
+            "event_id",
+            F.col("s").cast("timestamp").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        tmp = str(tmp_path / f"b{i}")
+        df.coalesce(1).write.parquet(tmp)
+        dst = f"{landing}/{i}.parquet"
+        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+    progress: list = []
+    out = run_available_now(
+        windowed_counts_stream(read_landing_stream(spark, landing)),
+        output_mode="append",
+        progress_out=progress,
+    ).collect()
+    dropped = [
+        sum(s["numRowsDroppedByWatermark"] for s in p["stateOperators"])
+        for p in sorted(progress, key=lambda p: p["batchId"])
+    ]
+    # batch 1's old row admitted (late wm lags at 0); batch 2's two
+    # stragglers merge into ONE group row before the state op drops it
+    assert dropped == [0, 0, 1], (dropped, progress)
+    # append emission: no window end <= wm (10:30) exists -> nothing out
+    assert out == [], out
