@@ -407,3 +407,110 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "stream_checkpoint_recovery",
+    tags=("streaming", "checkpoint", "exactly-once", "fault-tolerance"),
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)        AS n,
+       CAST(sum(event_id) AS BIGINT)   AS id_sum,
+       round(sum(value) + 1e-4, 2)     AS total_value
+FROM events
+WHERE event_type <> 'view'
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once RECOVERY — the fault-tolerance half of the streaming
+    contract no other entry exercises: a three-micro-batch drain into a
+    fault-tolerant PARQUET sink is STOPPED as soon as its first batch
+    commits, then a second query restarts from the same
+    ``checkpointLocation`` and finishes the remainder. The sink is read
+    back through its ``_spark_metadata`` manifest (which hides any
+    files from uncommitted in-flight batches) and aggregated; the
+    oracle recomputes from the source table, so a single lost OR
+    duplicated row anywhere across the interruption fails the value
+    compare with ``n``/``id_sum`` both sensitive to which rows landed.
+
+    The interruption point is deliberately racy (stop lands wherever
+    the drain happens to be — possibly even after it finished on a fast
+    machine); the RESULT is deterministic regardless, which is
+    precisely the exactly-once property under test: source offset
+    tracking (WAL) + idempotent manifest commit make the outcome
+    independent of where the failure hits. At 100 TB/day this is the
+    property that lets an executor-loss or driver restart resume a
+    pipeline without reconciliation."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyblazing_spark.sources.tables import load_table
+    from pyblazing_spark.streaming.ops import read_landing_stream
+
+    base = tempfile.mkdtemp(prefix="stream_ckpt_")
+    landing = os.path.join(base, "landing")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(3):
+            tmp = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
+            dst = os.path.join(landing, f"{i}.parquet")
+            shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+
+        def start_drain():
+            xform = (
+                read_landing_stream(spark, landing)
+                .where(F.col("event_type") != "view")
+                .select("event_id", "event_type", "value")
+            )
+            return (
+                xform.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q1 = start_drain()
+        deadline = time.time() + 120
+        while time.time() < deadline and q1.isActive and not q1.recentProgress:
+            time.sleep(0.05)
+        q1.stop()  # interrupt mid-drain (wherever the drain happens to be)
+        q1.awaitTermination(60)
+
+        q2 = start_drain()  # restart from the SAME checkpoint
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise TimeoutError("checkpoint-recovery drain did not finish")
+
+        # read back THROUGH the sink manifest (exactly-once read path)
+        back = spark.read.parquet(out_dir)
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").alias("id_sum"),
+                F.round(F.sum("value") + 1e-4, 2).alias("total_value"),
+            )
+            .orderBy("event_type")
+            # materialize BEFORE the temp sink dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -153,6 +153,7 @@ def main() -> int:
         # compaction.
         "multimodal_video_frames", "pipeline_snapshot_diff",
         "sink_compaction", "stream_late_data_drop",
+        "stream_checkpoint_recovery",
         # round-6 widening: scale-sensitive entries that had never run
         # at 10x (Arrow cogroup, two-phase global windows, wedge joins,
         # star rounds, interval-union windows, FFT kernels, bag setops,
