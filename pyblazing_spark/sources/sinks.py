@@ -46,6 +46,7 @@ def compact_files(
     dst_path: str,
     target_bytes: int = 128 << 20,
     file_format: str = "parquet",
+    options: dict | None = None,
 ) -> dict:
     """Compact a fragmented directory into ~``target_bytes`` files.
 
@@ -72,8 +73,17 @@ def compact_files(
     before = _list_data_files(spark, src_path, suffix)
     bytes_before = sum(b for _, b in before)
     n_target = max(1, math.ceil(bytes_before / target_bytes))
-    df = spark.read.format(file_format).load(src_path)
-    df.coalesce(n_target).write.format(file_format).mode("overwrite").save(dst_path)
+    # `options` applies to BOTH sides so text formats round-trip
+    # faithfully (e.g. {"header": "true"} for CSV — without it the
+    # per-fragment header lines would be replayed as data rows)
+    df = spark.read.format(file_format).options(**(options or {})).load(src_path)
+    (
+        df.coalesce(n_target)
+        .write.format(file_format)
+        .options(**(options or {}))
+        .mode("overwrite")
+        .save(dst_path)
+    )
     after = _list_data_files(spark, dst_path, suffix)
     return {
         "n_files_before": len(before),

@@ -119,3 +119,25 @@ def test_zorder_layout_zone_maps_are_tight(spark, sf_dir, tmp_path):
     assert max(r_spans) > 0.9 * global_span, (r_spans, global_span)
     assert sum(z_spans) / len(z_spans) < 0.3 * global_span, (z_spans, global_span)
     assert sum(z_spans) / len(z_spans) < sum(r_spans) / len(r_spans) / 4
+
+
+def test_compact_files_csv_format(spark, sf_dir, tmp_path):
+    """compact_files is format-generic: the same listing + ceil-bin-pack
+    + coalesce path must work for CSV trees (the suffix filter and the
+    reader/writer format all key off file_format)."""
+    frag, packed = str(tmp_path / "frag"), str(tmp_path / "packed")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nat.repartition(8).write.format("csv").option("header", "true").save(frag)
+    stats = sinks.compact_files(spark, frag, packed, target_bytes=1 << 20,
+                                file_format="csv", options={"header": "true"})
+    assert stats["n_files_before"] == 8, stats
+    assert stats["n_files_after"] == 1, stats
+    back = (
+        spark.read.format("csv")
+        .option("header", "true")
+        .schema("n_nationkey int, n_name string")
+        .load(packed)
+    )
+    got = sorted((r.n_nationkey, r.n_name) for r in back.collect())
+    want = sorted((r.n_nationkey, r.n_name) for r in nat.collect())
+    assert got == want
