@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import itertools
 import time
+import warnings
 from concurrent.futures import Future, ThreadPoolExecutor
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -139,6 +140,7 @@ class BlazingContext:
         self._log: list[_LogEntry] = []
         self._token_counter = itertools.count(1)
         self._pending: dict[int, Future] = {}
+        self._fetched: set[int] = set()
         self._pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="bsql-async")
         self._peak_memory: dict[str, int] = {}
         if config_options:
@@ -274,8 +276,12 @@ class BlazingContext:
             )
             return result
         df = self.spark.sql(query)
+        # Lazy mode only PLANNED the query — nothing executed yet, so an
+        # "ok" row with a ~0 ms duration would mislead ``bc.log()``
+        # consumers into reading plan time as run time.  Record the row as
+        # "planned" (duration = planning time) instead.
         self._log.append(
-            _LogEntry(query_id, query, started, (time.time() - started) * 1000.0, "ok")
+            _LogEntry(query_id, query, started, (time.time() - started) * 1000.0, "planned")
         )
         return df
 
@@ -318,12 +324,28 @@ class BlazingContext:
             raise
 
     def status(self, token: int) -> bool:
-        """True once the async query finished (reference ``status``, :3328)."""
-        return self._pending[token].done()
+        """True once the async query finished (reference ``status``, :3328).
+
+        Stays answerable after :meth:`fetch` (a finished-and-collected
+        query is still "done"); a token that was never issued raises a
+        descriptive error instead of a bare ``KeyError``."""
+        if token in self._fetched:
+            return True
+        try:
+            return self._pending[token].done()
+        except KeyError:
+            raise ValueError(f"unknown query token: {token!r}") from None
 
     def fetch(self, token: int):
         """Block for and return the async result (reference ``fetch``, :3066)."""
-        return self._pending.pop(token).result()
+        try:
+            future = self._pending.pop(token)
+        except KeyError:
+            if token in self._fetched:
+                raise ValueError(f"query token {token!r} was already fetched") from None
+            raise ValueError(f"unknown query token: {token!r}") from None
+        self._fetched.add(token)
+        return future.result()
 
     # ------------------------------------------------------------- explain
     def explain(self, sql: str, detail: bool = False) -> str:
@@ -403,12 +425,42 @@ class BlazingContext:
                       str(kwargs["use_default_adc_json_keyfile_path"]))
         self._filesystems[prefix] = f"gs://{bucket_name}/" if bucket_name else "gs://"
 
+    #: Reference hdfs kwargs (context.py:1703-1744: host/port/user/
+    #: kerb_ticket, plus driver which is libhdfs-specific) -> Hadoop confs.
+    _HDFS_KWARG_CONFS = {
+        "user": ("hadoop.user.name",),
+        "kerb_ticket": (
+            "hadoop.security.authentication",  # set to "kerberos"
+            "hadoop.security.kerberos.ticket.cache.path",
+        ),
+        "kerberos_principal": ("dfs.namenode.kerberos.principal",),
+        "kerberos_keytab": ("hadoop.security.keytab.file",),
+    }
+
     def hdfs(self, prefix: str, host: str = "", port: int = 8020, **kwargs: Any) -> None:
-        """Register an HDFS namenode under a prefix (reference :1704-1735).
+        """Register an HDFS namenode under a prefix (reference :1703-1744).
 
         Fully-qualified ``hdfs://host:port/...`` paths work in Spark with
         no registration at all; this exists so ``<prefix>://path`` table
-        paths resolve like the reference's."""
+        paths resolve like the reference's.  The reference's auth kwargs
+        (``user``, ``kerb_ticket`` for kerberos ticket-cache auth, plus
+        principal/keytab) map onto the session's Hadoop configuration so
+        the Spark-side HDFS client authenticates the same way; unknown
+        kwargs warn instead of silently dropping (the reference validates
+        its kwarg set — ``kwargs_validation(kwargs, "hdfs")``)."""
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        for key, value in kwargs.items():
+            confs = self._HDFS_KWARG_CONFS.get(key)
+            if confs is None:
+                if key != "driver":  # libhdfs driver choice: meaningless on Spark
+                    warnings.warn(f"hdfs(): unknown option {key!r} ignored", stacklevel=2)
+                continue
+            if key == "kerb_ticket":
+                hconf.set("hadoop.security.authentication", "kerberos")
+                hconf.set("hadoop.security.kerberos.ticket.cache.path", str(value))
+            else:
+                for conf in confs:
+                    hconf.set(conf, str(value))
         if host:
             self._filesystems[prefix] = f"hdfs://{host}:{port}/"
 

@@ -139,6 +139,32 @@ def _split_top_level_commas(s: str) -> list[str]:
     return parts
 
 
+def _quoted_spans(s: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted literals in ``s`` ('' escaped).
+    Used to reject REGEXP_REPLACE name matches that are mere TEXT inside a
+    string literal — treating those as nested calls would both corrupt the
+    span arithmetic and leave later backrefs in the literal unrewritten."""
+    spans, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] == "'":
+            start = i
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            spans.append((start, min(i + 1, n)))
+        i += 1
+    return spans
+
+
+def _in_spans(idx: int, spans: list[tuple[int, int]]) -> bool:
+    return any(a <= idx < b for a, b in spans)
+
+
 def _rewrite_replacement_literals(s: str) -> str:
     """``\\1`` -> ``$1`` inside every single-quoted literal of ``s`` —
     only safe on text known to contain no nested REGEXP_REPLACE call."""
@@ -156,10 +182,11 @@ def _rewrite_replacement_arg(a: str) -> str:
     PATTERN literal (e.g. the back-match ``'(a)\\1'``) stays verbatim
     while its nested replacement arg is still rewritten."""
     out, pos = [], 0
+    quoted = _quoted_spans(a)
     for m in _REGEXP_REPLACE_NAME.finditer(a):
         open_idx = m.end() - 1
-        if open_idx < pos:
-            continue
+        if open_idx < pos or _in_spans(m.start(), quoted):
+            continue  # already consumed, or just text inside a literal
         close_idx = _matching_paren(a, open_idx)
         if close_idx < 0:
             continue
@@ -179,9 +206,10 @@ def _rewrite_regexp_backrefs(sql: str) -> str:
     back-match that must survive verbatim — the old rewrite-every-
     literal shortcut would have silently corrupted it to ``'(a)$1'``."""
     out, pos = [], 0
+    quoted = _quoted_spans(sql)
     for m in _REGEXP_REPLACE_NAME.finditer(sql):
         open_idx = m.end() - 1
-        if open_idx < pos:
+        if open_idx < pos or _in_spans(m.start(), quoted):
             continue
         close_idx = _matching_paren(sql, open_idx)
         if close_idx < 0:

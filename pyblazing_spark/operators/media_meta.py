@@ -329,7 +329,9 @@ def extract_avi_frames(data: bytes) -> list[bytes]:
     def walk(start: int, end: int, in_movi: bool) -> None:
         for fourcc, subtype, b0, b1 in _walk_riff(data, start, end):
             if fourcc in (b"RIFF", b"LIST"):
-                walk(b0, b1, subtype == b"movi")
+                # 'rec ' LISTs nested inside movi group interleaved
+                # chunks — frames inside them are still movi content.
+                walk(b0, b1, in_movi or subtype == b"movi")
             elif in_movi and fourcc in (b"00dc", b"00db"):
                 frames.append(data[b0:b1])
 

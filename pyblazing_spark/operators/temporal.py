@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 def _contains_map(dt: "T.DataType") -> bool:
     """True if the type has a MapType anywhere — ``xxhash64`` raises on
     maps (spark.sql.legacy.allowHashOnMapType defaults off), so such
-    fields must stay out of the tie-break hash."""
+    fields enter the tie-break hash via ``to_json`` instead."""
     if isinstance(dt, T.MapType):
         return True
     if isinstance(dt, T.ArrayType):
@@ -55,10 +55,11 @@ def _asof_union_window(
     from the SAME right row — carrying columns independently with
     first/last(ignorenulls) would stitch fields from different right
     rows whenever a payload value is legitimately NULL.  Equal right
-    timestamps per key are tie-broken by ``xxhash64`` of the payload's
-    hashable fields (maps excluded — xxhash64 raises on MapType), which
-    is deterministic across runs/partitionings (both directions resolve
-    a tie to the payload with the SMALLEST hash)."""
+    timestamps per key are tie-broken by ``xxhash64`` of ALL payload
+    fields (map-typed fields enter via ``to_json``, since xxhash64
+    raises on MapType), which is deterministic across
+    runs/partitionings (both directions resolve a tie to the payload
+    with the SMALLEST hash)."""
     payload_names = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
     left_only = [c for c in left.columns if c not in (on, left_ts)]
 
@@ -99,21 +100,23 @@ def _asof_union_window(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
         r_payload.alias("__payload"),
     )
-    # Tie hash over the HASHABLE payload fields only: xxhash64 raises an
+    # Tie hash over ALL payload fields: xxhash64 raises an
     # AnalysisException on MapType anywhere in its input, and map-valued
     # right payloads are legal (the pre-r6 column-wise carrier accepted
-    # them).  The right timestamp field is always present and hashable,
-    # so the hash never degenerates to a constant.
+    # them) — those fields enter the hash through their to_json
+    # serialization instead, which is deterministic per row (Spark never
+    # reorders map entries), so two right rows that differ ONLY in a map
+    # column still get distinct tie hashes and the as-of pick stays
+    # deterministic across runs/partitionings.
     right_types = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
-    hashable = [
-        f"{c}{suffix}" for c in right_cols if not _contains_map(right_types[c])
-    ] + [f"{right_ts}{suffix}"]
+    tie_inputs = []
+    for c in right_cols:
+        fld = F.col("__payload").getField(f"{c}{suffix}")
+        tie_inputs.append(F.to_json(fld) if _contains_map(right_types[c]) else fld)
+    tie_inputs.append(F.col("__payload").getField(f"{right_ts}{suffix}"))
     unioned = l_tagged.unionByName(r_tagged).withColumn(
         "__tie",
-        F.coalesce(
-            F.xxhash64(*[F.col("__payload").getField(f) for f in hashable]),
-            F.lit(0),
-        ),
+        F.coalesce(F.xxhash64(*tie_inputs), F.lit(0)),
     )
     if forward:
         order = [F.col("__t"), F.col("__side"), F.col("__tie")]

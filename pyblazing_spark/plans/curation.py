@@ -880,7 +880,10 @@ SELECT CAST(o_orderpriority AS VARCHAR)   AS o_orderpriority,
        CAST(count(*) AS BIGINT)           AS n,
        CAST(sum(o_orderkey) AS BIGINT)    AS key_sum,
        round(sum(o_totalprice) + 1e-4, 2) AS total,
-       CAST(64 AS INTEGER)                AS n_files_before,
+       -- Spark writes NO file for an empty round-robin partition, so a
+       -- slice smaller than 64 rows fragments into row_count files.
+       CAST(least(64, (SELECT count(*) FROM orders WHERE o_orderstatus = 'F'))
+            AS INTEGER)                   AS n_files_before,
        TRUE                               AS layout_ok
 FROM orders
 WHERE o_orderstatus = 'F'
@@ -923,10 +926,11 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("o_orderstatus") == "F")
             .select("o_orderkey", "o_totalprice", "o_orderpriority")
         )
+        n_rows = od.count()
         write_files(od.repartition(64), frag_dir)
         stats = compact_files(spark, frag_dir, packed_dir, target_bytes=4 << 20)
         layout_ok = (
-            stats["n_files_before"] == 64
+            stats["n_files_before"] == min(64, n_rows)
             and 1 <= stats["n_files_after"] < stats["n_files_before"]
             and stats["n_files_after"] <= stats["target_files"] + 1
         )

@@ -694,8 +694,12 @@ def multimodal_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "video", "avi", "mjpeg", "codec", "mapInPandas"),
     oracle="""
 WITH v AS (
+  -- printable-ASCII guard: the engine kernel slices the UTF-8 BYTE
+  -- buffer into 48-byte frames while substr slices CHARACTERS; the
+  -- digests only agree when bytes == chars.
   SELECT doc_id, text FROM documents
-  WHERE doc_id % 3 = 2 AND length(text) >= 144),
+  WHERE doc_id % 3 = 2 AND length(text) >= 144
+    AND regexp_matches(substr(text, 1, 144), '^[ -~]{144}$')),
  f AS (
   SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
          substr(text, CAST(i * 48 + 1 AS INTEGER), 48) AS src
@@ -744,7 +748,14 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         T(spark, sf_dir, "documents")
-        .where((F.col("doc_id") % 3 == 2) & (F.length("text") >= 144))
+        .where(
+            (F.col("doc_id") % 3 == 2)
+            & (F.length("text") >= 144)
+            # printable-ASCII guard (mirrored in the oracle): the kernel
+            # slices BYTES while SQL substr slices CHARACTERS — a
+            # multibyte char in the head would desynchronize src_digest.
+            & F.substring("text", 1, 144).rlike("^[ -~]{144}$")
+        )
         .select(
             "doc_id",
             F.encode(F.substring("text", 1, 144), "UTF-8").alias("content"),

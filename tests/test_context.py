@@ -43,9 +43,32 @@ def test_async_token_status_fetch(bc):
         time.sleep(0.1)
     result = bc.fetch(tok)
     assert isinstance(result, pd.DataFrame) and len(result) >= 1
-    # token is consumed
-    with pytest.raises(KeyError):
+    # a fetched token still reports done (reference returns a status for
+    # finished queries; r7 verdict: bare KeyError here was a bug)
+    assert bc.status(tok) is True
+    # ... but cannot be fetched twice, and the error says why
+    with pytest.raises(ValueError, match="already fetched"):
         bc.fetch(tok)
+
+
+def test_unknown_token_is_descriptive(bc):
+    with pytest.raises(ValueError, match="unknown query token"):
+        bc.status(987654)
+    with pytest.raises(ValueError, match="unknown query token"):
+        bc.fetch(987654)
+
+
+def test_lazy_log_rows_marked_planned(bc):
+    """Lazy-mode sql() only plans; its log row must not masquerade as an
+    executed-ok duration (r7 verdict nit)."""
+    bc.sql("SELECT 41 AS planned_probe")  # lazy: not collected
+    bc.sql("SELECT 42 AS eager_probe", eager=True)
+    rows = {
+        r.query: r.status
+        for r in bc.log("SELECT query, status FROM bsql_logs").collect()
+    }
+    assert rows["SELECT 41 AS planned_probe"] == "planned"
+    assert rows["SELECT 42 AS eager_probe"] == "ok"
 
 
 def test_catalog_roundtrip(bc, sf_dir):
@@ -123,6 +146,29 @@ def test_filesystem_registration_prefixes(bc, spark, sf_dir):
     bc.create_table("fs_nation", f"local1://{sf_dir}/nation.parquet")
     assert bc.table("fs_nation").count() == 25
     bc.drop_table("fs_nation")
+
+
+def test_hdfs_auth_kwargs_land_in_hadoop_conf(bc, spark):
+    """Reference hdfs() accepts user/kerb_ticket auth kwargs
+    (context.py:1703-1744); ours must map them to the session Hadoop
+    configuration, not silently drop them (r7 verdict #7)."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    bc.hdfs(
+        "hk", host="nn1", port=9000,
+        user="svc_etl", kerb_ticket="/tmp/krb5cc_etl",
+    )
+    assert hconf.get("hadoop.user.name") == "svc_etl"
+    assert hconf.get("hadoop.security.authentication") == "kerberos"
+    assert hconf.get("hadoop.security.kerberos.ticket.cache.path") == "/tmp/krb5cc_etl"
+    assert bc._resolve_paths("hk://d/x.parquet") == "hdfs://nn1:9000/d/x.parquet"
+    # unknown kwargs warn (reference validates its kwarg set) …
+    with pytest.warns(UserWarning, match="unknown option 'bogus'"):
+        bc.hdfs("hk2", host="nn2", bogus=1)
+    # … but the libhdfs-specific 'driver' kwarg is accepted silently
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        bc.hdfs("hk3", host="nn3", driver="libhdfs3")
 
 
 def test_sql_joins_registered_tables(bc):

@@ -157,3 +157,20 @@ def test_regexp_replace_pattern_backmatch_preserved(spark):
         r"SELECT REGEXP_REPLACE(REGEXP_REPLACE(x, '(b)', '[\1]'), '(c)', '{\1}') FROM t"
     )
     assert "'[$1]'" in nested and "'{$1}'" in nested
+
+
+def test_regexp_replace_name_inside_literal_not_a_call(spark):
+    """'regexp_replace(' appearing as TEXT inside a string literal is not
+    a nested call (ADVICE r7 #1): the scan must skip it, and backrefs
+    later in that same literal must still be rewritten."""
+    from pyblazing_spark.dialect import prepare
+
+    sql = r"SELECT REGEXP_REPLACE(x, '(b)(c)', 'see regexp_replace( docs \2\1') AS a FROM t"
+    prepared = prepare(sql)
+    assert "'see regexp_replace( docs $2$1'" in prepared
+    # and end-to-end through Spark
+    e2e = prepare(
+        r"SELECT REGEXP_REPLACE('abc', '(b)(c)', 'regexp_replace( \2\1') AS a"
+    )
+    row = spark.sql(e2e).collect()[0]
+    assert row.a == "aregexp_replace( cb"

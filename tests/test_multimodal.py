@@ -431,6 +431,27 @@ def test_avi_mjpeg_mux_demux_decode_roundtrip():
         MMETA.extract_avi_frames(MMETA.build_avi_mjpeg([], 2, 2))
 
 
+def test_extract_avi_frames_rec_list_interleave():
+    """Frames grouped inside a 'rec ' LIST nested in movi (legal,
+    common in interleaved AVIs) must still be demuxed (ADVICE r7 #3:
+    in_movi was dropped when recursing into nested LISTs)."""
+    import struct
+
+    from pyblazing_spark.operators import media_meta as MMETA
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(subtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", subtype + payload)
+
+    f1, f2 = b"frame-one!", b"frame-two"
+    movi = lst(b"movi", lst(b"rec ", chunk(b"00dc", f1)) + chunk(b"00dc", f2))
+    avi = chunk(b"RIFF", b"AVI " + movi)
+    assert MMETA.extract_avi_frames(avi) == [f1, f2]
+
+
 # ---- unsupported-WebP negative paths (graceful skip, never batch error)
 
 

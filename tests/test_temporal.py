@@ -104,10 +104,10 @@ def test_asof_equal_right_ts_deterministic(spark):
 
 
 def test_asof_map_typed_payload_carries(spark):
-    """Map-typed right payload columns work: the tie hash excludes them
-    (xxhash64 raises on MapType), but the carried struct still delivers
-    the map value — the pre-r6 column-wise carrier accepted maps, so
-    this is a capability-regression guard."""
+    """Map-typed right payload columns work: xxhash64 raises on MapType,
+    so the tie hash routes them through to_json — the carried struct
+    still delivers the map value. The pre-r6 column-wise carrier
+    accepted maps, so this is a capability-regression guard."""
     left = spark.createDataFrame(
         [(1, _ts("2024-01-01T12:00:00"))], "uid bigint, ts timestamp_ntz"
     )
@@ -127,6 +127,29 @@ def test_asof_map_typed_payload_carries(spark):
         left, right, on="uid", right_cols=["attrs", "px"]
     ).collect()
     assert fwd.attrs_right is None and fwd.px_right is None
+
+
+def test_asof_tie_on_map_only_difference_is_deterministic(spark):
+    """Two right rows with equal key+timestamp differing ONLY in a map
+    column must tie-break deterministically (ADVICE r7 #2: excluding
+    maps from the hash made the pick partitioning-dependent). The map
+    enters the hash via to_json, so repeated runs under different
+    partitionings agree."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"))], "uid bigint, ts timestamp_ntz"
+    )
+    rows = [
+        (1, _ts("2024-01-01T11:00:00"), {"k": 1}),
+        (1, _ts("2024-01-01T11:00:00"), {"k": 2}),
+    ]
+    picks = set()
+    for nparts in (1, 2, 5):
+        right = spark.createDataFrame(
+            rows, "uid bigint, ts timestamp_ntz, attrs map<string,bigint>"
+        ).repartition(nparts)
+        (row,) = TP.asof_join(left, right, on="uid", right_cols=["attrs"]).collect()
+        picks.add(row.attrs_right["k"])
+    assert len(picks) == 1, f"nondeterministic map-only tie pick: {picks}"
 
 
 def test_asof_join_matches_duckdb_shape_on_events(spark, sf_dir):
