@@ -1321,6 +1321,97 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_sqlite_roundtrip",
+    tags=("source", "sqlite", "pushdown"),
+    oracle="""
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT)        AS n,
+       CAST(sum(c_custkey) AS BIGINT)  AS key_sum,
+       round(sum(c_acctbal) + 1e-4, 2) AS bal_total
+FROM customer
+WHERE c_custkey < 1000 AND c_acctbal > 100
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def source_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable SQLite path with ZERO extra jars: a customer slice is
+    written into a real SQLite database file (stdlib ``sqlite3``), then
+    read back through :func:`pyblazing_spark.sources.files.read_jdbc`'s
+    ``from_sql="sqlite"`` route — which, with no ``org.sqlite.JDBC`` on
+    the classpath, resolves to the Python DataSource bridge
+    (:mod:`pyblazing_spark.sources.sqlite_ds`): column-pruned SELECT
+    (only the four queried columns are named — asserted in
+    tests/test_sources.py), Catalyst filters transpiled into the
+    emitted WHERE (``AbstractSQLDataProvider.cpp:42-86`` parity;
+    ``SQLiteDataProvider.cpp:1-80``), and rowid-range partitioned
+    parallel reads. The aggregate must equal the same query over the
+    original parquet, so a type-mapping, pruning, pushdown, or
+    partition-boundary bug (dropped/duplicated rowid range) fails the
+    value compare; ``key_sum`` pins WHICH rows survived.
+
+    Scale: the external-DB ingest pattern — the DB does the filtering
+    B-tree-side, N cursors stream disjoint rowid ranges in parallel,
+    and only Arrow batches cross into the JVM. The seed slice is
+    bounded (<1000 keys) by contract, mirroring source_jdbc_roundtrip's
+    Derby write."""
+    import sqlite3
+    import tempfile
+
+    from pyblazing_spark.sources.files import read_jdbc
+
+    cust = (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 1000)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .toPandas()
+    )
+    db = tempfile.mktemp(prefix="pbs_sqlite_", suffix=".db")
+    with sqlite3.connect(db) as con:
+        con.execute(
+            "CREATE TABLE customer_rt (c_custkey INTEGER, c_name TEXT,"
+            " c_acctbal REAL, c_mktsegment TEXT)"
+        )
+        # sqlite3 binds only native Python scalars (numpy.int64 is not
+        # an int subclass) — convert explicitly.
+        con.executemany(
+            "INSERT INTO customer_rt VALUES (?,?,?,?)",
+            zip(
+                (int(v) for v in cust["c_custkey"]),
+                (str(v) for v in cust["c_name"]),
+                (float(v) for v in cust["c_acctbal"]),
+                (str(v) for v in cust["c_mktsegment"]),
+            ),
+        )
+    try:
+        back = read_jdbc(
+            spark,
+            "customer_rt",
+            from_sql="sqlite",
+            database=db,
+            table="customer_rt",
+            columns="c_custkey,c_acctbal,c_mktsegment",
+            numPartitions=4,
+        )
+        return (
+            back.where(F.col("c_acctbal") > 100)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("c_custkey").alias("key_sum"),
+                F.round(F.sum("c_acctbal") + 1e-4, 2).alias("bal_total"),
+            )
+            .orderBy("c_mktsegment")
+            # materialize BEFORE the temp db disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        import os
+
+        os.unlink(db)
+
+
+@register(
     "text_lm_bigram",
     tags=("llm", "text", "scoring", "lm"),
     oracle=r"""

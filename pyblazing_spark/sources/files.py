@@ -185,6 +185,15 @@ def read_files(
     return reader.parquet(*paths), "parquet"
 
 
+def _jdbc_driver_present(spark: SparkSession, klass: str) -> bool:
+    """True when the JDBC driver class is loadable in the session JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName(klass)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
 def read_jdbc(spark: SparkSession, table_name: str, **kwargs: Any) -> DataFrame:
     """``from_sql``-style kwargs (reference context.py:930-938) -> JDBC read.
 
@@ -196,6 +205,29 @@ def read_jdbc(spark: SparkSession, table_name: str, **kwargs: Any) -> DataFrame:
     host = kwargs.get("hostname", "localhost")
     port = kwargs.get("port", {"mysql": 3306, "postgresql": 5432}.get(backend, 5432))
     database = kwargs.get("database", "")
+    if backend == "sqlite" and not _jdbc_driver_present(spark, "org.sqlite.JDBC"):
+        # Jar-free executable path (reference SQLiteDataProvider.cpp:1-80):
+        # stdlib-sqlite3 Python DataSource with Catalyst filter pushdown
+        # and rowid-range partitioned reads — see sources/sqlite_ds.py.
+        from pyblazing_spark.sources.sqlite_ds import register_sqlite_source
+
+        register_sqlite_source(spark)
+        reader = (
+            spark.read.format("pysqlite")
+            .option("path", database)
+            .option("dbtable", kwargs.get("table", table_name))
+        )
+        # Catalyst pushdown is only safe for one-query (ephemeral)
+        # relations: Spark 4.1 pins the first pushdown's read info on
+        # the shared relation (see sqlite_ds module docstring), so
+        # create_table routes here with pushdown=False and can use the
+        # static `predicate` option instead.
+        if not kwargs.get("pushdown", True):
+            reader = reader.option("pushdown", "false")
+        for opt in ("columns", "numPartitions", "predicate"):
+            if opt in kwargs:
+                reader = reader.option(opt, str(kwargs[opt]))
+        return reader.load()
     if backend in ("sqlite", "derby"):
         # file-backed engines: `database` is a filesystem path. Derby's
         # embedded driver ships with Spark, so the derby path is
@@ -226,6 +258,10 @@ def read_source(
     """Route ``create_table`` input to a DataFrame (reference :2079-2577)."""
     table_default = kwargs.pop("_table_name", "")
     if kwargs.get("from_sql"):
+        # Catalog tables are long-lived, many-query relations: default
+        # the sqlite bridge to its reuse-safe reader (no dynamic
+        # pushdown) unless the caller opted in explicitly.
+        kwargs.setdefault("pushdown", False)
         return read_jdbc(spark, str(input), **kwargs), "jdbc", []
     from pyblazing_spark.sources.hive import looks_like_hive_cursor, read_hive_cursor
 

@@ -343,18 +343,164 @@ def test_jdbc_derby_end_to_end(bc, spark, tmp_path):
 
 
 def test_jdbc_kwarg_routing_without_driver(bc):
-    """No JDBC driver jar ships in this container: the from_sql path must
-    fail with the JDBC driver error (proving routing + URL construction),
-    not a silent fallback."""
+    """No MySQL/PostgreSQL driver jar ships in this container: those
+    from_sql paths must fail with the JDBC driver error (proving
+    routing + URL construction), not a silent fallback.  (sqlite no
+    longer belongs here — it has a jar-free executable bridge.)"""
     import py4j.protocol
     from pyspark.errors.exceptions.captured import CapturedException
 
     with pytest.raises((CapturedException, py4j.protocol.Py4JJavaError)) as exc:
         bc.create_table(
-            "sqlite_t",
+            "mysql_t",
             "some_table",
-            from_sql="sqlite",
-            database="/tmp/nonexistent.db",
+            from_sql="mysql",
+            database="somedb",
             table="some_table",
         )
     assert "driver" in str(exc.value).lower() or "jdbc" in str(exc.value).lower()
+
+
+@pytest.fixture()
+def sqlite_db(tmp_path):
+    import sqlite3
+
+    db = str(tmp_path / "bridge.db")
+    with sqlite3.connect(db) as con:
+        con.execute(
+            "CREATE TABLE emp (id INTEGER, name TEXT, salary REAL,"
+            " dept TEXT, notes BLOB)"
+        )
+        con.executemany(
+            "INSERT INTO emp VALUES (?,?,?,?,?)",
+            [
+                (0, "ada", 120.0, "eng", b"x"),
+                (1, "bob", 95.5, "ops", None),
+                (2, "cyd", 130.25, "eng", b"yz"),
+                (3, "dee", 88.0, "ops", None),
+                (4, "eve", None, "eng", b""),
+            ],
+        )
+    return db
+
+
+def test_sqlite_bridge_end_to_end(bc, spark, sqlite_db):
+    """from_sql="sqlite" with no org.sqlite.JDBC jar resolves to the
+    stdlib-sqlite3 Python DataSource (r7 verdict #2): correct types,
+    rows, NULLs, and BLOBs through the Arrow batch path."""
+    bc.create_table(
+        "emp_sqlite", "emp", from_sql="sqlite", database=sqlite_db, table="emp"
+    )
+    df = bc.table("emp_sqlite")
+    assert dict(df.dtypes) == {
+        "id": "bigint", "name": "string", "salary": "double",
+        "dept": "string", "notes": "binary",
+    }
+    rows = bc.sql(
+        "SELECT name, salary FROM emp_sqlite WHERE salary > 100 ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["salary"]) for r in rows] == [("ada", 120.0), ("cyd", 130.25)]
+    got = {r.id: (r.salary, bytes(r.notes) if r.notes is not None else None)
+           for r in df.collect()}
+    assert got[1] == (95.5, None) and got[4][0] is None and got[2][1] == b"yz"
+    # REUSE-SAFETY (the reason catalog tables get the no-pushdown
+    # reader): Spark 4.1 pins the first pushdown's read info on a
+    # shared relation, so a filtered scan must NOT poison later full
+    # scans of the same registered table.
+    assert bc.sql("SELECT count(*) AS n FROM emp_sqlite").collect()[0].n == 5
+    assert bc.sql(
+        "SELECT count(*) AS n FROM emp_sqlite WHERE dept = 'ops'"
+    ).collect()[0].n == 2
+    assert bc.sql("SELECT count(*) AS n FROM emp_sqlite").collect()[0].n == 5
+    bc.drop_table("emp_sqlite")
+
+
+def test_sqlite_bridge_pushdown_and_pruning(spark, sqlite_db):
+    """The emitted SELECT names only the pruned columns and carries the
+    transpiled predicates — the pruned column must be ABSENT from the
+    SQL (r7 verdict #2 done-criterion), mirroring the reference's
+    server-side WHERE build (AbstractSQLDataProvider.cpp:42-86)."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, In, IsNull, Not, StringStartsWith,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    from pyblazing_spark.sources.sqlite_ds import SQLiteDataSource, SQLiteReader
+
+    src = SQLiteDataSource(
+        {"path": sqlite_db, "dbtable": "emp", "columns": "id,salary"}
+    )
+    schema_ddl = src.schema()
+    assert schema_ddl == "`id` bigint, `salary` double"  # name/notes/dept pruned
+    reader = SQLiteReader(
+        {"path": sqlite_db, "dbtable": "emp"},
+        _parse_datatype_string(schema_ddl),
+    )
+    leftover = list(
+        reader.pushFilters(
+            [
+                GreaterThan(("salary",), 100.0),
+                EqualTo(("dept",), "eng"),
+                In(("id",), (0, 2, 4)),
+                IsNull(("notes",)),
+                Not(EqualTo(("name",), "bob")),
+                StringStartsWith(("name",), "a"),
+                EqualTo(("a", "b"), 1),  # nested: unsupported, handed back
+            ]
+        )
+    )
+    assert len(leftover) == 1  # only the nested-attribute filter returns
+    sql = reader.build_select((1, 3))
+    assert sql.startswith('SELECT "id", "salary" FROM "emp"')
+    for unwanted in ('"name",', '"notes"', "*"):
+        assert unwanted not in sql.split("WHERE")[0]
+    assert '"salary" > 100.0' in sql
+    assert "\"dept\" = 'eng'" in sql
+    assert '"id" IN (0, 2, 4)' in sql
+    assert '"notes" IS NULL' in sql
+    assert "NOT (\"name\" = 'bob')" in sql
+    assert "\"name\" LIKE 'a%' ESCAPE" in sql
+    assert "rowid BETWEEN 1 AND 3" in sql
+    # end-to-end: Spark's plan contains no separate Filter node when every
+    # predicate pushed (the BatchScan absorbs them)
+    from pyblazing_spark.sources.files import read_jdbc
+
+    df = read_jdbc(
+        spark, "emp", from_sql="sqlite", database=sqlite_db, table="emp",
+        numPartitions=2,
+    ).where("salary > 100")
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert " Filter (" not in plan, plan  # "RuntimeFilters: []" is not a Filter node
+    assert sorted(r.name for r in df.collect()) == ["ada", "cyd"]
+
+
+def test_sqlite_bridge_partitioning_and_errors(spark, sqlite_db, tmp_path):
+    """Rowid ranges cover every row exactly once at any partition count;
+    a missing db file or table raises instead of silently creating an
+    empty database."""
+    from pyblazing_spark.sources.files import read_jdbc
+
+    for n in (1, 3, 16):
+        df = read_jdbc(
+            spark, "emp", from_sql="sqlite", database=sqlite_db, table="emp",
+            numPartitions=n,
+        )
+        assert sorted(r.id for r in df.collect()) == [0, 1, 2, 3, 4]
+    # over-partitioned: clamps to row count, no empty-crash
+    import sqlite3 as s3
+
+    from pyblazing_spark.sources.sqlite_ds import probe_schema
+
+    with pytest.raises(Exception):
+        probe_schema(str(tmp_path / "missing.db"), "emp")
+    assert not (tmp_path / "missing.db").exists()
+    empty = str(tmp_path / "empty.db")
+    with s3.connect(empty) as con:
+        con.execute("CREATE TABLE t0 (a INTEGER)")
+    assert read_jdbc(
+        spark, "t0", from_sql="sqlite", database=empty, table="t0"
+    ).count() == 0
+    with pytest.raises(Exception, match="not found"):
+        probe_schema(empty, "nope")
