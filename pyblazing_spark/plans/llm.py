@@ -1412,6 +1412,86 @@ def source_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_unsigned_widening",
+    tags=("source", "parquet", "unsigned", "types"),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)                  AS n,
+       CAST(sum(n_nationkey * 10) AS BIGINT)     AS u8_sum,
+       CAST(sum(n_nationkey * 2600) AS BIGINT)   AS u16_sum,
+       CAST(sum(n_nationkey * CAST(171798691 AS BIGINT)) AS BIGINT) AS u32_sum,
+       CAST(max(n_nationkey * CAST(171798691 AS BIGINT)) AS BIGINT) AS u32_max,
+       -- u64 rides as VARCHAR: DuckDB's pandas conversion flattens
+       -- DECIMAL(20,0) to float64 (precision loss + dtype skew); the
+       -- string is exact on both engines.  The widened decimal dtype
+       -- itself is pinned by the in-entry assert.
+       CAST('18446744073709551615'::DECIMAL(20,0) - min(n_nationkey)
+            AS VARCHAR)                          AS u64_max,
+       CAST('18446744073709551615'::DECIMAL(20,0) - max(n_nationkey)
+            AS VARCHAR)                          AS u64_min
+FROM nation
+""",
+)
+def source_unsigned_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsigned-type ingest, end to end (SURVEY §1.2; reference
+    ``unsignedTypeTest.py`` + catalog enum
+    ``CatalogColumnDataType.java:19-47``): a parquet file with REAL
+    uint8/uint16/uint32/uint64 logical types — values deterministically
+    derived from nation keys, deliberately ABOVE each signed type's max
+    (u32 rows exceed INT32_MAX; u64 rows sit at 2^64-1-k) — is read
+    back through :func:`pyblazing_spark.sources.files.read_source` and
+    must land in the widened Spark types (uint8→smallint, uint16→int,
+    uint32→bigint, uint64→decimal(20,0)) with exact values. The oracle
+    recomputes every aggregate from nation with the same arithmetic, so
+    a narrowing overflow (the failure mode of naive uint handling:
+    2^64-1 → NULL bigint) cannot pass; ``u64_max``/``u64_min`` carrying
+    DECIMAL(20,0) pins the widened dtype family itself.
+
+    Scale: widening is a pure metadata/cast concern at the scan — no
+    shuffle, no Python; the same parquet footer logic handles a 100 TB
+    unsigned-column corpus."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyblazing_spark.sources.files import read_source
+
+    keys = sorted(
+        int(r.n_nationkey)
+        for r in T(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    t = pa.table(
+        {
+            "u8": pa.array([k * 10 for k in keys], pa.uint8()),
+            "u16": pa.array([k * 2600 for k in keys], pa.uint16()),
+            "u32": pa.array([k * 171798691 for k in keys], pa.uint32()),
+            "u64": pa.array([(1 << 64) - 1 - k for k in keys], pa.uint64()),
+        }
+    )
+    path = tempfile.mktemp(prefix="pbs_uint_", suffix=".parquet")
+    pq.write_table(t, path)
+    try:
+        back, _fmt, _paths = read_source(spark, path)
+        widened = dict(back.dtypes)
+        assert widened == {
+            "u8": "smallint", "u16": "int", "u32": "bigint",
+            "u64": "decimal(20,0)",
+        }, f"unsigned widening broke: {widened}"
+        return back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u8").alias("u8_sum"),
+            F.sum("u16").alias("u16_sum"),
+            F.sum("u32").alias("u32_sum"),
+            F.max("u32").alias("u32_max"),
+            F.max("u64").cast("string").alias("u64_max"),
+            F.min("u64").cast("string").alias("u64_min"),
+        ).localCheckpoint(eager=True)
+    finally:
+        os.unlink(path)
+
+
+@register(
     "text_lm_bigram",
     tags=("llm", "text", "scoring", "lm"),
     oracle=r"""

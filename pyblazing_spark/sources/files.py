@@ -185,6 +185,31 @@ def read_files(
     return reader.parquet(*paths), "parquet"
 
 
+def widen_unsigned(table: "Any") -> "Any":
+    """Losslessly widen unsigned Arrow columns to the signed/decimal
+    types Spark can hold (SURVEY §1.2; the reference reads and tests
+    unsigned columns — ``unsignedTypeTest.py``, catalog enum
+    ``CatalogColumnDataType.java:19-47``): uint8→int16, uint16→int32,
+    uint32→int64, uint64→decimal(20,0).  This matches what Spark's own
+    parquet reader does for unsigned LOGICAL types, so in-memory ingest
+    (pandas/Arrow ``create_table``) agrees with file ingest."""
+    import pyarrow as pa
+
+    widening = {
+        pa.uint8(): pa.int16(),
+        pa.uint16(): pa.int32(),
+        pa.uint32(): pa.int64(),
+        pa.uint64(): pa.decimal128(20, 0),
+    }
+    for i, f in enumerate(table.schema):
+        target = widening.get(f.type)
+        if target is not None:
+            table = table.set_column(
+                i, pa.field(f.name, target, f.nullable), table.column(i).cast(target)
+            )
+    return table
+
+
 def _jdbc_driver_present(spark: SparkSession, klass: str) -> bool:
     """True when the JDBC driver class is loadable in the session JVM."""
     try:
@@ -280,6 +305,19 @@ def read_source(
         import pandas as pd
 
         if isinstance(input, pd.DataFrame):
+            if any(str(dt).startswith("uint") for dt in input.dtypes):
+                # pandas uintN dtypes silently overflow through the
+                # default conversion (uint64 near 2**64 -> NULL bigint):
+                # detour through Arrow, which preserves them, then widen.
+                import pyarrow as pa
+
+                return (
+                    spark.createDataFrame(
+                        widen_unsigned(pa.Table.from_pandas(input, preserve_index=False))
+                    ),
+                    "pandas",
+                    [],
+                )
             return spark.createDataFrame(input), "pandas", []
     except ImportError:  # pragma: no cover
         pass
@@ -287,6 +325,8 @@ def read_source(
         import pyarrow as pa
 
         if isinstance(input, pa.Table):
+            if any(pa.types.is_unsigned_integer(f.type) for f in input.schema):
+                return spark.createDataFrame(widen_unsigned(input)), "arrow", []
             return spark.createDataFrame(input.to_pandas()), "arrow", []
     except ImportError:  # pragma: no cover
         pass
