@@ -786,10 +786,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitems-per-order, then map-side-combined counting — only
     (s1, s2, partial count) longs shuffle). Everything after runs on
     the aggregated EDGE LIST, orders of magnitude smaller than the
-    fact table. The wedge join's cost is sum(deg^2); at production
-    scale the same plan is preceded by degree-based re-orientation
-    (low-degree endpoint first), which this id-orientation stands in
-    for on the synthetic near-uniform graph."""
+    fact table. Triangles use degree-ordered orientation +
+    adjacency-array intersection (r7 verdict #6): edges directed from
+    the lower-(degree, id) endpoint bound every out-degree by
+    O(sqrt(m)) even on power-law graphs, and each directed edge
+    (u, v) closes its triangles via array_intersect(N+(u), N+(v)) in
+    whole-stage codegen — the candidate-WEDGE SHUFFLE of the naive
+    join formulation (sum(outdeg^2) rows; 166M at the 10x probe, 41 s)
+    disappears entirely, and per-node counts aggregate from edge-level
+    intersection sizes without ever materializing per-triangle rows."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a, b = li.alias("a"), li.alias("b")
     co = (
@@ -804,29 +809,61 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     edges = co.where(F.col("n_orders") >= 5).select("s1", "s2").localCheckpoint(
-        eager=True  # the edge list feeds three join branches; truncate lineage
+        eager=True  # the edge list feeds several branches; truncate lineage
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
-        .join(
-            e3,
-            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
-        )
-        .select(
-            F.col("e1.s1").alias("a"), F.col("e1.s2").alias("b"), F.col("e2.s2").alias("c")
-        )
+    # Degree-ordered orientation: direct every edge low->high on
+    # (degree, id) — bounds each node's OUT-degree by O(sqrt(m)) on any
+    # graph (arboricity argument), so hub nodes cannot blow up the
+    # intersection arrays below.  The degree table is node-sized.
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionAll(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = edges.join(
+        F.broadcast(deg.select(F.col("node").alias("s1"), F.col("deg").alias("d1"))),
+        "s1",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("s2"), F.col("deg").alias("d2"))),
+        "s2",
+    )
+    k1 = F.struct(F.col("d1").alias("dg"), F.col("s1").alias("id"))
+    k2 = F.struct(F.col("d2").alias("dg"), F.col("s2").alias("id"))
+    directed = ed.select(
+        F.when(k1 < k2, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+        F.when(k1 < k2, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+    ).localCheckpoint(eager=True)
+    # Adjacency-intersection counting: a DAG-oriented triangle u->v,
+    # u->w, v->w is found at its (u, v) edge as w in N+(u) ∩ N+(v) —
+    # each triangle exactly once, NO wedge shuffle (the r7 wedge join
+    # shuffled sum(outdeg^2) ≈ 166M candidate rows at the 10x probe;
+    # array_intersect runs in whole-stage codegen on the scan side).
+    # The adjacency table is oriented-edge-list-sized; Catalyst/AQE
+    # broadcasts it while it fits and falls back to a shuffle join on
+    # bigger graphs — both correct.  ONE pass computes per-node counts:
+    # explode each intersection to its (u, v, w) triple and count every
+    # vertex role — partial aggregation collapses the exploded stream
+    # map-side (node-sized partials), so nothing triangle-scale ever
+    # shuffles or materializes.
+    adj = directed.groupBy(F.col("u").alias("node")).agg(
+        F.collect_list("v").alias("nbrs")
     )
     pernode = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select("b"))
-        .unionAll(tri.select("c"))
+        directed.join(
+            adj.select(F.col("node").alias("u"), F.col("nbrs").alias("nu")), "u"
+        )
+        .join(adj.select(F.col("node").alias("v"), F.col("nbrs").alias("nv")), "v")
+        .select("u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w"))
+        .select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .localCheckpoint(eager=True)  # node-sized; feeds top-5 + totals
     )
-    tot = tri.agg(F.count(F.lit(1)).alias("total_triangles")).crossJoin(
-        F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges")))
-    )
+    # Every triangle contributed exactly 3 vertex roles above.
+    tot = pernode.agg(
+        F.expr("sum(n_triangles) div 3").alias("total_triangles")
+    ).crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
     w = W.orderBy(F.desc("n_triangles"), "node")
     return materialize_bounded(
         pernode.crossJoin(F.broadcast(tot))
