@@ -727,6 +727,7 @@ def pipeline_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipeline_snapshot_diff",
     tags=("pipeline", "reconciliation", "cdc", "drift"),
+    bench=True,  # scale-critical: regressions must be visible per-round (r7 #8)
     oracle="""
 WITH old AS (
   SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS stat,

@@ -763,3 +763,80 @@ def expr_regexp_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "expr_url_parse",
+    tags=("expr", "url", "strings", "crawl"),
+    oracle="""
+WITH u AS (
+  SELECT o_orderkey,
+         'https://Shop' || CAST(o_orderkey % 7 AS VARCHAR)
+           || '.Example.COM/' || lower(o_orderstatus) || '/item?id='
+           || CAST(o_orderkey AS VARCHAR)
+           || '&utm_source=news&ref=a#sec' || CAST(o_orderkey % 3 AS VARCHAR)
+           AS url
+  FROM orders WHERE o_orderkey <= 2000),
+ parts AS (
+  SELECT o_orderkey,
+         lower(regexp_extract(url, 'https?://([^/?#]+)', 1)) AS host,
+         regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1)  AS path,
+         regexp_extract(url, '[?&]id=([^&#]*)', 1)           AS id_param
+  FROM u)
+SELECT host,
+       CAST(count(*) AS BIGINT)                    AS n,
+       CAST(sum(CAST(id_param AS BIGINT)) AS BIGINT) AS id_sum,
+       CAST(count(DISTINCT path) AS BIGINT)        AS n_paths,
+       min(host || path || '?id=' || id_param)     AS sample_canonical
+FROM parts
+GROUP BY host
+ORDER BY host
+""",
+)
+def expr_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + canonicalization — the first transform every
+    crawl-derived training corpus applies (host lowercase, fragment and
+    tracking params dropped, stable query-param extraction). URLs are
+    built deterministically from orders keys so both engines see
+    identical inputs; Spark parses with its NATIVE ``parse_url``
+    (HOST / PATH / QUERY-with-key modes, JVM codegen), while the
+    oracle recomputes each component with regexes (DuckDB has no URL
+    parser) — so a component-boundary bug (fragment leaking into the
+    query param, port/userinfo mishandling, case-fold misses) fails
+    the compare. Grouping by canonical host with id sums pins WHICH
+    rows landed under which host.
+
+    Scale: pure scan-stage string expressions, no Python, one
+    host-keyed aggregation exchange."""
+    od = T(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    u = od.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("https://Shop"),
+            (F.col("o_orderkey") % 7).cast("string"),
+            F.lit(".Example.COM/"),
+            F.lower("o_orderstatus"),
+            F.lit("/item?id="),
+            F.col("o_orderkey").cast("string"),
+            F.lit("&utm_source=news&ref=a#sec"),
+            (F.col("o_orderkey") % 3).cast("string"),
+        ).alias("url"),
+    )
+    parts = u.select(
+        "o_orderkey",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )
+    return (
+        parts.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("id_param").cast("long")).alias("id_sum"),
+            F.countDistinct("path").alias("n_paths"),
+            F.min(
+                F.concat(F.col("host"), F.col("path"), F.lit("?id="), F.col("id_param"))
+            ).alias("sample_canonical"),
+        )
+        .orderBy("host")
+    )

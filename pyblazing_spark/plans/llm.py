@@ -655,6 +655,135 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Axis-aligned 8-bit sign bucket shared by ann_recall_eval's engine and
+#: oracle: bit i set when dim i is non-negative.  Deliberately the
+#: SIMPLEST real LSH so the ORACLE can recompute the approximate method
+#: end-to-end — the entry's point is the recall-evaluation harness, not
+#: the hash family.
+def _sign_bucket_col(vec: str):
+    bits = [
+        F.when(F.col(vec).getItem(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(8)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {{v}}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+
+@register(
+    "ann_recall_eval",
+    tags=("llm", "ann", "eval", "recall"),
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+ c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+       WHERE vec_id >= 5),
+ qb AS (SELECT query_id, qv, {_SIGN_BUCKET_SQL.format(v='qv')} AS bucket FROM q),
+ cb AS (SELECT neighbor_id, cv, {_SIGN_BUCKET_SQL.format(v='cv')} AS bucket FROM c),
+ exact AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(qv, cv) + 1e-9, 4) DESC,
+                    neighbor_id) AS rank
+  FROM q CROSS JOIN c),
+ ex5 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 5),
+ ap AS (
+  SELECT qb.query_id, cb.neighbor_id,
+         row_number() OVER (PARTITION BY qb.query_id
+           ORDER BY round(list_cosine_similarity(qb.qv, cb.cv) + 1e-9, 4) DESC,
+                    cb.neighbor_id) AS rank
+  FROM qb JOIN cb ON qb.bucket = cb.bucket),
+ ap5 AS (SELECT query_id, neighbor_id FROM ap WHERE rank <= 5),
+ napprox AS (SELECT query_id, count(*) AS n_approx FROM ap5 GROUP BY 1),
+ hits AS (SELECT a.query_id, count(*) AS n_hits
+          FROM ap5 a JOIN ex5 e USING (query_id, neighbor_id) GROUP BY 1)
+SELECT q.query_id,
+       CAST(coalesce(n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(coalesce(n_hits, 0) AS BIGINT)   AS n_hits,
+       round(coalesce(n_hits, 0) / 5.0 + 1e-9, 4) AS recall_at_5
+FROM q LEFT JOIN napprox ON napprox.query_id = q.query_id
+       LEFT JOIN hits ON hits.query_id = q.query_id
+ORDER BY q.query_id
+""",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVALUATION harness — the missing half of shipping an
+    approximate index: measure recall@k of a pruned method against the
+    exact brute-force ranking, per query, on-engine. The approximate
+    method here is an 8-bit axis-aligned sign LSH (candidates share the
+    query's sign pattern on the first 8 dims), chosen because the
+    ORACLE can recompute it bit-for-bit — so bucket assignment, the
+    bucket-restricted re-rank, the exact ranking, and the recall join
+    are ALL verified end to end (production LSH/IVF recall is
+    unit-tested over the same machinery, tests/test_llm_ops.py).
+
+    recall@5 uses a fixed denominator of 5 even when a sparse bucket
+    returns fewer candidates (n_approx < 5) — the standard definition.
+
+    Scale: exact ranking streams the corpus once (queries broadcast in
+    the kernel closure, per-batch top-k prune); the approximate side
+    touches only the query's bucket (~corpus/256); the recall join is
+    k-by-k per query. Nothing vector-sized shuffles."""
+    from pyspark.sql import Window as W
+
+    from pyblazing_spark.functions.vectors import cosine_udf, nudge_round
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    exact5 = SIM.cosine_topk(corpus, queries, k=5, query_id_col="query_id").select(
+        "query_id", "neighbor_id"
+    )
+    qb = queries.select(
+        "query_id",
+        F.col("embedding").alias("qv"),
+        _sign_bucket_col("embedding").alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        _sign_bucket_col("embedding").alias("bucket"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    ap5 = (
+        cb.join(F.broadcast(qb), "bucket")
+        .select(
+            "query_id",
+            "neighbor_id",
+            nudge_round(cosine_udf(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    napprox = ap5.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    hits = ap5.join(exact5, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return materialize_bounded(
+        queries.select("query_id")
+        .join(napprox, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0 + 1e-9, 4).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "sink_partitioned_roundtrip",
     tags=("sink", "write", "roundtrip"),

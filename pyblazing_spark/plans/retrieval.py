@@ -143,6 +143,177 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60  # the standard reciprocal-rank-fusion constant
+_RRF_LIST = 20  # depth of each input ranking
+
+
+@register(
+    "retrieval_rrf_fusion",
+    tags=("llm", "retrieval", "rag", "hybrid", "fusion"),
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE doc_id >= 1),
+ dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM tok WHERE token <> '' GROUP BY doc_id),
+ stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+ tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ('spark', 'hash', 'window')
+  GROUP BY doc_id, token),
+ idf AS (
+  SELECT token,
+         ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token) d
+  CROSS JOIN stats s),
+ bm AS (
+  SELECT tf.doc_id,
+         round(sum(idf.idf * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                      + {_BM25_B} * dl.dl / s.avgdl))) + 1e-9, 4)
+           AS score
+  FROM tf
+  JOIN idf ON tf.token = idf.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+ lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS lex_rank
+  FROM bm QUALIFY lex_rank <= {_RRF_LIST}),
+ qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+ vecs AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding, qv.v) + 1e-9, 4) AS cos
+  FROM embeddings CROSS JOIN qv WHERE vec_id >= 1),
+ vec AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+           AS vec_rank
+  FROM vecs QUALIFY vec_rank <= {_RRF_LIST}),
+ fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         coalesce(lex_rank, 0) AS lex_rank,
+         coalesce(vec_rank, 0) AS vec_rank,
+         round(coalesce(1.0 / ({_RRF_K} + lex_rank), 0)
+               + coalesce(1.0 / ({_RRF_K} + vec_rank), 0) + 1e-9, 6) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank,
+       doc_id, lex_rank, vec_rank, rrf
+FROM fused
+QUALIFY rank <= 10
+ORDER BY rank
+""",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval: BM25 lexical ranking (query {{spark, hash,
+    window}}) and embedding cosine ranking (query vector = vec 0) fused
+    by reciprocal-rank fusion, rrf = Σ 1/(60 + rank) over the lists a
+    doc appears in — the standard way production RAG stacks combine a
+    keyword index with a vector index. Both input rankings run at depth
+    20; top-10 fused docs are emitted with their per-list ranks (0 =
+    absent from that list), so the oracle catches a ranking, join, or
+    fusion-arithmetic bug anywhere in either leg.
+
+    Scale: the BM25 leg is text_bm25's shuffle shape (only (doc_id,
+    count) pairs cross the wire); the vector leg streams the corpus
+    once against one broadcast query vector; fusion itself is a
+    20-by-20 full outer join."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") >= 1)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.log(
+                1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    bm = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("tf")
+                    * (_BM25_K1 + 1)
+                    / (
+                        F.col("tf")
+                        + _BM25_K1
+                        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                )
+                + 1e-9,
+                4,
+            ).alias("score")
+        )
+    )
+    lex = (
+        bm.withColumn(
+            "lex_rank",
+            F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).cast("long"),
+        )
+        .where(F.col("lex_rank") <= _RRF_LIST)
+        .select("doc_id", "lex_rank")
+    )
+    from pyblazing_spark.functions.vectors import cosine_udf, nudge_round
+
+    emb = T(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    vec = (
+        emb.where(F.col("vec_id") >= 1)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            nudge_round(cosine_udf(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+        )
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(W.orderBy(F.desc("cos"), "doc_id")).cast("long"),
+        )
+        .where(F.col("vec_rank") <= _RRF_LIST)
+        .select("doc_id", "vec_rank")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0))
+                + 1e-9,
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return materialize_bounded(
+        fused.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("rrf"), "doc_id")).cast("int")
+        )
+        .where(F.col("rank") <= 10)
+        .select("rank", "doc_id", "lex_rank", "vec_rank", "rrf")
+        .orderBy("rank")
+    )
+
+
 @register(
     "join_edit_distance",
     tags=("join", "fuzzy", "levenshtein"),
@@ -307,6 +478,7 @@ def _bloom_hash_duck(col: str, start: int, m: str) -> str:
 @register(
     "join_bloom_prune",
     tags=("join", "runtime-filter", "bloom", "pushdown"),
+    bench=True,  # scale-critical: regressions must be visible per-round (r7 #8)
     oracle=f"""
 WITH dim AS (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
@@ -955,3 +1127,93 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", "s2")
     )
     return kcore_peel_summary(edges, k=3, rounds=3)
+
+
+@register(
+    "graph_label_propagation",
+    tags=("graph", "community", "lpa"),
+    oracle="""
+WITH co AS MATERIALIZED (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+ e AS MATERIALIZED (
+  SELECT s1 AS u, s2 AS v FROM co UNION ALL SELECT s2, s1 FROM co),
+ l1 AS MATERIALIZED (
+  -- round 1: initial labels are node ids (all distinct), so every
+  -- neighbor label has count 1 and the count-desc/label-asc argmax
+  -- reduces to min(neighbor)
+  SELECT u AS node, min(v) AS label FROM e GROUP BY u),
+ c2 AS (
+  SELECT e.u, l1.label, count(*) AS c
+  FROM e JOIN l1 ON l1.node = e.v
+  GROUP BY e.u, l1.label),
+ l2 AS MATERIALIZED (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+    FROM c2) t WHERE rn = 1)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM l2
+GROUP BY label
+ORDER BY n_nodes DESC, label
+LIMIT 10
+""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (2 rounds,
+    deterministic variant: each node adopts its neighbors' most frequent
+    previous-round label, ties broken toward the smallest label) over
+    the co-supply graph — the scalable community primitive the
+    dedup-components family doesn't cover (LPA finds DENSE groups, not
+    connected reach). Exactly two unrolled rounds keep the oracle exact
+    (synchronous LPA can oscillate, so a fixed round count is the
+    deterministic contract; ``node_sum`` pins full membership).
+
+    Scale: each round is one neighbor-label join + one (node, label)
+    count + one per-node argmax — all key-partitioned exchanges on the
+    EDGE LIST; labels are single longs, text/fact data never shuffles;
+    rounds would be localCheckpoint-bounded in an iterative version
+    (cf. operators/graph.py loop hygiene)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 5)
+        .select("s1", "s2")
+    )
+    e = co.select(F.col("s1").alias("u"), F.col("s2").alias("v")).unionAll(
+        co.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    ).localCheckpoint(eager=True)  # feeds both rounds; truncate lineage
+    l1 = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("label"))
+    c2 = (
+        e.join(l1.select(F.col("node").alias("v"), "label"), "v")
+        .groupBy("u", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("u").orderBy(F.desc("c"), "label")
+    l2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("u").alias("node"), "label")
+    )
+    return materialize_bounded(
+        l2.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.sum("node").alias("node_sum"),
+        )
+        .orderBy(F.desc("n_nodes"), "label")
+        .limit(10)
+    )
