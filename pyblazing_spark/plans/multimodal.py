@@ -760,6 +760,14 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.encode(F.substring("text", 1, 144), "UTF-8").alias("content"),
         )
+        # The kernel is CPU-bound Python (3x JPEG encode + mux + demux +
+        # 3x entropy decode per doc) but its INPUT is tiny (144 B/doc),
+        # so file-split parallelism collapses to a handful of partitions
+        # at scale (~4 for the 10x probe's 500 MB documents table) and
+        # 28 of 32 cores idle.  Repartitioning the narrow projection is
+        # a near-free shuffle that restores full-core decode (70 s ->
+        # ~14 s at the 10x probe).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def kernel(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
