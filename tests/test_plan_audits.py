@@ -578,3 +578,63 @@ def test_snapshot_diff_is_one_join_one_aggregate_pass(spark, sf_dir):
     # one aggregate pass: partial+final pair only (2 nodes), not 7 branches
     n_agg = plan.count("HashAggregate") + plan.count("SortAggregate")
     assert n_agg <= 2, f"{n_agg} aggregate nodes\n{plan}"
+
+
+def test_triangles_has_no_wedge_shuffle(spark, sf_dir):
+    """Round-8 triangle architecture: triangle closure happens via
+    array_intersect over broadcast adjacency arrays, NOT a wedge join —
+    so no Exchange may carry the exploded triangle stream (the `w` /
+    `node` columns of the per-node counting pass arrive at their
+    exchange ALREADY partial-aggregated to node-sized (node, count)
+    rows).  A wedge-join regression would reappear as a shuffle whose
+    input carries two edge-endpoint columns plus a vkey/struct."""
+    df = plans.REGISTRY["graph_triangles"].fn(spark, sf_dir)
+    for inp in _exchange_inputs(df):
+        # the per-node count exchange carries (node, count) longs only
+        assert "vkey" not in inp and "ws#" not in inp, inp
+        # adjacency arrays (nbrs) must broadcast, never shuffle
+        assert "nbrs" not in inp, inp
+
+
+def test_rrf_fusion_never_shuffles_text_or_vectors(spark, sf_dir):
+    """Both fusion legs stay narrow: the BM25 leg shuffles (doc_id,
+    count) pairs, the vector leg scores against ONE broadcast query
+    vector — document text and corpus embeddings must never cross an
+    exchange."""
+    df = plans.REGISTRY["retrieval_rrf_fusion"].fn(spark, sf_dir)
+    for inp in _exchange_inputs(df):
+        assert "text#" not in inp, inp
+        assert "embedding#" not in inp, inp
+
+
+def test_ann_recall_eval_never_shuffles_corpus_vectors(spark, sf_dir):
+    """The exact leg streams the corpus through the mapInPandas kernel
+    (queries in closure); the approximate leg joins the corpus against a
+    BROADCAST 5-row query table on the sign bucket.  Corpus embeddings
+    must never cross an exchange — at 100 TB the vectors are the bulk."""
+    df = plans.REGISTRY["ann_recall_eval"].fn(spark, sf_dir)
+    for inp in _exchange_inputs(df):
+        assert "embedding#" not in inp, inp
+
+
+def test_sqlite_pushdown_plan_has_no_spark_filter(spark, tmp_path):
+    """When every predicate is accepted by the sqlite reader's
+    pushFilters, the Spark plan must contain NO Filter node — the scan
+    absorbed them (the reference pushes its WHERE server-side,
+    AbstractSQLDataProvider.cpp:42-86)."""
+    import sqlite3
+
+    from pyblazing_spark.sources.files import read_jdbc
+
+    db = str(tmp_path / "audit.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE t (a INTEGER, b REAL)")
+        con.executemany(
+            "INSERT INTO t VALUES (?,?)", [(i, i * 1.5) for i in range(100)]
+        )
+    df = read_jdbc(
+        spark, "t", from_sql="sqlite", database=db, table="t", numPartitions=2
+    ).where("b > 30.0 AND a < 90")
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert " Filter (" not in plan, plan
+    assert sorted(r.a for r in df.collect()) == list(range(21, 90))

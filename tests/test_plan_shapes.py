@@ -36,6 +36,9 @@ EXPECTED_SHAPES: dict[str, dict[str, int]] = {
     "ann_cosine_topk": dict(exch=0, scans=0, py=0, smj=0),
     "multimodal_features": dict(exch=1, scans=1, py=0, smj=0),
     "win_running_sum": dict(exch=1, scans=1, py=0, smj=0),
+    # round-8 bench additions (r7 verdict #8): shapes recorded at entry
+    "join_bloom_prune": dict(exch=3, scans=2, py=0, smj=0),
+    "pipeline_snapshot_diff": dict(exch=3, scans=2, py=0, smj=1),
 }
 
 
