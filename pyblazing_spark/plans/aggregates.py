@@ -1018,3 +1018,95 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "agg_weighted_median_scaled",
+    tags=("aggregate", "weighted", "median", "two-phase", "scale"),
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         CAST(l_quantity AS BIGINT) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+ c AS (
+  SELECT flag, price, wt,
+         sum(wt) OVER (PARTITION BY flag ORDER BY price, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(wt) OVER (PARTITION BY flag) AS total_w
+  FROM w)
+SELECT flag, round(min(price), 2) AS weighted_median,
+       CAST(min(total_w) AS BIGINT) AS total_weight
+FROM c
+WHERE cumw * 2 >= total_w
+GROUP BY flag
+ORDER BY flag
+""",
+)
+def agg_weighted_median_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for :func:`agg_weighted_median` (same oracle —
+    results must be identical): the naive formulation runs one
+    cumulative window per group, so 3 return flags give 3-way
+    parallelism no matter the cluster (the 10x probe paid 8.5 s for a
+    3-partition sort).  Two-phase fix, the win_no_partition /
+    win_global_scaled pairing pattern applied to a weighted quantile:
+
+    1. Fixed-width price buckets (500-wide) aggregate per (flag,
+       bucket) weight — a map-side-combined shuffle of (flag, bkt,
+       weight) longs, fully parallel.
+    2. A TINY window over the ~210 bucket rows per flag finds the
+       crossing bucket (the one where cumulative weight passes half
+       the total) and its preceding cumulative weight.
+    3. Only the crossing bucket's rows (~1/210 of the data) replay the
+       exact row-level cumulative pass, offset by the bucket prefix —
+       the answer (min price with cumw*2 >= total) is provably the
+       same row the one-window form selects.
+
+    At 100 TB this is the difference between a 3-core sort of the fact
+    table and an embarrassingly parallel aggregation plus a sort of
+    0.5% of one bucket."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    b = li.withColumn("bkt", F.expr("CAST(floor(price / 500) AS BIGINT)"))
+    per_bkt = b.groupBy("flag", "bkt").agg(F.sum("wt").alias("w"))
+    wb = (
+        Window.partitionBy("flag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_b = per_bkt.select(
+        "flag",
+        "bkt",
+        "w",
+        (F.sum("w").over(wb) - F.col("w")).alias("cum_before"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("total_w"),
+    )
+    crossing = (
+        cum_b.where((F.col("cum_before") + F.col("w")) * 2 >= F.col("total_w"))
+        .groupBy("flag")
+        .agg(F.min("bkt").alias("bkt"))
+        .join(cum_b.select("flag", "bkt", "cum_before", "total_w"), ["flag", "bkt"])
+    )
+    rows = b.join(F.broadcast(crossing), ["flag", "bkt"])
+    wrow = (
+        Window.partitionBy("flag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rows.withColumn("cumw", F.sum("wt").over(wrow) + F.col("cum_before"))
+        .where(F.col("cumw") * 2 >= F.col("total_w"))
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median"),
+            F.min("total_w").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
