@@ -154,6 +154,13 @@ def main() -> int:
         "multimodal_video_frames", "pipeline_snapshot_diff",
         "sink_compaction", "stream_late_data_drop",
         "stream_checkpoint_recovery",
+        # round-8 additions: jar-free sqlite bridge, uint widening,
+        # intersection triangles, recall eval, RRF fusion, URL parse,
+        # 2-round LPA, two-phase weighted median.
+        "source_sqlite_roundtrip", "source_unsigned_widening",
+        "ann_recall_eval", "retrieval_rrf_fusion",
+        "expr_url_parse", "graph_label_propagation",
+        "agg_weighted_median_scaled",
         # round-6 widening: scale-sensitive entries that had never run
         # at 10x (Arrow cogroup, two-phase global windows, wedge joins,
         # star rounds, interval-union windows, FFT kernels, bag setops,
