@@ -246,10 +246,18 @@ class SQLiteReaderBase(DataSourceReader):
                 if not rows:
                     break
                 columns = list(zip(*rows))
-                arrays = [
-                    pa.array(columns[i], type=arrow_schema.field(i).type)
-                    for i in range(len(arrow_schema))
-                ]
+                # Two-step build: infer from the Python values, then cast
+                # to the declared field type.  SQLite is dynamically typed
+                # — DATE/DATETIME columns come back as ISO TEXT, and an
+                # integer can legally sit in a REAL column — so a direct
+                # typed pa.array() would throw where an Arrow cast
+                # (string->timestamp, int->float) converts cleanly.
+                arrays = []
+                for i in range(len(arrow_schema)):
+                    arr = pa.array(columns[i])
+                    if arr.type != arrow_schema.field(i).type:
+                        arr = arr.cast(arrow_schema.field(i).type)
+                    arrays.append(arr)
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
@@ -303,8 +311,10 @@ class SQLiteDataSource(DataSource):
 
 def register_sqlite_source(spark) -> None:
     """Idempotently register the source and allow Catalyst to call
-    ``pushFilters`` (the conf defaults off; enabling it is a pure
-    optimization — with it off Spark just filters after the scan)."""
+    ``pushFilters``.  The conf is REQUIRED, not an optimization: with it
+    off, Spark's read planner raises on any reader that overrides
+    ``pushFilters`` ("do not silently ignore pushFilters when pushdown
+    is disabled", pyspark worker plan_data_source_read.py)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     if not getattr(spark, "_pysqlite_registered", False):
         spark.dataSource.register(SQLiteDataSource)

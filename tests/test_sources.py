@@ -515,6 +515,35 @@ def test_sqlite_bridge_pushdown_and_pruning(spark, sqlite_db):
     assert sorted(r.name for r in df.collect()) == ["ada", "cyd"]
 
 
+def test_sqlite_bridge_date_and_dynamic_types(spark, tmp_path):
+    """SQLite stores DATE/DATETIME as ISO text and allows an integer in
+    a REAL column (dynamic typing): the reader must convert both through
+    Arrow casts instead of crashing the typed batch build."""
+    import datetime
+    import sqlite3
+
+    from pyblazing_spark.sources.files import read_jdbc
+
+    db = str(tmp_path / "dyn.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE m (d DATE, t DATETIME, r REAL)")
+        con.executemany(
+            "INSERT INTO m VALUES (?,?,?)",
+            [
+                ("2024-03-01", "2024-03-01 10:30:00", 1),  # int in REAL col
+                ("2024-03-02", "2024-03-02 23:59:59", 2.5),
+                (None, None, None),
+            ],
+        )
+    df = read_jdbc(spark, "m", from_sql="sqlite", database=db, table="m")
+    assert dict(df.dtypes) == {"d": "date", "t": "timestamp_ntz", "r": "double"}
+    rows = sorted(df.collect(), key=lambda r: (r.d is None, r.d))
+    assert rows[0].d == datetime.date(2024, 3, 1)
+    assert rows[0].t == datetime.datetime(2024, 3, 1, 10, 30)
+    assert rows[0].r == 1.0 and rows[1].r == 2.5
+    assert rows[2].d is None and rows[2].t is None and rows[2].r is None
+
+
 def test_sqlite_bridge_partitioning_and_errors(spark, sqlite_db, tmp_path):
     """Rowid ranges cover every row exactly once at any partition count;
     a missing db file or table raises instead of silently creating an
