@@ -1495,7 +1495,7 @@ def source_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
         .toPandas()
     )
-    db = tempfile.mktemp(prefix="pbs_sqlite_", suffix=".db")
+    db = tempfile.mkdtemp(prefix="pbs_sqlite_") + "/rt.db"
     with sqlite3.connect(db) as con:
         con.execute(
             "CREATE TABLE customer_rt (c_custkey INTEGER, c_name TEXT,"
@@ -1536,8 +1536,9 @@ def source_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         import os
+        import shutil
 
-        os.unlink(db)
+        shutil.rmtree(os.path.dirname(db), ignore_errors=True)
 
 
 @register(
@@ -1598,7 +1599,7 @@ def source_unsigned_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u64": pa.array([(1 << 64) - 1 - k for k in keys], pa.uint64()),
         }
     )
-    path = tempfile.mktemp(prefix="pbs_uint_", suffix=".parquet")
+    path = tempfile.mkdtemp(prefix="pbs_uint_") + "/u.parquet"
     pq.write_table(t, path)
     try:
         back, _fmt, _paths = read_source(spark, path)
@@ -1617,7 +1618,9 @@ def source_unsigned_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("u64").cast("string").alias("u64_min"),
         ).localCheckpoint(eager=True)
     finally:
-        os.unlink(path)
+        import shutil
+
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
 @register(
