@@ -2741,6 +2741,76 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_xml_roundtrip",
+    tags=("source", "xml"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT)           AS n,
+       CAST(sum(o_orderkey) AS BIGINT)    AS key_sum,
+       round(sum(o_totalprice) + 1e-4, 2) AS total_price
+FROM orders
+WHERE o_orderkey < 2500 AND o_totalprice > 60000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source path through the formal gate — completing the
+    in-container format matrix (parquet/ORC/CSV/JSON/text/XML; XML is
+    BUILT-IN since Spark 4.0, a format-matrix superset with no
+    reference counterpart): an orders slice is written as real XML
+    documents (rowTag rows), read back through
+    :func:`pyblazing_spark.sources.files.read_files` (the
+    ``create_table`` route for ``.xml`` paths, with the same declared
+    names/dtype kwarg surface as CSV/JSON), filtered and aggregated;
+    must equal the same query over the original parquet — a row lost,
+    duplicated, or mistyped anywhere in the serialize->parse cycle
+    fails the value compare.
+
+    Scale: Spark's XML reader splits files like any text source; the
+    declared schema skips the inference pass."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.files import read_files
+
+    out = tempfile.mkdtemp(prefix="pbs_xml_")
+    try:
+        (
+            T(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < 2500)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "order")
+            .option("rootTag", "orders")
+            .save(out + "/orders_xml")
+        )
+        back, fmt = read_files(
+            spark,
+            [out + "/orders_xml"],
+            file_format="xml",
+            row_tag="order",
+            names=["o_orderkey", "o_orderpriority", "o_totalprice"],
+            dtype=["int64", "str", "float64"],
+        )
+        assert fmt == "xml"
+        return (
+            back.where(F.col("o_totalprice") > 60000)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "text_tfidf_keywords",
     tags=("llm", "text", "retrieval", "keywords"),
     oracle=r"""

@@ -80,6 +80,7 @@ def _infer_format(path: str, kwargs: dict[str, Any]) -> str:
         (".tbl", "csv"),
         (".txt", "csv"),
         (".json", "json"),
+        (".xml", "xml"),
     ):
         if lowered.endswith(ext):
             return fmt
@@ -182,6 +183,20 @@ def read_files(
         return reader.options(**options).json(paths), "json"
     if fmt == "orc":
         return reader.orc(*paths), "orc"
+    if fmt == "xml":
+        # Built-in since Spark 4.0 (no reference counterpart — format-
+        # matrix superset).  rowTag is the one mandatory option; schema
+        # declaration mirrors the CSV/JSON kwarg surface.
+        options = {"rowTag": kwargs.get("row_tag", "row")}
+        names = kwargs.get("names")
+        dtypes = kwargs.get("dtype")
+        if names and dtypes:
+            reader = reader.schema(
+                ", ".join(
+                    f"`{n}` {_spark_type(str(t))}" for n, t in zip(names, dtypes)
+                )
+            )
+        return reader.options(**options).format("xml").load(paths), "xml"
     return reader.parquet(*paths), "parquet"
 
 

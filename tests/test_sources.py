@@ -361,6 +361,33 @@ def test_jdbc_kwarg_routing_without_driver(bc):
     assert "driver" in str(exc.value).lower() or "jdbc" in str(exc.value).lower()
 
 
+def test_xml_roundtrip_create_table(bc, spark, tmp_path, nation_pdf):
+    """Built-in Spark 4 XML source through create_table: .xml extension
+    routes to the xml reader with the declared names/dtype kwargs."""
+    p = str(tmp_path / "nation_xml")
+    (
+        spark.createDataFrame(nation_pdf[["n_nationkey", "n_name"]])
+        .write.format("xml")
+        .option("rowTag", "nation")
+        .save(p)
+    )
+    import shutil
+
+    dst = str(tmp_path / "nation2.xml")
+    shutil.move(p, dst)
+    bc.create_table(
+        "nation_xml", dst, row_tag="nation",
+        names=["n_nationkey", "n_name"], dtype=["int64", "str"],
+    )
+    df = bc.table("nation_xml")
+    assert dict(df.dtypes) == {"n_nationkey": "bigint", "n_name": "string"}
+    assert df.count() == 25
+    assert bc.sql(
+        "SELECT n_name FROM nation_xml WHERE n_nationkey = 3"
+    ).collect()[0].n_name == nation_pdf.set_index("n_nationkey").loc[3, "n_name"]
+    bc.drop_table("nation_xml")
+
+
 def test_unsigned_widening_pandas_and_arrow(bc, tmp_path):
     """create_table from pandas/Arrow input with unsigned dtypes must
     widen losslessly (SURVEY §1.2: uint8→smallint, uint16→int,
