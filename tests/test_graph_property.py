@@ -152,3 +152,55 @@ def test_kcore_peel_matches_reference(spark, edges, k):
         for r in kcore_peel_summary(df, k=k, rounds=3).orderBy("round").collect()
     ]
     assert got == _ref_kcore_rounds(edges, k, 3)
+
+
+# ---- shared co-occurrence helper (round 8: one-shuffle pair expansion)
+
+
+def _ref_cooccurrence(
+    rows: list[tuple[int, int]], min_orders: int
+) -> set[tuple[int, int]]:
+    """Per-order DISTINCT key sets -> ordered pairs counted once per
+    order -> threshold (the semantic _cosupply_edges pins)."""
+    from collections import defaultdict
+
+    per_order: dict[int, set[int]] = defaultdict(set)
+    for ok, key in rows:
+        per_order[ok].add(key)
+    counts: dict[tuple[int, int], int] = defaultdict(int)
+    for keys in per_order.values():
+        ks = sorted(keys)
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                counts[(ks[i], ks[j])] += 1
+    return {p for p, c in counts.items() if c >= min_orders}
+
+
+@st.composite
+def _order_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    # duplicates of (order, key) are deliberately allowed: a key on
+    # several lineitems of one order must still count that order ONCE
+    return [
+        (
+            draw(st.integers(min_value=1, max_value=6)),
+            draw(st.integers(min_value=1, max_value=8)),
+        )
+        for _ in range(n)
+    ]
+
+
+@settings(max_examples=6, deadline=None)
+@given(_order_rows(), st.integers(min_value=1, max_value=3))
+def test_cosupply_edges_matches_per_order_reference(spark, tmp_path_factory, rows, k):
+    import pyblazing_spark.plans.retrieval as R
+
+    d = str(tmp_path_factory.mktemp("cooc"))
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_suppkey bigint"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = {
+        (r.s1, r.s2)
+        for r in R._cosupply_edges(spark, d, min_orders=k).collect()
+    }
+    assert got == _ref_cooccurrence(rows, k), (rows, k)
