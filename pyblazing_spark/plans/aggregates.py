@@ -1110,3 +1110,62 @@ def agg_weighted_median_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "agg_approx_topk",
+    tags=("aggregate", "approx", "sketch", "topk"),
+    oracle="""
+WITH exact AS (
+  SELECT event_type AS item, CAST(count(*) AS BIGINT) AS freq
+  FROM events GROUP BY event_type)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, item) AS INTEGER) AS rank,
+       item, freq
+FROM exact
+ORDER BY rank
+""",
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items rollup via Spark 4's ``approx_top_k``
+    sketch family: per-shard ``approx_top_k_accumulate`` states are
+    ``approx_top_k_combine``-d into one global state, then estimated —
+    the heavy-hitters analogue of the HLL rollup (``agg_sketch_rollup``),
+    and the third mergeable-sketch shape next to HLL and Count-Min.
+
+    The 100 TB property: each shard (here ``user_id % 4``; in production
+    a partition/day/source) ships a BOUNDED sketch state upward instead
+    of re-shuffling raw keys per rollup level, so a 1000-executor
+    hierarchy exchanges KBs per node. At the fixture's cardinality
+    (5 event types << maxItemsTracked=64) the sketch is provably exact,
+    so the oracle value-compares the full (item, freq) ranking against
+    DuckDB's exact recompute; k is set to the full type count so no
+    tie can straddle a cutoff.
+
+    Reference parity: BlazingSQL has no frequent-items aggregate; this
+    extends §2.3's approx battery.
+    """
+    ev = T(spark, sf_dir, "events")
+    est = spark.sql(
+        """
+WITH shard AS (
+  SELECT user_id % 4 AS shard,
+         approx_top_k_accumulate(event_type, 64) AS st
+  FROM {ev} GROUP BY user_id % 4),
+ comb AS (SELECT approx_top_k_combine(st, 64) AS st FROM shard),
+ est AS (SELECT explode(approx_top_k_estimate(st, 5)) AS e FROM comb)
+SELECT e.item AS item, CAST(e.count AS BIGINT) AS freq FROM est
+""",
+        ev=ev,
+    )
+    from pyspark.sql import Window
+
+    return (
+        est.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), "item"))
+            .cast("int"),
+        )
+        .select("rank", "item", "freq")
+        .orderBy("rank")
+    )

@@ -840,3 +840,86 @@ def expr_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@register(
+    "expr_variant_json",
+    tags=("expression", "json", "variant"),
+    oracle="""
+WITH built AS (
+  SELECT event_id,
+         '{"meta": {"k": ' || json_extract_string(props, '$.k')
+           || ', "type": "' || event_type || '"}, "vals": ['
+           || CAST(event_id % 7 AS VARCHAR) || ', '
+           || CAST(event_id % 3 AS VARCHAR) || ']}' AS j
+  FROM events WHERE event_id < 500),
+ ext AS (
+  SELECT event_id,
+         CAST(json_extract_string(j, '$.meta.k') AS BIGINT)  AS meta_k,
+         json_extract_string(j, '$.meta.type')               AS meta_type,
+         CAST(json_extract_string(j, '$.vals[1]') AS BIGINT) AS val1,
+         json_extract_string(j, '$.meta.missing')            AS missing
+  FROM built)
+SELECT meta_type,
+       CAST(count(*) AS BIGINT)                  AS n,
+       CAST(sum(meta_k) AS BIGINT)               AS k_sum,
+       CAST(sum(val1) AS BIGINT)                 AS val1_sum,
+       CAST(count(missing) AS BIGINT)            AS n_missing_nonnull
+FROM ext
+GROUP BY meta_type
+ORDER BY meta_type
+""",
+)
+def expr_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4 ``parse_json`` /
+    ``variant_get`` / ``try_variant_get``) — the open-lakehouse
+    semi-structured column the reference's type system lacks entirely
+    (SURVEY.md §1.2; ``expr_json`` covers only string-path
+    ``get_json_object``). A nested JSON document (object-in-object +
+    array) is constructed identically on both engines from events
+    columns, parsed ONCE into a VARIANT, and fields are extracted with
+    typed paths: ``$.meta.k`` as bigint, ``$.meta.type`` as string, an
+    array subscript ``$.vals[1]``, and a missing path through
+    ``try_variant_get`` (must be NULL, pinned by the count).
+
+    Scale: parse_json + variant_get are JVM codegen expressions over the
+    scan — the VARIANT binary encoding is parsed once per row and
+    field extraction is offset-based (no re-tokenizing per path), which
+    is the point of VARIANT vs repeated get_json_object at 100 TB.
+    Oracle: DuckDB rebuilds the same document and extracts via
+    json_extract_string with identical casts."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    built = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"meta": {"k": '),
+            F.get_json_object("props", "$.k"),
+            F.lit(', "type": "'),
+            F.col("event_type"),
+            F.lit('"}, "vals": ['),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit(", "),
+            (F.col("event_id") % 3).cast("string"),
+            F.lit("]}"),
+        ).alias("j"),
+    )
+    v = built.select(
+        "event_id", F.parse_json("j").alias("vt")
+    )
+    ext = v.select(
+        "event_id",
+        F.variant_get("vt", "$.meta.k", "bigint").alias("meta_k"),
+        F.variant_get("vt", "$.meta.type", "string").alias("meta_type"),
+        F.variant_get("vt", "$.vals[1]", "bigint").alias("val1"),
+        F.try_variant_get("vt", "$.meta.missing", "string").alias("missing"),
+    )
+    return (
+        ext.groupBy("meta_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("meta_k").alias("k_sum"),
+            F.sum("val1").alias("val1_sum"),
+            F.count("missing").alias("n_missing_nonnull"),
+        )
+        .orderBy("meta_type")
+    )
