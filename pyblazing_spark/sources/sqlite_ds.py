@@ -134,9 +134,29 @@ def _sql_literal(v: Any) -> str:
     return f"'{s}'"
 
 
-def _like_escape(s: str) -> str:
-    """Escape LIKE metacharacters; pair with ``ESCAPE '\\'``."""
-    return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_").replace("'", "''")
+def _startswith_sql(col: str, value: str) -> str:
+    """Case-SENSITIVE prefix test.  sqlite ``LIKE`` is ASCII-case-
+    insensitive by default (PRAGMA case_sensitive_like is connection
+    state we don't own), so a pushed-down ``LIKE 'a%'`` would keep
+    'AB' rows that Spark's StringStartsWith drops — found by the
+    hypothesis property suite.  ``substr`` comparison is exact and
+    character-based on both engines."""
+    if value == "":
+        return f"{col} IS NOT NULL"
+    return f"substr({col}, 1, {len(value)}) = {_sql_literal(value)}"
+
+
+def _endswith_sql(col: str, value: str) -> str:
+    if value == "":
+        return f"{col} IS NOT NULL"
+    return f"substr({col}, -{len(value)}) = {_sql_literal(value)}"
+
+
+def _contains_sql(col: str, value: str) -> str:
+    # instr is case-sensitive; instr(X, '') = 1 so the empty-needle
+    # case degenerates to IS NOT NULL semantics for free (NULL col
+    # propagates NULL, which WHERE drops — matching Spark).
+    return f"instr({col}, {_sql_literal(value)}) > 0"
 
 
 def _compile_filter(f: Filter) -> str | None:
@@ -170,11 +190,11 @@ def _compile_filter(f: Filter) -> str | None:
     if isinstance(f, IsNotNull):
         return f"{col} IS NOT NULL"
     if isinstance(f, StringStartsWith):
-        return f"{col} LIKE '{_like_escape(f.value)}%' ESCAPE '\\'"
+        return _startswith_sql(col, f.value)
     if isinstance(f, StringEndsWith):
-        return f"{col} LIKE '%{_like_escape(f.value)}' ESCAPE '\\'"
+        return _endswith_sql(col, f.value)
     if isinstance(f, StringContains):
-        return f"{col} LIKE '%{_like_escape(f.value)}%' ESCAPE '\\'"
+        return _contains_sql(col, f.value)
     if isinstance(f, Not):
         inner = _compile_filter(f.child)
         return None if inner is None else f"NOT ({inner})"

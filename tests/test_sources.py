@@ -525,7 +525,8 @@ def test_sqlite_bridge_pushdown_and_pruning(spark, sqlite_db):
     assert '"id" IN (0, 2, 4)' in sql
     assert '"notes" IS NULL' in sql
     assert "NOT (\"name\" = 'bob')" in sql
-    assert "\"name\" LIKE 'a%' ESCAPE" in sql
+    # case-SENSITIVE prefix form (sqlite LIKE is ASCII-case-insensitive)
+    assert 'substr("name", 1, 1) = \'a\'' in sql
     assert "rowid BETWEEN 1 AND 3" in sql
     # end-to-end: Spark's plan contains no separate Filter node when every
     # predicate pushed (the BatchScan absorbs them)
