@@ -2934,3 +2934,107 @@ def pipeline_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+_PARA_W = 10  # words per chunk ("paragraph" granularity on the fixture corpus)
+
+
+@register(
+    "dedup_paragraph",
+    tags=("llm", "dedup", "paragraph", "ccnet"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents),
+ n AS (
+  SELECT doc_id, source, words,
+         CAST(ceil(len(words) / {_PARA_W}.0) AS BIGINT) AS nc
+  FROM w WHERE len(words) >= 1),
+ c AS (
+  SELECT doc_id, source, unnest(generate_series(1, nc)) AS i, words FROM n),
+ h AS (
+  SELECT doc_id, source, i,
+         md5(array_to_string(
+             list_slice(words, (i - 1) * {_PARA_W} + 1, i * {_PARA_W}), ' ')) AS hash
+  FROM c),
+ occ AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY hash ORDER BY doc_id, i) AS occ
+  FROM h),
+ per_doc AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT)                          AS n_chunks,
+         CAST(count(*) FILTER (occ > 1) AS BIGINT)         AS n_dup
+  FROM occ GROUP BY doc_id, source)
+SELECT source,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(n_chunks) AS BIGINT)   AS n_chunks,
+       CAST(sum(n_dup) AS BIGINT)      AS dup_chunks,
+       round(sum(n_dup) * 1.0 / sum(n_chunks) + 1e-9, 4) AS dup_frac,
+       CAST(count(*) FILTER (n_dup * 2 >= n_chunks) AS BIGINT) AS docs_half_dup
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity corpus dedup — the CCNet/RefinedWeb shape:
+    hash each paragraph (here: consecutive 10-word chunks, the fixture
+    corpus being single-line), keep the FIRST occurrence corpus-wide
+    (ordered by doc_id, chunk index), and report per-source removal
+    pressure plus the count of documents losing >= half their content —
+    the signal that drives doc-level drop decisions in production web
+    pipelines. Complements ``dedup_exact`` (whole-doc) and
+    ``dedup_substring_coverage`` (gram-interval spans): paragraph
+    dedup removes boilerplate shared across otherwise-distinct pages.
+
+    Scale: chunking is scan-stage codegen (split + slice + md5 — the
+    TEXT never shuffles); the only fact-scale exchange carries 16-byte
+    (hash, doc_id, i) triples for the first-occurrence window, exactly
+    the one-shuffle budget of the exact-dedup path. The final rollup is
+    a count aggregation per source.
+    """
+    docs = T(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    ).withColumn("n", F.size("words"))
+    n = w.where(F.col("n") >= 1).withColumn(
+        "nc", F.ceil(F.col("n") / float(_PARA_W))
+    )
+    c = n.select(
+        "doc_id", "source", "words",
+        F.explode(F.sequence(F.lit(1), F.col("nc"))).alias("i"),
+    )
+    h = c.select(
+        "doc_id", "source", "i",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("words"), (F.col("i") - 1) * _PARA_W + 1, _PARA_W), " "
+            )
+        ).alias("hash"),
+    )
+    from pyspark.sql import Window
+
+    occ = h.select(
+        "doc_id", "source",
+        F.row_number()
+        .over(Window.partitionBy("hash").orderBy("doc_id", "i"))
+        .alias("occ"),
+    )
+    per_doc = occ.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_if(F.col("occ") > 1).alias("n_dup"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_dup").alias("dup_chunks"),
+            F.round(
+                F.sum("n_dup") / F.sum("n_chunks") + F.lit(1e-9), 4
+            ).alias("dup_frac"),
+            F.count_if(F.col("n_dup") * 2 >= F.col("n_chunks")).alias("docs_half_dup"),
+        )
+        .orderBy("source")
+    )

@@ -1213,3 +1213,107 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "label")
         .limit(10)
     )
+
+
+_NDCG_K = 10
+
+
+@register(
+    "retrieval_ndcg_eval",
+    tags=("llm", "retrieval", "evaluation", "ndcg"),
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents),
+ tf AS (
+  SELECT token AS term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         CAST(doc_id % 4 AS BIGINT) AS rel
+  FROM tok WHERE token IN ('spark', 'hash', 'window')
+  GROUP BY token, doc_id),
+ ranked AS (
+  SELECT term, rel,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+  FROM tf),
+ ideal AS (
+  SELECT term, rel,
+         row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS rank
+  FROM tf),
+ dcg AS (
+  SELECT term,
+         sum((pow(2, rel) - 1) / log2(rank + 1)) AS dcg
+  FROM ranked WHERE rank <= {_NDCG_K} GROUP BY term),
+ idcg AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS n_candidates_ranked,
+         sum(CASE WHEN rank <= {_NDCG_K}
+                  THEN (pow(2, rel) - 1) / log2(rank + 1) ELSE 0 END) AS idcg
+  FROM ideal GROUP BY term)
+SELECT dcg.term AS term,
+       idcg.n_candidates_ranked,
+       round(dcg.dcg + 1e-9, 4)            AS dcg,
+       round(idcg.idcg + 1e-9, 4)          AS idcg,
+       round(dcg.dcg / idcg.idcg + 1e-9, 4) AS ndcg
+FROM dcg JOIN idcg ON dcg.term = idcg.term
+ORDER BY dcg.term
+""",
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 ranking-quality evaluation — the metric harness every
+    retrieval/RAG pipeline needs next to ``ann_recall_eval``'s recall:
+    per query term, documents are ranked lexically (term frequency
+    desc, doc_id asc) and scored against graded relevance labels with
+    the standard exponential-gain discounted cumulative gain,
+    ndcg = DCG@k / IDCG@k, DCG = Σ (2^rel − 1)/log2(rank+1).
+
+    Relevance labels are deterministic pseudo-labels (rel = doc_id % 4,
+    grades 0-3) — deliberately UNCORRELATED with the ranking so the
+    metric lands mid-range and exercises the full arithmetic; the entry
+    verifies the EVALUATOR (rank windows, gain/discount arithmetic,
+    ideal-ranking normalization), not the ranker.
+
+    Scale: one (doc_id, term) tf aggregation over the exploded corpus
+    (the only fact-scale shuffle — counts, never text); ranking windows
+    partition BY QUERY, which is the natural per-query parallelism of
+    offline eval batches (thousands of queries → thousands of
+    partitions; k bounds each window's emitted rows).
+
+    Reference parity: BlazingSQL has no evaluation harness; extends the
+    retrieval family per the training-pipeline brief.
+    """
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    tf = (
+        tok.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy(F.col("token").alias("term"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("rel", (F.col("doc_id") % 4).cast("long"))
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rank") + 1)
+    ranked = tf.withColumn(
+        "rank", F.row_number().over(W.partitionBy("term").orderBy(F.desc("tf"), "doc_id"))
+    )
+    ideal = tf.withColumn(
+        "rank", F.row_number().over(W.partitionBy("term").orderBy(F.desc("rel"), "doc_id"))
+    )
+    dcg = (
+        ranked.where(F.col("rank") <= _NDCG_K)
+        .groupBy("term")
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    idcg = ideal.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_candidates_ranked"),
+        F.sum(F.when(F.col("rank") <= _NDCG_K, gain).otherwise(0.0)).alias("idcg"),
+    )
+    return (
+        dcg.join(idcg, "term")
+        .select(
+            "term",
+            "n_candidates_ranked",
+            F.round(F.col("dcg") + 1e-9, 4).alias("dcg"),
+            F.round(F.col("idcg") + 1e-9, 4).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg") + 1e-9, 4).alias("ndcg"),
+        )
+        .orderBy("term")
+    )
