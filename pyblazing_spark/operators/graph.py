@@ -389,3 +389,72 @@ def kcore_peel_summary(
         # materialize inside the scope so the disabled-constraint plans
         # never escape into a caller running under default confs
         return out.orderBy("round").localCheckpoint(eager=True)
+
+
+def bfs_distance_histogram(
+    edges: DataFrame,
+    seed_mod: int,
+    rounds: int,
+    src: str = "s1",
+    dst: str = "s2",
+) -> DataFrame:
+    """Bounded multi-source BFS over an undirected edge list: seeds are
+    nodes with ``node % seed_mod == 0`` at distance 0; each synchronous
+    round relaxes ``dist[v] = min(dist[v], dist[u] + 1)`` over every
+    edge, so after ``rounds`` rounds each node holds its exact hop
+    distance if it is within ``rounds`` hops of a seed. Returns the
+    distance histogram ``(dist, n_nodes, min_node, node_sum)`` with
+    unreached nodes at dist = -1 — the reachability profile used to
+    size crawl frontiers and k-hop feature neighborhoods.
+
+    Scale design: same loop hygiene as :func:`kcore_peel_summary` —
+    per round ONE join of the (node, dist) frontier table against the
+    edge list plus a min-aggregation, both on single-long keys; every
+    round's distance table is eagerly ``localCheckpoint``ed (O(1) plan
+    depth) and constraint propagation is scoped off for the
+    checkpointed self-union."""
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    if rounds < 1 or seed_mod < 1:
+        raise ValueError("rounds and seed_mod must be >= 1")
+    spark = edges.sparkSession
+    confs = dict(loop_shuffle_confs(spark))
+    confs["spark.sql.constraintPropagation.enabled"] = "false"
+    with scoped_conf(spark, confs):
+        und = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        e = und.localCheckpoint(eager=True)
+        nodes = e.select(F.col("u").alias("node")).distinct().localCheckpoint(
+            eager=True
+        )
+        d = (
+            nodes.where(F.col("node") % seed_mod == 0)
+            .select("node", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            relaxed = (
+                e.join(d, e["u"] == d["node"])
+                .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+            )
+            d = (
+                d.unionAll(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+        fin = nodes.join(d, "node", "left").select(
+            "node", F.coalesce("dist", F.lit(-1)).cast("int").alias("dist")
+        )
+        out = (
+            fin.groupBy("dist")
+            .agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.min("node").alias("min_node"),
+                F.sum("node").alias("node_sum"),
+            )
+            .orderBy("dist")
+        )
+        # materialize inside the scope (see kcore_peel_summary)
+        return out.localCheckpoint(eager=True)

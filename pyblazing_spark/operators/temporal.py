@@ -20,6 +20,8 @@ required custom operators).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -234,3 +236,48 @@ def asof_join_forward(
     return _asof_union_window(
         left, right, on, left_ts, right_ts, right_cols, suffix, forward=True
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: "Callable[[Column], Column]",
+    equi_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (``l_start <= r_end AND
+    r_start <= l_end``) via bucketing — the companion to
+    :func:`range_join` (point-in-interval).
+
+    Both sides explode to one row per covered bucket and equi-join on
+    the bucket id, turning Spark's cross-product/inequality plan into a
+    plain hash join that scales linearly. Each overlapping pair shares
+    at least the bucket containing ``greatest(l_start, r_start)`` (the
+    overlap's first instant), and ONLY that bucket emits the pair —
+    the standard duplicate-free formulation, so no distinct pass is
+    needed afterwards.
+
+    ``bucket`` maps a boundary column to an integer bucket id; keep the
+    bucket width on the order of the typical interval length (an
+    interval spanning B buckets produces B join rows)."""
+    equi_keys = equi_keys or []
+    l_b = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket(F.col(left_start)), bucket(F.col(left_end)))),
+    )
+    r_b = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket(F.col(right_start)), bucket(F.col(right_end)))),
+    )
+    joined = l_b.join(r_b, [*equi_keys, "__bucket"]).where(
+        (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+        & (
+            F.col("__bucket")
+            == bucket(F.greatest(F.col(left_start), F.col(right_start)))
+        )
+    )
+    return joined.drop("__bucket")

@@ -1317,3 +1317,67 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@register(
+    "graph_shortest_path",
+    tags=("graph", "bfs", "analytics"),
+    oracle="""
+WITH lo AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ co AS MATERIALIZED (
+  SELECT a.l_partkey AS s1, b.l_partkey AS s2
+  FROM lo a JOIN lo b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+ e AS MATERIALIZED (
+  SELECT s1 AS u, s2 AS v FROM co UNION ALL SELECT s2, s1 FROM co),
+ nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+ d0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 50 = 0),
+ d1 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT * FROM d0
+    UNION ALL SELECT e.v, d0.dist + 1 FROM e JOIN d0 ON e.u = d0.node)
+  GROUP BY node),
+ d2 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT * FROM d1
+    UNION ALL SELECT e.v, d1.dist + 1 FROM e JOIN d1 ON e.u = d1.node)
+  GROUP BY node),
+ d3 AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT * FROM d2
+    UNION ALL SELECT e.v, d2.dist + 1 FROM e JOIN d2 ON e.u = d2.node)
+  GROUP BY node),
+ fin AS (
+  SELECT nodes.node, CAST(coalesce(d3.dist, -1) AS INTEGER) AS dist
+  FROM nodes LEFT JOIN d3 ON nodes.node = d3.node)
+SELECT dist,
+       CAST(count(*) AS BIGINT)  AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM fin
+GROUP BY dist
+ORDER BY dist
+""",
+)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS shortest paths (3 synchronous rounds)
+    over the part co-purchase graph: seed parts (partkey % 50 = 0) at
+    distance 0, per-round min-relaxation over the edge list, distance
+    histogram with unreached nodes at -1 — the k-hop reachability
+    profile (crawl frontier sizing, neighborhood feature radii) the
+    graph family's components/kcore/LPA entries don't expose. The
+    fixture profile is non-trivial at every SF: all of dist 0..3 AND
+    unreached nodes occur.
+
+    Scale: see
+    :func:`pyblazing_spark.operators.graph.bfs_distance_histogram` —
+    per round one frontier⋈edge join + one min-agg on single-long keys,
+    checkpoint-bounded lineage; the only fact-scale work is the shared
+    one-shuffle co-occurrence pass (:func:`_cosupply_edges`). Oracle:
+    the same three rounds unrolled as MATERIALIZED CTEs."""
+    from pyblazing_spark.operators.graph import bfs_distance_histogram
+
+    edges = _cosupply_edges(spark, sf_dir, min_orders=2, key="l_partkey")
+    return bfs_distance_histogram(edges, seed_mod=50, rounds=3)
