@@ -204,3 +204,43 @@ def test_cosupply_edges_matches_per_order_reference(spark, tmp_path_factory, row
         for r in R._cosupply_edges(spark, d, min_orders=k).collect()
     }
     assert got == _ref_cooccurrence(rows, k), (rows, k)
+
+
+def _ref_bfs_hist(
+    edges: list[tuple[int, int]], seed_mod: int, rounds: int
+) -> dict[int, tuple[int, int, int]]:
+    """Pure-Python bounded multi-source BFS distance histogram:
+    dist -> (n_nodes, min_node, node_sum), unreached at -1."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {n: (0 if n % seed_mod == 0 else -1) for n in adj}
+    frontier = {n for n, d in dist.items() if d == 0}
+    for r in range(1, rounds + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if dist[v] == -1:
+                    dist[v] = r
+                    nxt.add(v)
+        frontier = nxt
+    hist: dict[int, tuple[int, int, int]] = {}
+    for n, d in dist.items():
+        c, mn, s = hist.get(d, (0, n, 0))
+        hist[d] = (c + 1, min(mn, n), s + n)
+    return hist
+
+
+@settings(max_examples=6, deadline=None)
+@given(_graph(), st.sampled_from([2, 3, 5]))
+def test_bfs_distance_histogram_matches_python_bfs(spark, edges, seed_mod):
+    from pyblazing_spark.operators.graph import bfs_distance_histogram
+
+    df = spark.createDataFrame(edges, "s1 long, s2 long").distinct()
+    got = {
+        r["dist"]: (r["n_nodes"], r["min_node"], r["node_sum"])
+        for r in bfs_distance_histogram(df, seed_mod=seed_mod, rounds=3).collect()
+    }
+    want = _ref_bfs_hist(set(edges), seed_mod, 3)
+    assert got == want, (sorted(set(edges)), seed_mod)

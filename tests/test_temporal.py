@@ -202,3 +202,46 @@ def test_range_join_without_equi_keys(spark):
         for r in TP.range_join(left, right, "ts", "start", "end").collect()
     }
     assert out == {(1, "w1"), (2, "w2")}
+
+
+def test_interval_overlap_join_equals_naive(spark):
+    """Bucketed interval×interval overlap join must emit exactly the
+    naive O(n²) pair set, each pair ONCE — across intervals spanning
+    zero, one, and many buckets (bucket width 10 over long points)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyblazing_spark.operators.temporal as TP
+    from pyspark.sql import functions as F
+
+    @st.composite
+    def _intervals(draw):
+        n = draw(st.integers(1, 8))
+        out = []
+        for i in range(n):
+            s = draw(st.integers(0, 50))
+            out.append((i, s, s + draw(st.integers(0, 25))))
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(_intervals(), _intervals())
+    def run(lrows, rrows):
+        left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+        right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+        got = [
+            (r.lid, r.rid)
+            for r in TP.interval_overlap_join(
+                left, right, "ls", "le", "rs", "re",
+                bucket=lambda c: (c / 10).cast("long"),
+            ).collect()
+        ]
+        want = {
+            (li, ri)
+            for li, ls, le in lrows
+            for ri, rs, re in rrows
+            if ls <= re and rs <= le
+        }
+        assert set(got) == want, (lrows, rrows)
+        assert len(got) == len(want), "duplicate pair emitted"
+
+    run()
