@@ -638,3 +638,27 @@ def test_sqlite_pushdown_plan_has_no_spark_filter(spark, tmp_path):
     plan = _executed_plan(df).split("== Initial Plan ==")[0]
     assert " Filter (" not in plan, plan
     assert sorted(r.a for r in df.collect()) == list(range(21, 90))
+
+
+def test_interval_overlap_join_is_hash_not_nested_loop(spark, sf_dir):
+    """join_interval_overlap's point is the LINEAR bucketed rewrite: the
+    overlap pairing must plan as an equi hash/broadcast join on the
+    bucket id, never a BroadcastNestedLoopJoin/CartesianProduct (which
+    is what a naive interval×interval predicate degenerates to and what
+    dies first at 100 TB)."""
+    df = plans.REGISTRY["join_interval_overlap"].fn(spark, sf_dir)
+    phys = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in phys and "CartesianProduct" not in phys
+    assert "BroadcastHashJoin" in phys or "SortMergeJoin" in phys or "ShuffledHashJoin" in phys
+
+
+def test_bfs_round_plan_depth_is_constant(spark, sf_dir):
+    """graph_shortest_path's loop hygiene: the final distance table must
+    hang off checkpointed RDD scans, not re-derive rounds 1..k-1 (the
+    lineage-OOM trap documented in CLAUDE.md). With 3 rounds the result
+    plan would otherwise contain the fact-scale co-occurrence subtree;
+    after checkpointing it must contain NO parquet scan at all."""
+    df = plans.REGISTRY["graph_shortest_path"].fn(spark, sf_dir)
+    phys = _executed_plan(df)
+    assert "Scan parquet" not in phys, phys[:2000]
+    assert "Scan ExistingRDD" in phys
