@@ -1056,6 +1056,7 @@ def events_sequence_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_interval_overlap",
+    bench=True,  # scale-critical new r8 ops: visible per-round
     tags=("join", "temporal", "interval", "overlap"),
     oracle="""
 WITH a AS (
@@ -1133,4 +1134,89 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_orderkey").alias("b_key_sum"),
         )
         .orderBy("month_id")
+    )
+
+
+@register(
+    "events_rfm",
+    tags=("events", "rfm", "segmentation", "analytics"),
+    oracle="""
+WITH purch AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+ gmax AS (SELECT max(ts) AS gts FROM purch),
+ per_user AS (
+  SELECT user_id,
+         CAST(epoch(gmax.gts) - epoch(max(ts)) AS BIGINT) AS recency_s,
+         CAST(count(*) AS BIGINT)                          AS freq,
+         round(coalesce(sum(value), 0) + 1e-9, 2)          AS money
+  FROM purch CROSS JOIN gmax
+  GROUP BY user_id, gmax.gts),
+ scored AS (
+  SELECT user_id,
+         ntile(4) OVER (ORDER BY recency_s, user_id) AS r_score,
+         ntile(4) OVER (ORDER BY freq, user_id)      AS f_score,
+         ntile(4) OVER (ORDER BY money, user_id)     AS m_score
+  FROM per_user)
+SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS segment,
+       CAST(count(*) AS BIGINT)     AS n_users,
+       CAST(sum(user_id) AS BIGINT) AS user_sum
+FROM scored
+GROUP BY segment
+ORDER BY segment
+""",
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic lifecycle-marketing rollup: per purchasing user, seconds
+    since last purchase, purchase count, and total spend, each scored
+    into quartiles (ascending metric + user_id tie-break, so score
+    semantics are r=1 most recent, f=4 most frequent, m=4 top spend),
+    then segment populations (segment = r·100 + f·10 + m) with a
+    user-id sum pinning full membership. Monetary is rounded to 2dp on
+    BOTH engines BEFORE ranking so float representation can't reorder
+    ties.
+
+    Scale: the fact scan collapses to one per-user aggregate (shuffle
+    on user_id); each quartile is
+    :func:`pyblazing_spark.operators.global_window.global_ntile` — the
+    two-phase range-partitioned rank, NOT an unpartitioned ntile window
+    (which would serialize all users through one task) — over
+    users-sized (three-long) rows. The oracle uses plain ntile, proving
+    the two-phase form exact."""
+    from pyblazing_spark.operators.global_window import global_ntile
+
+    ev = T(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase")
+    gmax = purch.agg(F.max("ts").alias("gts"))
+    per_user = (
+        purch.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)) + 1e-9, 2).alias("money"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            (F.unix_timestamp("gts") - F.unix_timestamp("last_ts"))
+            .cast("long")
+            .alias("recency_s"),
+            "freq",
+            "money",
+        )
+    )
+    scored = global_ntile(per_user, ["recency_s", "user_id"], 4, out_col="r_score")
+    scored = global_ntile(scored, ["freq", "user_id"], 4, out_col="f_score")
+    scored = global_ntile(scored, ["money", "user_id"], 4, out_col="m_score")
+    return (
+        scored.groupBy(
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+            .cast("int")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").alias("user_sum"),
+        )
+        .orderBy("segment")
     )

@@ -923,3 +923,69 @@ def expr_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("meta_type")
     )
+
+
+@register(
+    "expr_collation",
+    tags=("expression", "collation", "string"),
+    oracle="""
+WITH mixed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS s,
+         n_chars
+  FROM documents),
+ grouped AS (
+  SELECT lower(s)                          AS key_ci,
+         CAST(count(*) AS BIGINT)          AS n_docs,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_raw_forms,
+         min(s)                            AS min_raw,
+         CAST(sum(n_chars) AS BIGINT)      AS chars_sum
+  FROM mixed GROUP BY lower(s))
+SELECT key_ci, n_docs, n_raw_forms, min_raw, chars_sum
+FROM grouped
+ORDER BY key_ci
+""",
+)
+def expr_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATIONS — grouping under ``UTF8_LCASE`` merges
+    case variants ('SRC3' and 'src3') in the GROUP BY itself, the way a
+    collated lakehouse column behaves, instead of wrapping every
+    reference in lower() (which defeats dictionary/statistics reuse on
+    a real table). The fixture's sources are case-mixed deterministically
+    (even doc_ids uppercased); ``n_raw_forms = 2`` per group proves the
+    collation actually merged distinct binary strings, and the
+    deterministic binary ``min`` + lower()ed key keep the output
+    engine-comparable (the collated group's representative value is
+    partition-order-dependent, so it is never emitted raw).
+
+    Oracle: DuckDB 1.0 has no per-expression collation — it groups by
+    lower(s), which is semantically identical for ASCII fixtures.
+
+    Scale: a collated group-by hashes the collation KEY, so it
+    partitions exactly like any other group-by (one exchange); the
+    collation is evaluated scan-side in codegen."""
+    docs = T(spark, sf_dir, "documents")
+    mixed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("s"),
+        "n_chars",
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("s"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.collate(F.col("s"), "UTF8_BINARY")).alias("n_raw_forms"),
+            F.min(F.collate(F.col("s"), "UTF8_BINARY")).alias("min_raw"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("key_ci"),
+            "n_docs",
+            "n_raw_forms",
+            F.col("min_raw").cast("string").alias("min_raw"),
+            "chars_sum",
+        )
+        .orderBy("key_ci")
+    )

@@ -2941,6 +2941,7 @@ _PARA_W = 10  # words per chunk ("paragraph" granularity on the fixture corpus)
 
 @register(
     "dedup_paragraph",
+    bench=True,  # scale-critical new r8 ops: visible per-round
     tags=("llm", "dedup", "paragraph", "ccnet"),
     oracle=f"""
 WITH w AS (

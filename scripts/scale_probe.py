@@ -161,6 +161,11 @@ def main() -> int:
         "ann_recall_eval", "retrieval_rrf_fusion",
         "expr_url_parse", "graph_label_propagation",
         "agg_weighted_median_scaled",
+        # round-8 continuation: sketch top-k rollup, VARIANT extraction,
+        # nDCG eval, paragraph dedup, bucketed overlap join, bounded BFS.
+        "agg_approx_topk", "expr_variant_json", "retrieval_ndcg_eval",
+        "dedup_paragraph", "join_interval_overlap", "graph_shortest_path",
+        "events_rfm", "expr_collation",
         # round-6 widening: scale-sensitive entries that had never run
         # at 10x (Arrow cogroup, two-phase global windows, wedge joins,
         # star rounds, interval-union windows, FFT kernels, bag setops,
