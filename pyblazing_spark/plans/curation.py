@@ -955,3 +955,66 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_SHARDS = 8
+
+
+@register(
+    "pipeline_shard_manifest",
+    tags=("llm", "pipeline", "sharding", "manifest"),
+    oracle=f"""
+WITH sharded AS (
+  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              AS BIGINT) % {_SHARDS} AS shard,
+         doc_id, n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 3, 15))::BIGINT
+              AS BIGINT) AS id_h60
+  FROM documents)
+SELECT shard,
+       CAST(count(*) AS BIGINT)     AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS bytes,
+       CAST(min(doc_id) AS BIGINT)  AS min_id,
+       CAST(max(doc_id) AS BIGINT)  AS max_id,
+       bit_xor(id_h60)              AS id_checksum
+FROM sharded
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment + manifest — the write-side bookkeeping
+    every large corpus export needs: each document lands in a
+    deterministic md5 shard (engine/partitioning/row-order independent,
+    so re-exports are stable), and the per-shard manifest records row
+    count, byte mass, id range, and a 60-bit XOR id-checksum that a
+    reader can re-derive to verify shard integrity without trusting the
+    writer.
+
+    Scale: shard assignment is scan-stage codegen; the manifest is ONE
+    aggregation shuffled on the shard id. The checksum is bit_xor of a
+    per-id md5-derived 60-bit value — COMMUTATIVE, so partial/final
+    aggregation order cannot change it and no sorted collect_list is
+    needed (the trap a string_agg checksum would hit at 100 TB).
+    Oracle: DuckDB recomputes the identical md5 hex parsing and XOR."""
+    docs = T(spark, sf_dir, "documents")
+    md5s = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    sharded = docs.select(
+        (F.conv(F.substring(md5s, 1, 8), 16, 10).cast("long") % _SHARDS).alias(
+            "shard"
+        ),
+        "doc_id",
+        "n_chars",
+        F.conv(F.substring(md5s, 3, 15), 16, 10).cast("long").alias("id_h60"),
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bytes"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.bit_xor("id_h60").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )

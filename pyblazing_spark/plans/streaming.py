@@ -514,3 +514,123 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    tags=("streaming", "foreachbatch", "upsert", "cdc"),
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase')
+SELECT CAST(user_id % 4 AS BIGINT)    AS cohort,
+       CAST(count(*) AS BIGINT)      AS n_users,
+       CAST(sum(event_id) AS BIGINT) AS latest_id_sum,
+       round(sum(value) + 1e-4, 2)   AS value_sum
+FROM latest WHERE rn = 1
+GROUP BY cohort
+ORDER BY cohort
+""",
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE/upsert via ``foreachBatch`` — the production CDC
+    sink pattern (Kafka -> keyed table) none of the other stream
+    entries cover: each micro-batch upserts purchase records into a
+    keyed target where the LATEST record per user wins (ordered by
+    ts, event_id — a total order, so per-batch merging is associative
+    and the outcome is batch-split independent). Three deterministic
+    micro-batches (landing-dir harness, one file per batch); the final
+    target must equal the batch recompute of "latest purchase per
+    user" over the whole table — one stale or lost key fails the
+    value compare.
+
+    The target here is a parquet directory swapped atomically per
+    batch (read current + merge + write new + rename) — the
+    no-transactional-format fallback; with Delta/Iceberg the
+    foreachBatch body becomes a MERGE INTO and everything else is
+    unchanged. Scale: each upsert shuffles only the BATCH plus the
+    per-key latest state on user_id; a transactional format would
+    prune the rewrite to touched files."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyblazing_spark.sources.tables import load_table
+    from pyblazing_spark.streaming.ops import read_landing_stream
+
+    base = tempfile.mkdtemp(prefix="stream_upsert_")
+    landing = os.path.join(base, "landing")
+    target = os.path.join(base, "target")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(3):
+            tmp = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
+            dst = os.path.join(landing, f"{i}.parquet")
+            shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+
+        def upsert(batch_df, epoch_id):
+            batch = (
+                batch_df.where(F.col("event_type") == "purchase")
+                .select("user_id", "event_id", "ts", "value")
+            )
+            if os.path.isdir(target):
+                current = batch.sparkSession.read.parquet(target)
+                merged = current.unionByName(batch)
+            else:
+                merged = batch
+            latest = (
+                merged.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            staged = target + f".stage{epoch_id}"
+            latest.write.mode("overwrite").parquet(staged)
+            old = target + f".old{epoch_id}"
+            if os.path.isdir(target):
+                os.rename(target, old)
+            os.rename(staged, target)
+            shutil.rmtree(old, ignore_errors=True)
+
+        q = (
+            read_landing_stream(spark, landing)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("foreachBatch upsert drain did not finish")
+
+        back = spark.read.parquet(target)
+        return (
+            back.groupBy((F.col("user_id") % 4).alias("cohort"))
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("event_id").alias("latest_id_sum"),
+                F.round(F.sum("value") + 1e-4, 2).alias("value_sum"),
+            )
+            .orderBy("cohort")
+            .localCheckpoint(eager=True)  # materialize BEFORE temp cleanup
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

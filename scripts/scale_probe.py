@@ -166,6 +166,7 @@ def main() -> int:
         "agg_approx_topk", "expr_variant_json", "retrieval_ndcg_eval",
         "dedup_paragraph", "join_interval_overlap", "graph_shortest_path",
         "events_rfm", "expr_collation",
+        "pipeline_shard_manifest", "stream_foreachbatch_upsert",
         # round-6 widening: scale-sensitive entries that had never run
         # at 10x (Arrow cogroup, two-phase global windows, wedge joins,
         # star rounds, interval-union windows, FFT kernels, bag setops,
