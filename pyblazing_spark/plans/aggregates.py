@@ -1145,15 +1145,23 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     extends §2.3's approx battery.
     """
     ev = T(spark, sf_dir, "events")
+    # The '__sentinel__' shard keeps the combine step non-empty: Spark
+    # 4.1's ApproxTopKCombine throws scala.MatchError(null) when asked
+    # to evaluate over ZERO input sketches (empty source table), so one
+    # constant single-item sketch always participates and its item is
+    # filtered back out of the estimate (k=6 covers 5 real types + it).
     est = spark.sql(
         """
 WITH shard AS (
   SELECT user_id % 4 AS shard,
          approx_top_k_accumulate(event_type, 64) AS st
-  FROM {ev} GROUP BY user_id % 4),
+  FROM {ev} GROUP BY user_id % 4
+  UNION ALL
+  SELECT -1 AS shard, approx_top_k_accumulate('__sentinel__', 64) AS st),
  comb AS (SELECT approx_top_k_combine(st, 64) AS st FROM shard),
- est AS (SELECT explode(approx_top_k_estimate(st, 5)) AS e FROM comb)
+ est AS (SELECT explode(approx_top_k_estimate(st, 6)) AS e FROM comb)
 SELECT e.item AS item, CAST(e.count AS BIGINT) AS freq FROM est
+WHERE e.item <> '__sentinel__'
 """,
         ev=ev,
     )

@@ -39,6 +39,14 @@ EXPECTED_SHAPES: dict[str, dict[str, int]] = {
     # round-8 bench additions (r7 verdict #8): shapes recorded at entry
     "join_bloom_prune": dict(exch=3, scans=2, py=0, smj=0),
     "pipeline_snapshot_diff": dict(exch=3, scans=2, py=0, smj=1),
+    # round-8 continuation bench additions: shapes recorded at entry.
+    # dedup_paragraph: one fact scan; exchanges = first-occurrence
+    # window hash + per-doc agg + per-source agg + final sort.
+    "dedup_paragraph": dict(exch=4, scans=1, py=0, smj=0),
+    # join_interval_overlap: two slice scans, bucket equi join (hash or
+    # broadcast under AQE) + month agg + final sort; never a nested loop
+    # (separately asserted in test_plan_audits).
+    "join_interval_overlap": dict(exch=3, scans=2, py=0, smj=0),
 }
 
 
