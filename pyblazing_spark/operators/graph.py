@@ -428,22 +428,36 @@ def bfs_distance_histogram(
         nodes = e.select(F.col("u").alias("node")).distinct().localCheckpoint(
             eager=True
         )
-        d = (
+        seeds = (
             nodes.where(F.col("node") % seed_mod == 0)
-            .select("node", F.lit(0).cast("long").alias("dist"))
+            .select("node")
             .localCheckpoint(eager=True)
         )
-        for _ in range(rounds):
-            relaxed = (
-                e.join(d, e["u"] == d["node"])
-                .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
-            )
-            d = (
-                d.unionAll(relaxed)
-                .groupBy("node")
-                .agg(F.min("dist").alias("dist"))
+        d = seeds.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint(
+            eager=True
+        )
+        # Frontier relaxation: only nodes labeled in round r-1 expand in
+        # round r (their neighbors not yet in d get dist r).  Equivalent
+        # to whole-table min-relaxation for unweighted BFS — a node's
+        # first-reached round IS its distance — but each round joins the
+        # edge list against the (shrinking) frontier instead of the
+        # whole distance table: on dense graphs the frontier collapses
+        # after round 1 and later rounds are near-free (10x probe:
+        # 36.5 s full-table form -> 11-15 s warm, and most of the
+        # remainder is the shared co-occurrence edge build).
+        frontier = seeds
+        for r in range(1, rounds + 1):
+            newly = (
+                e.join(frontier, e["u"] == frontier["node"])
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(d, "node", "left_anti")
                 .localCheckpoint(eager=True)
             )
+            d = d.unionAll(
+                newly.select("node", F.lit(r).cast("long").alias("dist"))
+            ).localCheckpoint(eager=True)
+            frontier = newly
         fin = nodes.join(d, "node", "left").select(
             "node", F.coalesce("dist", F.lit(-1)).cast("int").alias("dist")
         )
