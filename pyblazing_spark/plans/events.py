@@ -1145,8 +1145,13 @@ WITH purch AS (
   SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
  gmax AS (SELECT max(ts) AS gts FROM purch),
  per_user AS (
+  -- floor() each epoch BEFORE differencing: DuckDB epoch() is a DOUBLE
+  -- carrying sub-second fractions and CAST(double AS BIGINT) ROUNDS,
+  -- while Spark's unix_timestamp() truncates each timestamp to whole
+  -- seconds — an unfloored difference diverges on sub-second data.
   SELECT user_id,
-         CAST(epoch(gmax.gts) - epoch(max(ts)) AS BIGINT) AS recency_s,
+         CAST(floor(epoch(gmax.gts)) AS BIGINT)
+           - CAST(floor(epoch(max(ts))) AS BIGINT) AS recency_s,
          CAST(count(*) AS BIGINT)                          AS freq,
          round(coalesce(sum(value), 0) + 1e-9, 2)          AS money
   FROM purch CROSS JOIN gmax

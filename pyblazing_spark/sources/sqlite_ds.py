@@ -140,15 +140,20 @@ def _startswith_sql(col: str, value: str) -> str:
     state we don't own), so a pushed-down ``LIKE 'a%'`` would keep
     'AB' rows that Spark's StringStartsWith drops — found by the
     hypothesis property suite.  ``substr`` comparison is exact and
-    character-based on both engines."""
+    character-based on both engines.
+
+    The empty-needle case must stay NULL-PROPAGATING (``substr(col, 1,
+    0) = ''`` is true for non-null, NULL for NULL) rather than ``IS NOT
+    NULL``, whose inversion under a wrapping Not() would wrongly keep
+    NULL rows Spark drops."""
     if value == "":
-        return f"{col} IS NOT NULL"
+        return f"substr({col}, 1, 0) = ''"
     return f"substr({col}, 1, {len(value)}) = {_sql_literal(value)}"
 
 
 def _endswith_sql(col: str, value: str) -> str:
     if value == "":
-        return f"{col} IS NOT NULL"
+        return f"substr({col}, 1, 0) = ''"
     return f"substr({col}, -{len(value)}) = {_sql_literal(value)}"
 
 
@@ -183,7 +188,11 @@ def _compile_filter(f: Filter) -> str | None:
         return f"{col} <= {_sql_literal(f.value)}"
     if isinstance(f, In):
         if not f.value:
-            return "1 = 0"
+            # NULL-PROPAGATING false, not literal FALSE: Spark's
+            # In(col, ()) is false for non-null col but NULL for a NULL
+            # col, and a wrapping Not() must stay NULL (dropped) there —
+            # 'NOT (1 = 0)' would wrongly keep NULL rows.
+            return f"{col} <> {col}"
         return f"{col} IN ({', '.join(_sql_literal(v) for v in f.value)})"
     if isinstance(f, IsNull):
         return f"{col} IS NULL"
