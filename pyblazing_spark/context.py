@@ -132,6 +132,7 @@ class BlazingContext:
         spark: SparkSession | None = None,
         config_options: dict[str, Any] | None = None,
         eager: bool = False,
+        enable_progress_bar: bool = False,
     ) -> None:
         self.spark = ensure_runtime_confs(spark) if spark is not None else get_spark()
         self.eager = eager
@@ -143,6 +144,7 @@ class BlazingContext:
         self._fetched: set[int] = set()
         self._pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="bsql-async")
         self._peak_memory: dict[str, int] = {}
+        self.enable_progress_bar = enable_progress_bar
         if config_options:
             self._apply_config(config_options)
 
@@ -464,6 +466,22 @@ class BlazingContext:
         if host:
             self._filesystems[prefix] = f"hdfs://{host}:{port}/"
 
+    def show_filesystems(self) -> dict[str, str]:
+        """Print (and return) the registered filesystem prefixes
+        (reference ``context.py:1828`` prints its FileSystem registry).
+
+        Returns the prefix -> resolved-base mapping too so callers can
+        inspect it programmatically — the reference's print-only form
+        gives scripts nothing to branch on."""
+        fs = dict(self._filesystems)
+        if fs:
+            width = max(len(p) for p in fs)
+            for prefix, base in sorted(fs.items()):
+                print(f"{prefix:<{width}} -> {base}")
+        else:
+            print("(no filesystems registered)")
+        return fs
+
     # ------------------------------------------------------------- memory
     def get_free_memory(self) -> dict[int, int]:
         """Executor-level free memory (reference :1959 returns per-GPU)."""
@@ -512,6 +530,42 @@ class BlazingContext:
             out[idx] = self._peak_memory[exec_id]
             idx += 1
         return out
+
+    def reset_max_memory_used(self) -> None:
+        """Reset the peak-memory counters to zero (reference
+        ``context.py:2047`` resets its per-GPU peak counter on every
+        worker).  The next :meth:`get_max_memory_used` call re-seeds
+        each executor's peak from its live metrics — "peak since last
+        reset", the closest Spark analogue of the reference contract."""
+        self._peak_memory.clear()
+
+    @staticmethod
+    def _check_tqdm() -> bool:
+        """True if tqdm is importable (reference ``context.py:3677``)."""
+        try:
+            import tqdm  # noqa: F401
+
+            return True
+        except Exception:
+            return False
+
+    def do_progress_bar(self, arg: Any, progress_bar_fn, wait_fn) -> None:
+        """Reference-contract progress dispatch (``context.py:3758``):
+        run ``progress_bar_fn(arg)`` only when progress bars are enabled
+        AND tqdm imports; otherwise fall back to ``wait_fn(arg)``.
+
+        On Spark the natural ``progress_bar_fn`` polls
+        ``spark.sparkContext.statusTracker()`` for active-stage task
+        counts while the job thread runs — but the dispatch contract
+        (what callers rely on) is exactly the reference's, so this shim
+        keeps its shape byte-for-byte semantics-equivalent."""
+        if not self.enable_progress_bar:
+            wait_fn(arg)
+            return
+        if not self._check_tqdm():
+            wait_fn(arg)
+            return
+        progress_bar_fn(arg)
 
     # --------------------------------------------------------------- misc
     def partition(self, input: DataFrame, by: list[str] | None = None) -> DataFrame:

@@ -62,9 +62,28 @@ def duplicate_clusters(
 
 
 # ------------------------------------------------------------- minhash
-def _bucket_pairs(ids: Column) -> Column:
-    """All (id_a < id_b) pairs from a sorted id array, as structs."""
-    return F.flatten(
+#: Bucket size above which in-bucket pair expansion switches from
+#: all-pairs to a star on the bucket minimum. 256 keeps the worst
+#: per-bucket expansion at 32,640 pairs (~0.5 MB of id structs).
+STAR_ABOVE = 256
+
+
+def _bucket_pairs(ids: Column, star_above: int = STAR_ABOVE) -> Column:
+    """Candidate (id_a < id_b) pairs from a sorted id array, as structs.
+
+    Buckets up to ``star_above`` ids expand to ALL pairs; larger
+    (degenerate) buckets — boilerplate or fully-identical corpora can
+    drive millions of docs into one band bucket, where all-pairs is
+    O(|bucket|²) ≈ 10¹² rows — expand to a STAR on the bucket minimum
+    instead: (ids[0], other) for every other id, O(|bucket|) rows.
+    The star keeps every member reachable from the bucket's
+    representative, so duplicate-CLUSTER recall survives (greedy dedup
+    still drops every non-min member: each verifies against the rep);
+    only the explicit pair list among non-representative members is
+    traded away, and that list is exactly the quadratic blow-up being
+    capped. Deterministic: ids are sorted, the representative is the
+    global bucket min."""
+    all_pairs = F.flatten(
         F.transform(
             ids,
             lambda x, i: F.transform(
@@ -73,6 +92,11 @@ def _bucket_pairs(ids: Column) -> Column:
             ),
         )
     )
+    star = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(F.element_at(ids, 1).alias("id_a"), y.alias("id_b")),
+    )
+    return F.when(F.size(ids) <= F.lit(star_above), all_pairs).otherwise(star)
 
 
 def _hashed_shingle_rows(
@@ -117,6 +141,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    star_above: int = STAR_ABOVE,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -168,7 +193,7 @@ def minhash_lsh_pairs(
         buckets.groupBy("__bucket")
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .where(F.size("__ids") >= 2)
-        .select(F.explode(_bucket_pairs(F.col("__ids"))).alias("__p"))
+        .select(F.explode(_bucket_pairs(F.col("__ids"), star_above)).alias("__p"))
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
@@ -473,6 +498,7 @@ def embedding_pairs_lsh(
     dim: int = 64,
     n_bits: int = 16,
     bands: int = 4,
+    star_above: int = STAR_ABOVE,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine — the LSH-bucketed scale path.
 
@@ -480,28 +506,25 @@ def embedding_pairs_lsh(
     candidates; only same-band-bucket pairs pay the exact cosine, which
     also makes the threshold exact (LSH bounds recall, never precision).
     Only (id, band, bucket) — three ints — flow through the candidate
-    join and the pair dedup; vectors are re-joined AFTER dedup, so at
-    100 TB the wide embedding column never rides a bucket-join shuffle
-    and each surviving pair fetches its two vectors exactly once."""
+    expansion and the pair dedup; vectors are re-joined AFTER dedup, so
+    at 100 TB the wide embedding column never rides a bucket-join shuffle
+    and each surviving pair fetches its two vectors exactly once.
+    In-bucket expansion goes through :func:`_bucket_pairs`, so a
+    degenerate bucket (millions of identical vectors) emits a linear
+    star on its min id, never O(|bucket|²) pairs."""
     from pyblazing_spark.operators.similarity import hyperplane_buckets
 
     base = df.select(F.col(id_col), F.col(vec_col))
     b = hyperplane_buckets(base, vec_col, dim, n_bits, bands).select(
         id_col, "band", "bucket"
     )
-    a, c = b.alias("a"), b.alias("b")
     cand = (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        b.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+        .select(F.explode(_bucket_pairs(F.col("__ids"), star_above)).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
+        .distinct()
     )
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

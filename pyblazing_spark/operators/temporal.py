@@ -40,6 +40,18 @@ def _contains_map(dt: "T.DataType") -> bool:
     return False
 
 
+def _assert_no_bucket_col(*dfs: DataFrame) -> None:
+    """The bucketed joins stage candidates through a ``__bucket``
+    column; silently overwriting a caller column of that name would
+    corrupt the caller's data (r8 advice) — fail loudly instead."""
+    for df in dfs:
+        if "__bucket" in df.columns:
+            raise ValueError(
+                "input already has a '__bucket' column; rename it before "
+                "calling the bucketed temporal joins"
+            )
+
+
 def _asof_union_window(
     left: DataFrame,
     right: DataFrame,
@@ -190,13 +202,18 @@ def range_join(
     longer than one bucket explode into one row per covered bucket —
     keep bucket width >= the typical interval length."""
     equi_keys = equi_keys or []
+    _assert_no_bucket_col(left, right)
 
     def default_bucket(c: Column) -> Column:
         return (F.unix_timestamp(c) / F.lit(3600)).cast("long")
 
     bucketize = (lambda c: bucket(c)) if bucket is not None else default_bucket  # type: ignore[misc]
 
-    r_bucketed = right.withColumn(
+    # Inverted intervals (end < start) are EMPTY: the containment
+    # predicate `point >= start AND point <= end` is unsatisfiable for
+    # them, but Spark's sequence(hi, lo) goes DESCENDING (not empty) and
+    # would explode bogus bucket rows — drop them before exploding.
+    r_bucketed = right.where(F.col(right_end) >= F.col(right_start)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -262,13 +279,20 @@ def interval_overlap_join(
 
     ``bucket`` maps a boundary column to an integer bucket id; keep the
     bucket width on the order of the typical interval length (an
-    interval spanning B buckets produces B join rows)."""
+    interval spanning B buckets produces B join rows).
+
+    Inverted intervals (end < start) denote the EMPTY interval and
+    never match: they are dropped before exploding, both because that
+    is the standard temporal-algebra semantics and because Spark's
+    ``sequence(hi, lo)`` goes DESCENDING (not empty) and would emit
+    bogus bucket rows."""
     equi_keys = equi_keys or []
-    l_b = left.withColumn(
+    _assert_no_bucket_col(left, right)
+    l_b = left.where(F.col(left_end) >= F.col(left_start)).withColumn(
         "__bucket",
         F.explode(F.sequence(bucket(F.col(left_start)), bucket(F.col(left_end)))),
     )
-    r_b = right.withColumn(
+    r_b = right.where(F.col(right_end) >= F.col(right_start)).withColumn(
         "__bucket",
         F.explode(F.sequence(bucket(F.col(right_start)), bucket(F.col(right_end)))),
     )

@@ -1149,17 +1149,27 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.1's ApproxTopKCombine throws scala.MatchError(null) when asked
     # to evaluate over ZERO input sketches (empty source table), so one
     # constant single-item sketch always participates and its item is
-    # filtered back out of the estimate (k=6 covers 5 real types + it).
+    # filtered back out of the estimate. k is DERIVED from the live
+    # distinct type count (+1 for the sentinel) so a fixture gaining
+    # event types can never truncate the estimate mid-tie (r8 advice);
+    # the count is one driver-side scalar, the same bounded-collect
+    # class as the runtime-filter min/max.
+    n_types = ev.select("event_type").distinct().count()
+    if n_types + 1 > 64:
+        raise ValueError(
+            f"event_type cardinality {n_types} exceeds the exactness bound "
+            "(maxItemsTracked=64) this oracle-compared entry relies on"
+        )
     est = spark.sql(
-        """
+        f"""
 WITH shard AS (
   SELECT user_id % 4 AS shard,
          approx_top_k_accumulate(event_type, 64) AS st
-  FROM {ev} GROUP BY user_id % 4
+  FROM {{ev}} GROUP BY user_id % 4
   UNION ALL
   SELECT -1 AS shard, approx_top_k_accumulate('__sentinel__', 64) AS st),
  comb AS (SELECT approx_top_k_combine(st, 64) AS st FROM shard),
- est AS (SELECT explode(approx_top_k_estimate(st, 6)) AS e FROM comb)
+ est AS (SELECT explode(approx_top_k_estimate(st, {n_types + 1})) AS e FROM comb)
 SELECT e.item AS item, CAST(e.count AS BIGINT) AS freq FROM est
 WHERE e.item <> '__sentinel__'
 """,

@@ -1102,13 +1102,17 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.where(F.col("o_orderkey") % 97 == 0).select(
         "o_orderkey",
         F.col("o_orderdate").alias("a_start"),
-        F.expr("o_orderdate + INTERVAL 30 DAY").alias("a_end"),
+        # timestampadd(DAY, ...) is CALENDAR-day arithmetic, matching the
+        # oracle's `+ INTERVAL 30 DAY` / to_days() exactly in every session
+        # timezone; a day-time interval (make_dt_interval) is a fixed 24h
+        # and would diverge across DST transitions (r8 advice).
+        F.expr("timestampadd(DAY, 30, o_orderdate)").alias("a_end"),
     )
     b = li.where((F.col("l_orderkey") % 89 == 0) & (F.col("l_linenumber") == 1)).select(
         "l_orderkey",
         F.col("l_shipdate").alias("b_start"),
         F.expr(
-            "l_shipdate + make_dt_interval(CAST(l_partkey % 21 + 1 AS INT))"
+            "timestampadd(DAY, CAST(l_partkey % 21 + 1 AS INT), l_shipdate)"
         ).alias("b_end"),
     )
 

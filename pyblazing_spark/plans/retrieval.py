@@ -20,6 +20,8 @@ training-data / retrieval pipeline needs on top of the relational core:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -474,14 +476,31 @@ def _bloom_words(n_keys: int) -> int:
     [_BLOOM_MIN_WORDS, _BLOOM_MAX_WORDS].  The DuckDB oracle recomputes
     the IDENTICAL formula in SQL (integer arithmetic only — no pow/log
     float hazards), so both engines derive the same m and the per-row
-    pass/fail stays bit-identical."""
-    return max(
-        _BLOOM_MIN_WORDS,
-        min(
-            (_BLOOM_BITS_PER_KEY * n_keys + _BLOOM_WORD - 1) // _BLOOM_WORD,
-            _BLOOM_MAX_WORDS,
-        ),
-    )
+    pass/fail stays bit-identical.
+
+    When the cap clamps the sizing (build side ≳ ~100k keys for the
+    1 Mbit cap) the filter's FPR degrades toward 1 and the pre-filter
+    stops pruning — correctness is preserved (the exact join re-checks
+    every pass), but the scan-stage tests become pure overhead, so a
+    WARNING with the predicted FPR is logged (r8 advice)."""
+    raw = (_BLOOM_BITS_PER_KEY * n_keys + _BLOOM_WORD - 1) // _BLOOM_WORD
+    words = max(_BLOOM_MIN_WORDS, min(raw, _BLOOM_MAX_WORDS))
+    if raw > _BLOOM_MAX_WORDS:
+        import math
+
+        m = words * _BLOOM_WORD
+        k = len(_BLOOM_SLICES)
+        fpr = (1.0 - math.exp(-k * n_keys / m)) ** k
+        logging.getLogger(__name__).warning(
+            "bloom bitmap saturated: %d build keys vs the %d-bit cap -> "
+            "predicted FPR %.0f%%; the pre-filter will prune little "
+            "(results stay exact via the join re-check). Consider a "
+            "smaller build side or raise _BLOOM_MAX_WORDS.",
+            n_keys,
+            _BLOOM_MAX_WORDS * _BLOOM_WORD,
+            100.0 * fpr,
+        )
+    return words
 
 
 def _bloom_hash_sql(col: str, start: int, m: int) -> str:

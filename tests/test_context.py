@@ -210,3 +210,53 @@ def test_sql_algebra_param(bc, spark, sf_dir):
     with pytest.raises(ValueError, match="Calcite"):
         bc.sql("SELECT 1", algebra="LogicalProject(n_nationkey=[$0])")
     bc.drop_table("nation_alg")
+
+
+def test_show_filesystems_prints_and_returns(bc, spark, capsys):
+    """Reference parity context.py:1828: print the registry; ours also
+    returns the mapping for programmatic use."""
+    fresh = BlazingContext(spark=spark)
+    assert fresh.show_filesystems() == {}
+    assert "no filesystems registered" in capsys.readouterr().out
+    bc.localfs("data", root="/root/testdata")
+    fs = bc.show_filesystems()
+    out = capsys.readouterr().out
+    assert fs["data"] == "file:///root/testdata/"
+    assert "data" in out and "file:///root/testdata/" in out
+    del bc._filesystems["data"]
+
+
+def test_reset_max_memory_used(bc):
+    """Reference parity context.py:2047: peaks re-seed after a reset."""
+    before = bc.get_max_memory_used()
+    assert before and all(v > 0 for v in before.values())
+    bc.reset_max_memory_used()
+    assert bc._peak_memory == {}
+    after = bc.get_max_memory_used()
+    # re-seeded from live metrics, not the retained old running max
+    assert set(after) == set(before)
+    assert all(v > 0 for v in after.values())
+
+
+def test_do_progress_bar_dispatch(spark):
+    """Reference parity context.py:3758: wait_fn unless bars are enabled
+    AND tqdm imports; exact dispatch contract."""
+    calls = []
+    ctx_off = BlazingContext(spark=spark)
+    ctx_off.do_progress_bar("x", lambda a: calls.append(("bar", a)),
+                            lambda a: calls.append(("wait", a)))
+    assert calls == [("wait", "x")]
+
+    calls.clear()
+    ctx_on = BlazingContext(spark=spark, enable_progress_bar=True)
+    expected = "bar" if ctx_on._check_tqdm() else "wait"
+    ctx_on.do_progress_bar("y", lambda a: calls.append(("bar", a)),
+                           lambda a: calls.append(("wait", a)))
+    assert calls == [(expected, "y")]
+
+    # tqdm absent -> fall back to wait even when enabled
+    calls.clear()
+    ctx_on._check_tqdm = lambda: False
+    ctx_on.do_progress_bar("z", lambda a: calls.append(("bar", a)),
+                           lambda a: calls.append(("wait", a)))
+    assert calls == [("wait", "z")]

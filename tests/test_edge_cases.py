@@ -205,3 +205,23 @@ def test_sub_ngram_docs_have_no_shingles(spark):
     # the long identical pair still pairs at containment/jaccard 1.0
     assert any(r.containment == 1.0 for r in cont)
     assert any(r.jaccard == 1.0 for r in jac)
+
+
+def test_bloom_words_saturation_warns(caplog):
+    """When the 1 Mbit cap clamps the bitmap the pre-filter stops
+    pruning (FPR -> 1): the sizing must say so loudly (r8 verdict #4)
+    while still returning the capped, oracle-identical size."""
+    import logging
+
+    from pyblazing_spark.plans import retrieval as R
+
+    with caplog.at_level(logging.WARNING, logger="pyblazing_spark.plans.retrieval"):
+        words = R._bloom_words(5_000_000)
+    assert words == R._BLOOM_MAX_WORDS
+    assert any("saturated" in r.message and "FPR" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="pyblazing_spark.plans.retrieval"):
+        ok = R._bloom_words(1000)
+    assert ok == (10 * 1000 + 31) // 32  # unclamped word-aligned size
+    assert not caplog.records

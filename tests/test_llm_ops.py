@@ -425,3 +425,46 @@ def test_contamination_report_consistent_with_flags(spark, sf_dir):
         assert 0 <= r.n_hits <= r.n_shingles
         expected = round(r.n_hits / r.n_shingles + 1e-9, 4)
         assert abs(r.frac - expected) < 1e-12
+
+
+def test_degenerate_bucket_star_cap(spark):
+    """An all-identical corpus drives every doc into the same band
+    buckets; above the star_above cap the expansion must be a LINEAR
+    star on the bucket min, not O(n^2) all-pairs (r8 verdict #2), and
+    greedy dedup still collapses the corpus to one survivor."""
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated verbatim in every row") for i in range(n)],
+        "doc_id bigint, text string",
+    )
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5, star_above=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # star on the global min id: exactly (0, j) for every other doc
+    assert got == {(0, j) for j in range(1, n)}
+    assert all(abs(r.jaccard - 1.0) < 1e-9 for r in pairs.collect())
+    kept = DD.minhash_dedup(docs, threshold=0.5).collect()
+    assert [r.doc_id for r in kept] == [0]
+    # below the cap the full pair set comes back unchanged
+    small = spark.createDataFrame(
+        [(i, "identical tiny corpus row for the uncapped branch") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    full = {(r.id_a, r.id_b) for r in DD.minhash_lsh_pairs(small, threshold=0.5).collect()}
+    assert full == {(a, b) for a in range(5) for b in range(5) if a < b}
+
+
+def test_embedding_lsh_degenerate_bucket_star_cap(spark):
+    """Same cliff, embedding path: identical vectors all collide in
+    every hyperplane bucket; the capped expansion emits the star."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=64)
+    v = (v / np.linalg.norm(v)).astype(float).tolist()
+    n = 40
+    df = spark.createDataFrame(
+        [(i, v) for i in range(n)], "vec_id bigint, embedding array<double>"
+    )
+    pairs = DD.embedding_pairs_lsh(df, threshold=0.9, star_above=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, j) for j in range(1, n)}

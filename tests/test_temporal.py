@@ -245,3 +245,69 @@ def test_interval_overlap_join_equals_naive(spark):
         assert len(got) == len(want), "duplicate pair emitted"
 
     run()
+
+
+def test_bucketed_joins_reject_bucket_column(spark):
+    """__bucket is a staging column: a caller column of that name must
+    fail loudly, never be silently overwritten (r8 advice)."""
+    import pytest
+
+    clash = spark.createDataFrame([(1, 2, 3, 9)], "s bigint, e bigint, x bigint, __bucket bigint")
+    clean = spark.createDataFrame([(1, 2)], "s bigint, e bigint")
+    ident = lambda c: c  # noqa: E731
+    with pytest.raises(ValueError, match="__bucket"):
+        TP.interval_overlap_join(clash, clean, "s", "e", "s", "e", bucket=ident)
+    with pytest.raises(ValueError, match="__bucket"):
+        TP.interval_overlap_join(clean, clash, "s", "e", "s", "e", bucket=ident)
+    with pytest.raises(ValueError, match="__bucket"):
+        TP.range_join(clash, clean, "x", "s", "e", bucket=ident)
+
+
+def test_inverted_intervals_are_empty(spark):
+    """end < start denotes the EMPTY interval: it matches nothing and
+    must not feed Spark's DESCENDING sequence() bogus bucket rows."""
+    ident = lambda c: c  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, 3), (2, 4, 6)], "lid bigint, s bigint, e bigint"
+    )  # lid=1 inverted
+    right = spark.createDataFrame(
+        [(7, 2, 11), (8, 5, 5)], "rid bigint, s2 bigint, e2 bigint"
+    )
+    out = TP.interval_overlap_join(
+        left, right, "s", "e", "s2", "e2", bucket=ident
+    ).select("lid", "rid").collect()
+    got = {(r.lid, r.rid) for r in out}
+    # only the valid [4,6] interval matches; the inverted [10,3] never does
+    assert got == {(2, 7), (2, 8)}
+
+    # range_join: an inverted right interval can contain no point
+    pts = spark.createDataFrame([(1, 5)], "pid bigint, p bigint")
+    iv = spark.createDataFrame([(9, 8, 2), (10, 4, 6)], "rid bigint, s bigint, e bigint")
+    rj = TP.range_join(pts, iv, "p", "s", "e", bucket=ident).select("pid", "rid").collect()
+    assert {(r.pid, r.rid) for r in rj} == {(1, 10)}
+
+
+def test_interval_overlap_matches_naive_with_inverted_rows(spark):
+    """Random mix incl. inverted rows: bucketed == naive non-equi join
+    restricted to VALID intervals on both sides."""
+    import random
+
+    rnd = random.Random(909)
+    lrows = [(i, rnd.randint(0, 40), rnd.randint(0, 40)) for i in range(120)]
+    rrows = [(i, rnd.randint(0, 40), rnd.randint(0, 40)) for i in range(120)]
+    left = spark.createDataFrame(lrows, "lid bigint, s bigint, e bigint")
+    right = spark.createDataFrame(rrows, "rid bigint, s2 bigint, e2 bigint")
+    bucket = lambda c: (c / 7).cast("long")  # noqa: E731
+    got = {
+        (r.lid, r.rid)
+        for r in TP.interval_overlap_join(
+            left, right, "s", "e", "s2", "e2", bucket=bucket
+        ).select("lid", "rid").collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, s, e in lrows if s <= e
+        for rid, s2, e2 in rrows if s2 <= e2
+        if s <= e2 and s2 <= e
+    }
+    assert got == want
