@@ -989,3 +989,61 @@ def expr_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_ci")
     )
+
+
+@register(
+    "expr_higher_order",
+    tags=("expression", "array", "lambda", "higher-order"),
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE n_chars > 0 AND doc_id < 300)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT)                                AS n_tokens,
+       CAST(len(list_filter(toks, x -> strlen(x) > 6)) AS BIGINT) AS n_long,
+       CAST(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum')
+            AS BIGINT)                                           AS sum_len,
+       len(list_filter(toks, x -> regexp_matches(x, '^[aeiou]'))) > 0
+                                                                 AS has_vowel_start
+FROM d
+ORDER BY doc_id
+""",
+)
+def expr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order-function surface — ``transform`` / ``filter``
+    / ``aggregate`` / ``exists`` with real lambdas, value-compared
+    against DuckDB's ``list_transform`` / ``list_filter`` /
+    ``list_aggregate`` twins. The reference has no array type at all
+    (LIST is absent from its catalog enum); this pins the API surface
+    of Spark's lambda expressions as a superset capability.
+
+    Scale caveat (why this entry is BOUNDED by doc_id and every hot
+    path in the repo avoids these): lambda HOFs evaluate INTERPRETED —
+    outside whole-stage codegen — and Catalyst can clone the whole
+    array expression into per-row filters (see CLAUDE.md, the measured
+    ~100x explode-vs-transform gap in ``_hashed_shingle_rows``). They
+    are the right tool for OCCASIONAL array massaging on bounded data,
+    which is exactly how this entry exercises them."""
+    d = T(spark, sf_dir, "documents").where(
+        (F.col("n_chars") > 0) & (F.col("doc_id") < 300)
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        d.select("doc_id", toks.alias("__t"))
+        .select(
+            "doc_id",
+            F.size("__t").cast("long").alias("n_tokens"),
+            F.size(F.filter("__t", lambda x: F.length(x) > 6))
+            .cast("long")
+            .alias("n_long"),
+            F.aggregate(
+                F.transform("__t", lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sum_len"),
+            F.exists("__t", lambda x: x.rlike("^[aeiou]")).alias(
+                "has_vowel_start"
+            ),
+        )
+        .orderBy("doc_id")
+    )

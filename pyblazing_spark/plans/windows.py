@@ -616,3 +616,57 @@ def win_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "win_running_distinct",
+    tags=("window", "distinct", "cumulative", "scale"),
+    oracle="""
+WITH d AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+ f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id),
+ nu AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+        FROM f GROUP BY first_day),
+ days AS (SELECT DISTINCT day FROM d)
+SELECT day,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new_users,
+       CAST(sum(COALESCE(n_new, 0)) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_distinct_users
+FROM days LEFT JOIN nu USING (day)
+ORDER BY day
+""",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT-user curve (running ``count(DISTINCT)`` over
+    an ordered window) — the audience-growth query. Spark has no
+    ``count(DISTINCT) OVER (ORDER BY ...)``, and the naive emulation
+    (collect_set over an unbounded frame) holds O(|users|) state PER
+    ROW; the scalable decomposition is first-occurrence marking:
+    min(day) per user (ONE hash shuffle on user_id, partial-agg
+    friendly), roll new-user counts to day grain, then a running sum
+    over the DAY-GRAIN frame — the unpartitioned window runs over a
+    metadata-sized table (one row per day), never the fact. Days with
+    zero new users still appear (day spine left join), pinning the
+    COALESCE(0) carry behavior. DuckDB executes the same decomposition,
+    so the oracle is full-equality. The reference throws on every
+    DISTINCT window aggregate (BatchWindowFunctionProcessing.cpp's
+    kernel list has none)."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("fday"))
+    new_per_day = first.groupBy(F.col("fday").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = ev.select("day").distinct()
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        days.join(new_per_day, "day", "left")
+        .select("day", F.coalesce(F.col("n_new"), F.lit(0)).alias("__n"))
+        .select(
+            "day",
+            F.col("__n").cast("long").alias("n_new_users"),
+            F.sum("__n").over(w).cast("long").alias("cum_distinct_users"),
+        )
+        .orderBy("day")
+    )

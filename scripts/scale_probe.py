@@ -76,8 +76,14 @@ def build_probe(spark, src_dir: str, probe_dir: str, k: int) -> None:
         dtypes = dict(df.dtypes)
         rep = df.select("*", replicas)
         for col, off in shifts.items():
+            # long arithmetic: __k * off overflows INT at k >= 22 with
+            # the 100M orders offset (ANSI mode raises, found at 100x)
             rep = rep.withColumn(
-                col, (F.col(col) + F.col("__k") * off).cast(dtypes[col])
+                col,
+                (
+                    F.col(col).cast("long")
+                    + F.col("__k").cast("long") * F.lit(off).cast("long")
+                ).cast(dtypes[col]),
             )
         rep.drop("__k").write.mode("overwrite").parquet(
             f"{probe_dir}/{name}.parquet"
@@ -85,8 +91,28 @@ def build_probe(spark, src_dir: str, probe_dir: str, k: int) -> None:
 
 
 def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    probe_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale_probe_{k}x"
+    # flags: --only=a,b,c  restrict to those catalog entries
+    #        --no-oracle   timing-only (skip the DuckDB value compare —
+    #                      the 100x heavy-tail run per VERDICT r8 #1:
+    #                      correctness is certified at sf0.01/sf0.1/10x;
+    #                      100x measures the SCALING of already-proven
+    #                      plans, and unrolled iterative oracles would
+    #                      dominate wall-clock there)
+    #        --reuse       skip the probe build if probe_dir exists
+    only: set[str] | None = None
+    no_oracle = reuse = False
+    pos: list[str] = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        elif a == "--no-oracle":
+            no_oracle = True
+        elif a == "--reuse":
+            reuse = True
+        else:
+            pos.append(a)
+    k = int(pos[0]) if pos else 10
+    probe_dir = pos[1] if len(pos) > 1 else f"/tmp/scale_probe_{k}x"
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -105,8 +131,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
-    build_probe(spark, src_dir, probe_dir, k)
-    print(f"probe build ({k}x {src_dir} -> {probe_dir}): {time.time()-t0:.1f}s")
+    if reuse and os.path.isdir(f"{probe_dir}/lineitem.parquet"):
+        print(f"probe reuse: {probe_dir}")
+    else:
+        build_probe(spark, src_dir, probe_dir, k)
+        print(f"probe build ({k}x {src_dir} -> {probe_dir}): {time.time()-t0:.1f}s")
 
     import __spark_entry__ as E
     from pyblazing_spark.plans import REGISTRY
@@ -181,13 +210,18 @@ def main() -> int:
     timings: dict[str, float] = {}
     n_ok = n_bad = 0
     for name, spec in sorted(REGISTRY.items()):
-        if not (spec.bench or name in extra):
+        if only is not None:
+            if name not in only:
+                continue
+        elif not (spec.bench or name in extra):
             continue
         t0 = time.time()
         try:
             spdf = spec.fn(spark, probe_dir).toPandas()
             timings[name] = round(time.time() - t0, 2)
-            if name in osql:
+            if no_oracle:
+                print(f"  {name:24s} timed rows={len(spdf):>8} ({timings[name]:.1f}s)")
+            elif name in osql:
                 ddf = con.execute(osql[name]).df()
                 assert_frames_match(spdf, ddf, name=name)
                 print(f"  {name:24s} OK rows={len(spdf):>8} ({timings[name]:.1f}s)")

@@ -662,3 +662,73 @@ def test_bfs_round_plan_depth_is_constant(spark, sf_dir):
     phys = _executed_plan(df)
     assert "Scan parquet" not in phys, phys[:2000]
     assert "Scan ExistingRDD" in phys
+
+
+def test_salted_join_spreads_hot_key_evenly(spark, sf_dir):
+    """join_salted_skew's whole point (VERDICT r8 #7): after salting,
+    no single join key occupies one shuffle partition. Audit BOTH
+    halves of that claim, at whatever scale SPARK_GRAFT_TEST_SF_DIR
+    points to (run at the 10x probe dir for the probe-scale pin):
+
+    1. plan: the join's exchange hashpartitions on (key, __salt), not
+       the bare key — the hot key's rows are split across `salts`
+       hash cells by construction;
+    2. data: for the HOTTEST key, the per-salt row counts from the
+       very salt expression the join shuffles on are near-uniform
+       (max cell <= 2x the uniform expectation), so those hash cells
+       get comparable volumes — the property AQE's runtime skew split
+       cannot give a single oversized build key.
+    """
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.operators.skew import salted_join
+    from pyblazing_spark.sources.tables import load_table
+
+    salts = 16
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("int")
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(ev, na, on="n_nationkey", salts=salts)
+    # salting is for the regime where broadcast is NOT possible (the
+    # replicated side outgrew the threshold); at fixture scale Spark
+    # would broadcast the 25-row dim and plan no exchange at all, so
+    # pin the shuffle-join shape the operator exists for.
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted_parts = [p for p in parts if "n_nationkey" in p and "__salt" in p]
+    bare_parts = [
+        p for p in parts if "n_nationkey" in p and "__salt" not in p
+    ]
+    assert salted_parts, f"no (key, salt) exchange in plan:\n{plan[:2000]}"
+    assert not bare_parts, f"unsalted key exchange remains: {bare_parts}"
+
+    # salt-distribution evenness for the hottest key, measured with the
+    # SAME salt expression the join uses (seeded rand -> deterministic)
+    salt = (F.rand(seed=42) * salts).cast("int")
+    cells = (
+        ev.withColumn("__salt", salt)
+        .groupBy("n_nationkey", "__salt")
+        .count()
+    )
+    hot = (
+        cells.groupBy("n_nationkey")
+        .agg(F.sum("count").alias("total"), F.max("count").alias("max_cell"),
+             F.count(F.lit(1)).alias("n_cells"))
+        .orderBy(F.desc("total"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert hot.n_cells == salts, f"hot key missing salt cells: {hot}"
+    uniform = hot.total / salts
+    assert hot.max_cell <= 2.0 * uniform, (
+        f"salt distribution skewed: max cell {hot.max_cell} vs uniform "
+        f"{uniform:.0f} for key total {hot.total}"
+    )
