@@ -468,3 +468,41 @@ def test_embedding_lsh_degenerate_bucket_star_cap(spark):
     pairs = DD.embedding_pairs_lsh(df, threshold=0.9, star_above=8)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(0, j) for j in range(1, n)}
+
+
+def test_bucket_pairs_property(spark):
+    """_bucket_pairs contract over random bucket contents: all-pairs at
+    or below the cap, a star on the bucket min above it — checked as a
+    pure expression (one job per example set, batched in one collect)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyblazing_spark.operators.dedup import _bucket_pairs
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 10_000), min_size=2, max_size=40, unique=True),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(2, 12),
+    )
+    def check(buckets, cap):
+        rows = [(i, sorted(b)) for i, b in enumerate(buckets)]
+        df = spark.createDataFrame(rows, "i int, ids array<bigint>")
+        out = df.select(
+            "i", F.explode(_bucket_pairs(F.col("ids"), cap)).alias("p")
+        ).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r.i, set()).add((r.p.id_a, r.p.id_b))
+        for i, b in enumerate(buckets):
+            ids = sorted(b)
+            if len(ids) <= cap:
+                want = {(a, c) for a in ids for c in ids if a < c}
+            else:
+                want = {(ids[0], c) for c in ids[1:]}
+            assert got.get(i, set()) == want, (i, len(ids), cap)
+
+    check()
