@@ -1047,3 +1047,54 @@ def expr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "expr_unpivot",
+    tags=("expression", "unpivot", "melt", "reshape"),
+    oracle="""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+  FROM lineitem WHERE l_orderkey % 997 = 0)
+SELECT l_orderkey, l_linenumber, measure, round(value + 1e-9, 4) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         l_quantity AS value FROM base
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM base
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base)
+ORDER BY l_orderkey, l_linenumber, measure
+""",
+)
+def expr_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping via the native ``DataFrame.unpivot``
+    (melt) operator — three lineitem measures become (measure, value)
+    rows. The reference has no UNPIVOT (Calcite parses it but the
+    engine has no kernel); Spark plans it as a single Expand node —
+    ONE scan emitting 3 rows per input row in the scan stage, exactly
+    the multi-distinct Expand machinery, with NO join or shuffle (the
+    oracle's 3-way UNION ALL over one CTE is the relational spelling
+    of the same thing, and DuckDB reads the base once too). At 100 TB
+    unpivot is therefore scan-bound: output rows = k x input rows,
+    nothing wide ever exchanges."""
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 997 == 0)
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="measure",
+            valueColumnName="__v",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round(F.col("__v") + 1e-9, 4).alias("value"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
