@@ -305,3 +305,108 @@ def interval_overlap_join(
         )
     )
     return joined.drop("__bucket")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """NEAREST as-of join (pandas ``merge_asof(direction='nearest')``):
+    for every left row, the right row minimizing |right.ts - left.ts|
+    per key; equal distances break toward the EARLIER (backward) right
+    row. NULL payload when the key has no right rows at all.
+
+    Single pass — ONE union, ONE shuffle on the key, one sort, two
+    frames over it: the backward candidate is ``last(ignorenulls)``
+    over ``(-inf, current]`` and the forward candidate
+    ``first(ignorenulls)`` over ``[current, +inf)``. Right rows sort
+    BEFORE left rows at equal timestamps, so an exact-timestamp match
+    is captured by the backward candidate with distance 0 — which can
+    never lose the nearest comparison — and the forward frame only
+    needs strictly-later rows, which is exactly what it sees. Equal
+    right timestamps per key resolve deterministically via the payload
+    tie-hash (for exact pandas parity feed right rows unique per
+    (key, ts) — e.g. pre-aggregate with ``min_by``)."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    payload_names = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    left_only = [c for c in left.columns if c not in (on, left_ts)]
+
+    r_payload = F.struct(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    )
+    l_payload = F.when(
+        F.lit(False),
+        F.struct(
+            *[
+                F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+            F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{right_ts}{suffix}"),
+        ),
+    )
+    # backward-style side tags: right (0) before left (1) at equal t
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_only],
+        l_payload.alias("__payload"),
+    )
+    right_types = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
+        r_payload.alias("__payload"),
+    )
+    # map-typed payload fields make xxhash64 raise (same trap as
+    # _asof_union_window): hash the struct's json then — deterministic
+    # per row, Spark never reorders map entries.
+    any_map = any(_contains_map(right_types[c]) for c in right_cols)
+    tie_src = F.to_json("__payload") if any_map else F.col("__payload")
+    unioned = l_tagged.unionByName(r_tagged).withColumn(
+        "__tie", F.coalesce(F.xxhash64(tie_src), F.lit(0))
+    )
+    order = [F.col("__t"), F.col("__side"), F.col("__tie")]
+    w_back = W.partitionBy(on).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = W.partitionBy(on).orderBy(*order).rowsBetween(W.currentRow, W.unboundedFollowing)
+    t_dtype = dict(left.dtypes)[left_ts]
+
+    def _num(c: Column) -> Column:
+        if t_dtype.startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp"))
+        return c.cast("double")
+
+    carried = unioned.select(
+        on,
+        "__t",
+        "__side",
+        *left_only,
+        F.last("__payload", ignorenulls=True).over(w_back).alias("__b"),
+        F.first("__payload", ignorenulls=True).over(w_fwd).alias("__f"),
+    ).where(F.col("__side") == 1)
+    b_ts = F.col("__b").getField(f"{right_ts}{suffix}")
+    f_ts = F.col("__f").getField(f"{right_ts}{suffix}")
+    d_back = _num(F.col("__t")) - _num(b_ts)
+    d_fwd = _num(f_ts) - _num(F.col("__t"))
+    chosen = (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(d_back <= d_fwd, F.col("__b"))
+        .otherwise(F.col("__f"))
+    )
+    return carried.select(
+        on,
+        F.col("__t").alias(left_ts),
+        *left_only,
+        *[chosen.getField(p).alias(p) for p in payload_names],
+    )

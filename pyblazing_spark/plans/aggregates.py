@@ -1187,3 +1187,55 @@ WHERE e.item <> '__sentinel__'
         .select("rank", "item", "freq")
         .orderBy("rank")
     )
+
+
+@register(
+    "agg_equidepth_histogram",
+    tags=("aggregate", "histogram", "equidepth", "scale"),
+    oracle="""
+WITH ranked AS (
+  SELECT l_extendedprice AS price,
+         ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bucket
+  FROM lineitem)
+SELECT CAST(bucket AS BIGINT)             AS bucket,
+       CAST(count(*) AS BIGINT)           AS n_rows,
+       round(min(price) + 1e-4, 2)        AS lo,
+       round(max(price) + 1e-4, 2)        AS hi,
+       round(sum(price) + 1e-4, 2)        AS mass
+FROM ranked GROUP BY bucket ORDER BY bucket
+""",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (the statistics engines actually build —
+    equal ROW COUNT per bucket, boundaries wherever the data puts
+    them), complementing ``agg_histogram``'s equal-WIDTH bins. The
+    bucket assignment is ``ntile(8)`` over a UNIQUE total order
+    (price, orderkey, linenumber) so remainder placement is
+    deterministic on both engines.
+
+    Scale: a global ntile is an unpartitioned window — one task — so
+    this entry runs the two-phase
+    :func:`pyblazing_spark.operators.global_window.global_ntile`
+    (deterministic range buckets + local ranks + broadcast prefix
+    offsets, the closed-form ntile remainder split) and the oracle is
+    DuckDB's NATIVE ntile: the scalable rewrite must equal the
+    single-task semantics exactly, remainders included."""
+    from pyblazing_spark.operators.global_window import global_ntile
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"), "l_orderkey", "l_linenumber"
+    )
+    b = global_ntile(
+        li, ["price", "l_orderkey", "l_linenumber"], 8, out_col="bucket"
+    )
+    return (
+        b.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("price") + 1e-4, 2).alias("lo"),
+            F.round(F.max("price") + 1e-4, 2).alias("hi"),
+            F.round(F.sum("price") + 1e-4, 2).alias("mass"),
+        )
+        .orderBy("bucket")
+    )

@@ -1018,3 +1018,67 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_DP_EPS = 0.5  # release epsilon: Laplace scale b = sensitivity/eps = 2.0
+
+
+@register(
+    "pipeline_dp_release",
+    tags=("pipeline", "privacy", "dp", "curation"),
+    oracle=f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+ noised AS (
+  SELECT source, n,
+         (('0x' || substring(md5(source), 1, 8))::BIGINT % 1000000)
+           / 1000000.0 - 0.5 AS c
+  FROM per),
+ lap AS (
+  SELECT source, n,
+         CASE WHEN c = 0 THEN 0.0
+              ELSE -(1.0 / {_DP_EPS}) * sign(c) * ln(1 - 2 * abs(c)) END AS noise
+  FROM noised)
+SELECT source,
+       CAST(n + CAST(round(noise + 1e-9) AS BIGINT) AS BIGINT) AS n_released,
+       round(noise + 1e-9, 4) AS noise
+FROM lap ORDER BY source
+""",
+)
+def pipeline_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-shaped noisy count release (per-source doc
+    counts + Laplace(1/eps) noise, eps=0.5) — the data-card pattern for
+    publishing corpus composition without exact counts. Noise is drawn
+    by INVERSE-CDF from an md5-derived uniform of the group key, so the
+    release is deterministic and the DuckDB oracle recomputes it
+    bit-for-bit — the same portable-hash convention as every sampler
+    here. A production release swaps the hash-uniform for a secure RNG
+    (one line); the Spark plan — one count aggregate, noise as a scalar
+    projection over the GROUP-sized frame — is unchanged at any scale,
+    because the noise math never touches the fact table.
+
+    Laplace inverse CDF: u ~ U[0,1), c = u - 1/2,
+    noise = -b * sign(c) * ln(1 - 2|c|), b = 1/eps."""
+    docs = T(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    c = (
+        F.expr(
+            "CAST(CONV(SUBSTRING(MD5(CAST(source AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+        )
+        % 1000000
+        / 1000000.0
+        - 0.5
+    )
+    noise = F.when(c == 0, F.lit(0.0)).otherwise(
+        -(1.0 / _DP_EPS) * F.signum(c) * F.log(1 - 2 * F.abs(c))
+    )
+    return (
+        per.select(
+            "source",
+            (F.col("n") + F.round(noise + 1e-9).cast("long"))
+            .cast("long")
+            .alias("n_released"),
+            F.round(noise + 1e-9, 4).alias("noise"),
+        )
+        .orderBy("source")
+    )

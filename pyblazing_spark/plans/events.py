@@ -1229,3 +1229,65 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "join_asof_nearest",
+    tags=("events", "asof", "temporal", "nearest"),
+    oracle="""
+WITH views AS (
+  SELECT user_id, event_id, ts FROM events
+  WHERE event_type = 'view' AND user_id < 40),
+ buys AS (
+  SELECT user_id, ts, arg_min(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts)
+SELECT v.user_id, v.event_id, v.ts,
+       n.ts                                    AS near_ts,
+       CAST(n.d AS BIGINT)                     AS delta_us,
+       round(n.value, 2)                       AS near_value
+FROM views v LEFT JOIN LATERAL (
+  SELECT b.ts, b.value,
+         abs(epoch_us(b.ts) - epoch_us(v.ts)) AS d
+  FROM buys b WHERE b.user_id = v.user_id
+  ORDER BY d, b.ts LIMIT 1) n ON TRUE
+ORDER BY v.user_id, v.event_id
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST point-in-time join (pandas ``merge_asof
+    direction='nearest'``): each view matched to the user's CLOSEST
+    purchase in either time direction, distance ties to the earlier
+    one — the third as-of mode next to backward (``join_asof``) and
+    forward (``join_asof_forward``), covered by neither. Purchases are
+    pre-aggregated unique per (user, ts) (``min_by`` on event_id) so
+    tie-breaks are engine-identical. The oracle is the naive per-row
+    LATERAL nearest-neighbor scan — quadratic, fine for the fixture —
+    proving the single-shuffle two-frame window rewrite
+    (:func:`pyblazing_spark.operators.temporal.asof_join_nearest`)
+    exact. Scale: ONE exchange on user_id, one sort, two frames over
+    it; the naive form Spark would otherwise need is a per-row
+    subquery."""
+    from pyblazing_spark.operators.temporal import asof_join_nearest
+
+    ev = T(spark, sf_dir, "events")
+    views = ev.where(
+        (F.col("event_type") == "view") & (F.col("user_id") < 40)
+    ).select("user_id", "event_id", "ts")
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min_by("value", "event_id").alias("value"))
+    )
+    out = asof_join_nearest(views, buys, on="user_id", right_cols=["value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("ts_right").alias("near_ts"),
+        F.abs(F.unix_micros(F.col("ts_right").cast("timestamp"))
+              - F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("long")
+        .alias("delta_us"),
+        F.round("value_right", 2).alias("near_value"),
+    ).orderBy("user_id", "event_id")

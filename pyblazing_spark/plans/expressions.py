@@ -1098,3 +1098,55 @@ def expr_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "measure")
     )
+
+
+@register(
+    "expr_udtf_lateral",
+    tags=("expression", "udtf", "lateral", "python"),
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 50 AND trim(text) <> '')
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) AS INTEGER) AS pos,
+       unnest(toks) AS word
+FROM d
+ORDER BY doc_id, pos
+""",
+)
+def expr_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 ``@udtf``) applied
+    per-row via ``LATERAL`` — the one UDF surface the repo had not yet
+    exercised (pandas_udf / mapInPandas / cogroup-applyInPandas /
+    applyInPandasWithState all are). The UDTF re-implements word
+    positions so DuckDB's ``unnest + generate_subscripts`` can
+    value-compare every emitted row.
+
+    Scale caveat, same class as ``expr_higher_order``: a row-at-a-time
+    Python UDTF is the SLOW path (per-row Python dispatch, no Arrow
+    batching in this form) — every hot-path tokenizer in the repo is
+    codegen ``explode``/``split`` instead. The entry is bounded by
+    design and exists to pin the API's semantics: per-row lateral
+    correlation, multi-row emission, ordered output."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, word string")
+    class _SplitWords:
+        def eval(self, doc_id, text):
+            for i, w in enumerate(re.split(r"\s+", text.strip()), start=1):
+                yield (doc_id, i, w)
+
+    spark.udtf.register("split_words", _SplitWords)
+    docs = T(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 50) & (F.trim(F.col("text")) != "")
+    )
+    return spark.sql(
+        """
+SELECT t.doc_id, t.pos, t.word
+FROM {d} AS d, LATERAL split_words(d.doc_id, d.text) AS t
+ORDER BY t.doc_id, t.pos
+""",
+        d=docs,
+    )

@@ -311,3 +311,36 @@ def test_interval_overlap_matches_naive_with_inverted_rows(spark):
         if s <= e2 and s2 <= e
     }
     assert got == want
+
+
+def test_asof_join_nearest_semantics(spark):
+    """Nearest direction: closest right row either side, distance ties
+    to the EARLIER row, exact-timestamp match wins at distance 0,
+    keys with no right rows carry NULLs."""
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "exact"),    # right at 10:00 -> d=0
+            (1, _ts("2024-01-01T10:40:00"), "mid"),      # 10:00 (40m) vs 11:00 (20m) -> fwd
+            (1, _ts("2024-01-01T10:30:00"), "tie"),      # 30m both ways -> earlier (10:00)
+            (1, _ts("2024-01-01T07:00:00"), "before_all"),  # only fwd exists
+            (2, _ts("2024-01-01T09:00:00"), "lonely"),   # no right rows for key 2
+        ],
+        "uid bigint, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),
+            (1, _ts("2024-01-01T11:00:00"), 200.0),
+        ],
+        "uid bigint, ts timestamp_ntz, px double",
+    )
+    out = {
+        r.tag: r
+        for r in TP.asof_join_nearest(left, right, on="uid", right_cols=["px"]).collect()
+    }
+    assert out["exact"].px_right == 100.0
+    assert out["mid"].px_right == 200.0
+    assert out["tie"].px_right == 100.0  # tie -> earlier
+    assert out["before_all"].px_right == 100.0
+    assert out["lonely"].px_right is None and out["lonely"].ts_right is None
+    assert len(out) == 5
