@@ -1150,3 +1150,45 @@ ORDER BY t.doc_id, t.pos
 """,
         d=docs,
     )
+
+
+@register(
+    "expr_try_arithmetic",
+    tags=("expression", "ansi", "try", "error-safe"),
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey > 7
+            THEN NULL ELSE o_orderkey + 9223372036854775800 END AS t_add,
+       round(o_totalprice / NULLIF(o_orderkey % 3, 0) + 1e-9, 4) AS t_div,
+       TRY_CAST(o_orderpriority AS INTEGER)                      AS t_bad_cast,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)     AS t_ok_cast
+FROM orders WHERE o_orderkey < 200
+ORDER BY o_orderkey
+""",
+)
+def expr_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe ``try_*`` family — ``try_add`` (BIGINT
+    overflow -> NULL instead of ARITHMETIC_OVERFLOW), ``try_divide``
+    (/0 -> NULL), ``try_cast`` (malformed -> NULL). The reference
+    predates ANSI SQL error semantics entirely (cudf kernels wrap
+    silently); under Spark ANSI mode the un-prefixed forms RAISE, so
+    the try_* battery is the dataframe-native way to keep a 100 TB job
+    alive past a single poisoned row — per-row NULL, not job abort.
+    Oracle: DuckDB's own semantics are the try-flavored ones natively
+    (x/0 IS NULL, TRY_CAST) with the overflow case spelled as a CASE
+    guard, so every NULL is value-compared, not just type-checked."""
+    od = T(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    return (
+        od.select(
+            "o_orderkey",
+            F.expr("try_add(o_orderkey, 9223372036854775800)").alias("t_add"),
+            F.round(
+                F.expr("try_divide(o_totalprice, o_orderkey % 3)") + 1e-9, 4
+            ).alias("t_div"),
+            F.expr("try_cast(o_orderpriority AS INT)").alias("t_bad_cast"),
+            F.expr(
+                "try_cast(substring(o_orderpriority, 1, 1) AS INT)"
+            ).alias("t_ok_cast"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -3039,3 +3039,66 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sink_dynamic_overwrite",
+    tags=("sink", "write", "overwrite", "partition"),
+    oracle="""
+SELECT CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+       CAST(count(*) AS BIGINT)         AS n,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice * 2 ELSE o_totalprice END)
+             + 1e-4, 2)                 AS total
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the lake-maintenance write mode
+    static overwrite can't express: ``mode("overwrite")`` with
+    ``partitionOverwriteMode=dynamic`` replaces ONLY the partitions the
+    incoming frame touches and leaves every other partition's files in
+    place (static mode would truncate the whole table first). The
+    entry lays down all five priority partitions, then overwrites just
+    ``1-URGENT`` with a revised slice (prices doubled); the read-back
+    aggregate must show the revision in that partition AND the
+    untouched originals everywhere else — byte-level proof the other
+    partitions survived. At 100 TB this is how a daily pipeline
+    republishes one day's partition under a corrected upstream without
+    rewriting the lake. Writer-level option, no session conf mutation
+    (the driver runs a plain session)."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="sink_dyn_")
+    try:
+        od = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        od.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out_dir)
+        revised = od.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        (
+            revised.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("o_orderpriority")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        back = spark.read.schema(
+            "o_orderkey bigint, o_totalprice double, o_orderpriority string"
+        ).parquet(out_dir)
+        return (
+            back.groupBy(F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

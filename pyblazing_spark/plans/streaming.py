@@ -634,3 +634,64 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "stream_session_timer",
+    tags=("streaming", "applyInPandasWithState", "timer", "sessionize"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+ s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS sid
+  FROM g),
+ sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid),
+ closed AS (
+  SELECT * FROM sess
+  WHERE sid < (SELECT max(sid) FROM sess s2 WHERE s2.user_id = sess.user_id))
+SELECT user_id, session_start, session_end, n_events
+FROM closed
+ORDER BY user_id, session_start
+""",
+)
+def stream_session_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-driven sessionization drained over the fixture
+    (:func:`pyblazing_spark.streaming.ops.session_timeout_stream`) —
+    per-user 30-minute-gap sessions closed EITHER by a later event
+    (gap) or by an event-time TIMER. The single-file fixture read is
+    one micro-batch, during which the watermark is still 0, so no
+    timer can fire: the drained output is EXACTLY the sessions whose
+    closure is proven by data — every session except each user's last.
+    The oracle computes the same gaps-and-islands sessions and drops
+    each user's final one; the timer path itself is pinned by the
+    three-batch landing-dir test
+    (``test_session_timeout_stream_timer_and_gap_paths``)."""
+    from pyblazing_spark.streaming.ops import (
+        read_events_stream,
+        run_available_now,
+        session_timeout_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(session_timeout_stream(stream), output_mode="append")
+    return (
+        out.where(F.col("closed_by") == "gap")
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -363,3 +363,98 @@ def transform_with_state_totals(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_timeout_stream(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Timer-driven sessionization via ``applyInPandasWithState`` +
+    ``EventTimeTimeout`` — the capability ``session_window`` hides:
+    explicit per-key TIMERS. A user's open session lives in state with
+    a timeout registered at ``session_end + gap``; it closes two ways:
+
+    - ``gap``: a later event for the same user arrives more than
+      ``gap`` after the session's end — the closed session is emitted
+      IMMEDIATELY (its closure is proven by data, no timer needed);
+    - ``timer``: the event-time watermark passes the registered
+      timeout — Spark invokes the function with ``state.hasTimedOut``
+      and the session is emitted with no new input rows at all.
+
+    State per key is ONE (start, end, n) triple — bounded regardless
+    of stream length; the timer registry is the state store's own.
+    Sessions still open when the stream drains stay un-emitted (their
+    closure was never proven), which is exactly the replayable-pipeline
+    contract: re-running with more data can only APPEND sessions."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("closed_by", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterable["pd.DataFrame"]:
+        import pandas as pd
+
+        def emit(start_us: int, end_us: int, n: int, how: str) -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "closed_by": [how],
+                }
+            )
+
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield emit(s, e, n, "timer")
+            return
+        ts_us = sorted(
+            int(t)
+            for pdf in batches
+            for t in (pdf["ts"].astype("int64") // 1000).tolist()
+        )
+        cur = state.get if state.exists else None
+        for t in ts_us:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                yield emit(*cur, "gap")
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            # timers fire when the watermark moves strictly past this
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -193,3 +193,59 @@ def test_transform_with_state_totals(spark, sf_dir):
              F.round(F.sum("value"), 2).alias("total_value"))
     )
     assert final.exceptAll(batch).count() == 0 and batch.exceptAll(final).count() == 0
+
+
+def test_session_timeout_stream_timer_and_gap_paths(spark, tmp_path):
+    """Pins BOTH closure paths of the timer sessionizer across three
+    controlled batches: an in-batch gap split emits immediately; a
+    timer fires only once the watermark strictly passes session_end +
+    gap; open sessions at drain stay un-emitted."""
+    import glob
+    import os
+    import shutil
+
+    from pyblazing_spark.streaming import read_landing_stream
+    from pyblazing_spark.streaming.ops import run_available_now, session_timeout_stream
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    batches = (
+        # u1: two sessions in one batch -> first closes by GAP at once;
+        # second [11:20] gets timer 11:50
+        [(1, 1, "2024-01-02 10:00:00"), (2, 1, "2024-01-02 10:10:00"),
+         (3, 1, "2024-01-02 11:20:00")],
+        # u2 drives the watermark to 12:00 (delay 1h); timer 11:50 does
+        # NOT fire in this batch (wm during it is still 0)
+        [(4, 2, "2024-01-02 13:00:00")],
+        # u3 keeps wm at 12:05; during this batch wm=12:00 > 11:50 ->
+        # u1's second session fires by TIMER; u2's timer (13:30) and
+        # u3's session stay open
+        [(5, 3, "2024-01-02 13:05:00")],
+    )
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "event_id long, user_id long, s string").select(
+            "event_id",
+            F.col("s").cast("timestamp").alias("ts"),
+            "user_id",
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        tmp = str(tmp_path / f"b{i}")
+        df.coalesce(1).write.parquet(tmp)
+        dst = f"{landing}/{i}.parquet"
+        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+    out = run_available_now(
+        session_timeout_stream(read_landing_stream(spark, landing)),
+        output_mode="append",
+    ).collect()
+    got = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(),
+         r.n_events, r.closed_by)
+        for r in out
+    }
+    assert got == {
+        (1, "2024-01-02T10:00:00", "2024-01-02T10:10:00", 2, "gap"),
+        (1, "2024-01-02T11:20:00", "2024-01-02T11:20:00", 1, "timer"),
+    }, got
