@@ -394,3 +394,50 @@ def nested_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY part
         """
     )
+
+
+_RECURSIVE_JOIN_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT least(a.l_partkey, b.l_partkey) AS src,
+         greatest(a.l_partkey, b.l_partkey) AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = 1 AND b.l_linenumber = 2
+  WHERE a.l_partkey <> b.l_partkey),
+ walk(src, cur, depth) AS (
+  SELECT src, dst, 1 FROM edges WHERE src % 97 = 0
+  UNION ALL
+  SELECT w.src, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.depth < 3)
+SELECT src,
+       CAST(count(*) AS BIGINT)      AS n_paths,
+       CAST(max(depth) AS BIGINT)    AS max_depth,
+       CAST(sum(cur) AS BIGINT)      AS dst_sum
+FROM walk
+GROUP BY src
+ORDER BY src
+"""
+
+
+@register(
+    "nested_recursive_join",
+    tags=("nested", "cte", "recursive", "transitive-closure", "sql"),
+    oracle=_RECURSIVE_JOIN_SQL,
+)
+def nested_recursive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure by native ``WITH RECURSIVE`` whose recursive
+    term JOINS a base relation — the harder recursion shape
+    (``nested_recursive_cte`` recurses on arithmetic alone): 3-hop
+    path counting over real co-purchase edges (parts on line 1 and 2
+    of the same order, oriented small->large so every walk strictly
+    ascends and terminates even without the depth cap). Spark 4
+    executes this as a UnionLoop whose every iteration hash-joins the
+    frontier against the edge relation; DuckDB recurses the IDENTICAL
+    SQL text, so path multiplicities (UNION ALL keeps every distinct
+    path) value-compare exactly. The iterative-DataFrame siblings
+    (`graph_*`) hand-roll this loop with checkpoint hygiene; this is
+    the declarative spelling the engine manages itself."""
+    from pyblazing_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_RECURSIVE_JOIN_SQL)
