@@ -398,7 +398,7 @@ def nested_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECURSIVE_JOIN_SQL = """
 WITH RECURSIVE edges AS (
-  SELECT least(a.l_partkey, b.l_partkey) AS src,
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
          greatest(a.l_partkey, b.l_partkey) AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = 1 AND b.l_linenumber = 2
@@ -430,7 +430,13 @@ def nested_recursive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``nested_recursive_cte`` recurses on arithmetic alone): 3-hop
     path counting over real co-purchase edges (parts on line 1 and 2
     of the same order, oriented small->large so every walk strictly
-    ascends and terminates even without the depth cap). Spark 4
+    ascends and terminates even without the depth cap). The edge set
+    is DISTINCT — path counting over a multigraph multiplies counts by
+    the product of per-hop edge multiplicities (degree^depth growth:
+    the 10x probe's replicated orders repeat every edge 10x and the
+    raw walk blew Spark's 1M recursion row cap,
+    RECURSION_ROW_LIMIT_EXCEEDED), while the distinct graph keeps the
+    walk proportional to real connectivity at any scale. Spark 4
     executes this as a UnionLoop whose every iteration hash-joins the
     frontier against the edge relation; DuckDB recurses the IDENTICAL
     SQL text, so path multiplicities (UNION ALL keeps every distinct

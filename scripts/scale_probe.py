@@ -196,6 +196,14 @@ def main() -> int:
         "dedup_paragraph", "join_interval_overlap", "graph_shortest_path",
         "events_rfm", "expr_collation",
         "pipeline_shard_manifest", "stream_foreachbatch_upsert",
+        # round-9 additions whose plans could change shape at 10x
+        # (two-frame nearest window, two-phase global ntile, timer
+        # sessionizer drain, UnionLoop recursion, first-occurrence
+        # cumulative distinct, dynamic partition overwrite, DP release).
+        "join_asof_nearest", "agg_equidepth_histogram",
+        "stream_session_timer", "nested_recursive_join",
+        "win_running_distinct", "sink_dynamic_overwrite",
+        "pipeline_dp_release",
         # round-6 widening: scale-sensitive entries that had never run
         # at 10x (Arrow cogroup, two-phase global windows, wedge joins,
         # star rounds, interval-union windows, FFT kernels, bag setops,

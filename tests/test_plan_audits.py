@@ -732,3 +732,48 @@ def test_salted_join_spreads_hot_key_evenly(spark, sf_dir):
         f"salt distribution skewed: max cell {hot.max_cell} vs uniform "
         f"{uniform:.0f} for key total {hot.total}"
     )
+
+
+def test_asof_nearest_is_one_shuffle_one_sort_one_window(spark, sf_dir):
+    """asof_join_nearest's scale claim: both direction frames evaluate
+    in ONE Window node over ONE sort, and every exchange is a hash
+    partition on the join key (each input row crosses the network
+    exactly once — never a range/single-partition exchange, never a
+    second sort for the forward frame)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.operators.temporal import asof_join_nearest
+    from pyblazing_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min_by("value", "event_id").alias("value"))
+    )
+    out = asof_join_nearest(views, buys, on="user_id", right_cols=["value"])
+    plan = _executed_plan(out).split("== Initial Plan ==")[0]
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Sort ") <= 1, plan
+    n_exch = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exch <= 2, plan
+    parts = re.findall(r"Exchange (\w+)", plan)
+    assert parts and all(p == "hashpartitioning" for p in parts), parts
+    assert "SinglePartition" not in plan and "rangepartitioning" not in plan, plan
+
+
+def test_unpivot_is_expand_only(spark, sf_dir):
+    """expr_unpivot's scale claim: wide-to-long is ONE Expand over ONE
+    scan — no join, no extra shuffle beyond the final presentation
+    sort (at 100 TB unpivot must stay scan-bound)."""
+    import pyblazing_spark.plans as plans
+
+    df = plans.REGISTRY["expr_unpivot"].fn(spark, sf_dir)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Expand") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan
