@@ -3102,3 +3102,68 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "source_avro_roundtrip",
+    tags=("source", "sink", "avro", "roundtrip", "jar-free"),
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_totalprice,
+         nullif(o_orderpriority, '1-URGENT') AS prio,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 3 = 0)
+SELECT coalesce(prio, '(urgent)')            AS prio,
+       CAST(count(*) AS BIGINT)              AS n,
+       CAST(count(prio) AS BIGINT)           AS n_nonnull,
+       round(sum(o_totalprice) + 1e-4, 2)    AS total,
+       min(o_orderdate)                      AS first_date,
+       CAST(sum(o_orderkey) AS BIGINT)       AS key_sum
+FROM src GROUP BY 1 ORDER BY 1
+""",
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink round-trip with ZERO jars — Spark's own
+    ``format("avro")`` is the undeployable external spark-avro module
+    (probed round 9: only avro-core jars ship; no network), so the
+    container format is implemented from the Apache Avro spec in pure
+    Python (:mod:`pyblazing_spark.operators.avro_py` — zigzag varints,
+    blocks, sync markers, null+deflate codecs, nullable unions,
+    timestamp-micros logical type) with distributed Spark I/O around
+    it (:mod:`pyblazing_spark.sources.avro_files`: mapInPandas encode,
+    one container per partition; binaryFile + mapInPandas decode) —
+    the same jar-free from-spec answer as the r8 sqlite bridge.
+
+    The slice routes LONGs, DOUBLEs, a NULLABLE string (union
+    branches), and a TIMESTAMP (logical type) through the wire format;
+    the oracle recomputes the aggregate from the source table, so one
+    bit lost anywhere in encode->deflate->decode fails the equality."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.avro_files import read_avro, write_avro
+
+    out_dir = tempfile.mkdtemp(prefix="avro_rt_")
+    try:
+        src = T(spark, sf_dir, "orders").where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+        )
+        write_avro(src, out_dir, codec="deflate")
+        back = read_avro(spark, out_dir)
+        return (
+            back.groupBy(F.coalesce(F.col("prio"), F.lit("(urgent)")).alias("prio"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("prio").alias("n_nonnull"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total"),
+                F.min("o_orderdate").alias("first_date"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("prio")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

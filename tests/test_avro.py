@@ -1,0 +1,140 @@
+"""Pure-Python Avro codec + jar-free Spark source/sink tests: spec
+byte vectors, both codecs, corruption detection, type-surface
+rejection, distributed roundtrip losslessness."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from pyblazing_spark.operators import avro_py as A
+from pyblazing_spark.operators.avro_py import (
+    decode_container,
+    encode_container,
+    make_schema,
+)
+
+
+def _zz(n: int) -> bytes:
+    out = io.BytesIO()
+    A._write_long(out, n)
+    return out.getvalue()
+
+
+def test_zigzag_varint_spec_vectors():
+    """The exact byte vectors from the Avro spec's binary-encoding
+    table — the wire format, not just self-consistency."""
+    assert _zz(0) == b"\x00"
+    assert _zz(-1) == b"\x01"
+    assert _zz(1) == b"\x02"
+    assert _zz(-2) == b"\x03"
+    assert _zz(2) == b"\x04"
+    assert _zz(-64) == b"\x7f"
+    assert _zz(64) == b"\x80\x01"
+    for n in (0, 1, -1, 63, -64, 2**40, -(2**40), 2**62, -(2**62)):
+        got, pos = A._read_long(memoryview(_zz(n)), 0)
+        assert got == n and pos == len(_zz(n))
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_all_types(codec):
+    sch = make_schema(
+        "r",
+        [
+            ("k", "long", False),
+            ("i", "int", True),
+            ("x", "double", False),
+            ("b", "boolean", False),
+            ("s", "string", True),
+            ("raw", "bytes", True),
+        ],
+    )
+    rows = [
+        (1, 7, 1.5, True, "héllo", b"\x00\xff"),
+        (-(2**62), None, -0.0, False, None, None),
+        (0, -1, float("inf"), True, "", b""),
+    ]
+    data = encode_container(sch, rows, codec=codec, block_rows=2)
+    s2, back = decode_container(data)
+    assert back == rows
+    assert s2["fields"][1]["type"] == ["null", "int"]
+
+
+def test_container_corruption_detected():
+    sch = make_schema("r", [("k", "long", False)])
+    data = encode_container(sch, [(1,), (2,)])
+    with pytest.raises(ValueError, match="magic"):
+        decode_container(b"nope" + data[4:])
+    # flip a byte inside the trailing sync marker
+    broken = data[:-1] + bytes([data[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="sync"):
+        decode_container(broken)
+
+
+def test_unsupported_shapes_rejected():
+    with pytest.raises(ValueError, match="unsupported avro type"):
+        encode_container(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "a", "type": {"type": "array", "items": "long"}}]},
+            [([1],)],
+        )
+    with pytest.raises(ValueError, match="union"):
+        encode_container(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "a", "type": ["long", "string"]}]},
+            [(1,)],
+        )
+    sch = make_schema("r", [("k", "long", False)])
+    with pytest.raises(ValueError, match="NULL in non-nullable"):
+        encode_container(sch, [(None,)])
+    with pytest.raises(ValueError, match="codec"):
+        encode_container(sch, [(1,)], codec="snappy")
+
+
+def test_spark_avro_roundtrip_lossless(spark, sf_dir):
+    """Distributed write (one container per partition) -> binaryFile
+    decode must be row-for-row lossless incl. NULLs and timestamps."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.sources.avro_files import read_avro, write_avro
+    from pyblazing_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="avro_t_")
+    try:
+        src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("od"),
+        )
+        n = write_avro(src, d, codec="deflate")
+        back = read_avro(spark, d)
+        assert n == src.count() == back.count()
+        assert set(map(tuple, src.collect())) == set(map(tuple, back.collect()))
+        # schema carried through the wire format, not re-inferred
+        assert back.schema["st"].dataType.simpleString() == "string"
+        assert back.schema["od"].dataType.simpleString() == "timestamp_ntz"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_write_avro_empty_frame(spark):
+    """An all-filtered frame writes no files and the reader says so
+    descriptively instead of inferring from nothing."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.avro_files import read_avro, write_avro
+
+    d = tempfile.mkdtemp(prefix="avro_e_")
+    try:
+        empty = spark.range(0).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x")
+        assert write_avro(empty, d) == 0
+        with pytest.raises(Exception, match="no .avro files|PATH_NOT_FOUND"):
+            read_avro(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
