@@ -3151,8 +3151,17 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio"),
             F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
         )
-        write_avro(src, out_dir, codec="deflate")
-        back = read_avro(spark, out_dir)
+        n_written = write_avro(src, out_dir, codec="deflate")
+        if n_written == 0:
+            # empty input writes no container files (nothing to read a
+            # schema from): the round-trip of nothing is an empty frame
+            back = spark.createDataFrame(
+                [],
+                "o_orderkey bigint, o_totalprice double, "
+                "prio string, o_orderdate timestamp_ntz",
+            )
+        else:
+            back = read_avro(spark, out_dir)
         return (
             back.groupBy(F.coalesce(F.col("prio"), F.lit("(urgent)")).alias("prio"))
             .agg(

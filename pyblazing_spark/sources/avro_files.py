@@ -93,7 +93,12 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
         rows: list[tuple] = []
         for pdf in batches:
             for col in ts_cols:
-                pdf[col] = pdf[col].astype("int64") // 1000  # ns -> us
+                # NaT must stay None: astype(int64) first would turn it
+                # into INT64_MIN and the later isna check would miss it
+                mask = pdf[col].isna()
+                conv = (pdf[col].astype("int64") // 1000).astype("object")
+                conv[mask] = None
+                pdf[col] = conv  # ns -> us, NULL-preserving
             for tup in pdf[names].itertuples(index=False, name=None):
                 rows.append(
                     tuple(None if pd.isna(v) else v for v in tup)
@@ -109,11 +114,12 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Read a directory of Avro container files written by
-    :func:`write_avro` (or any OCF within the supported type surface)."""
-    import json as _json
-
-    files = spark.read.format("binaryFile").load(f"{path}/*.avro")
+    """Read Avro container files written by :func:`write_avro` (or any
+    OCF within the supported type surface). ``path`` may be a single
+    ``.avro`` file, a glob ending in ``.avro``, or a directory of
+    container files."""
+    pattern = path if path.rstrip("/").endswith(".avro") else f"{path}/*.avro"
+    files = spark.read.format("binaryFile").load(pattern)
     # schema from ONE container's header (driver-side, bounded: the
     # writer's files are partition-sized; a header-only remote read
     # would need a range request the binaryFile source doesn't expose)

@@ -81,6 +81,7 @@ def _infer_format(path: str, kwargs: dict[str, Any]) -> str:
         (".txt", "csv"),
         (".json", "json"),
         (".xml", "xml"),
+        (".avro", "avro"),
     ):
         if lowered.endswith(ext):
             return fmt
@@ -197,6 +198,17 @@ def read_files(
                 )
             )
         return reader.options(**options).format("xml").load(paths), "xml"
+    if fmt == "avro":
+        # jar-free from-spec path (sources/avro_files.py) — the
+        # spark-avro connector module is not deployable here; the
+        # reference has no Avro support at all (format-matrix superset).
+        from pyblazing_spark.sources.avro_files import read_avro
+
+        frames = [read_avro(spark, p) for p in paths]
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
+        return df, "avro"
     return reader.parquet(*paths), "parquet"
 
 

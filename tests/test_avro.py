@@ -138,3 +138,59 @@ def test_write_avro_empty_frame(spark):
             read_avro(spark, d).collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_create_table_routes_avro(spark, sf_dir):
+    """BlazingContext.create_table over an .avro tree routes through
+    the jar-free reader (extension sniff + file_format kwarg)."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.context import BlazingContext
+    from pyblazing_spark.sources.avro_files import write_avro
+    from pyblazing_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="avro_ct_")
+    try:
+        na = load_table(spark, sf_dir, "nation")
+        write_avro(na, d, codec="null")
+        bc = BlazingContext(spark=spark)
+        bc.create_table("nation_avro", d, file_format="avro")
+        out = bc.sql("SELECT count(*) AS n, sum(n_nationkey) AS s FROM nation_avro", eager=True)
+        assert int(out["n"].iloc[0]) == na.count()
+        assert int(out["s"].iloc[0]) == 300  # 0+..+24
+        # single-file path form works too
+        import glob as _g
+
+        one = _g.glob(f"{d}/*.avro")[0]
+        bc.create_table("nation_avro1", one)
+        assert bc.table("nation_avro1").count() > 0
+        bc.drop_table("nation_avro")
+        bc.drop_table("nation_avro1")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_nullable_timestamp_roundtrip(spark):
+    """NaT must survive as NULL — astype(int64) on NaT silently yields
+    INT64_MIN, the bug the writer's mask ordering guards against."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.sources.avro_files import read_avro, write_avro
+
+    d = tempfile.mkdtemp(prefix="avro_nt_")
+    try:
+        src = spark.createDataFrame(
+            [(1, "2024-03-01 10:00:00"), (2, None), (3, "2024-03-02 00:00:01")],
+            "k long, s string",
+        ).select("k", F.col("s").cast("timestamp_ntz").alias("ts"))
+        assert write_avro(src, d) == 3
+        back = {r.k: r.ts for r in read_avro(spark, d).collect()}
+        assert back[2] is None
+        assert back[1].isoformat() == "2024-03-01T10:00:00"
+        assert back[3].isoformat() == "2024-03-02T00:00:01"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
