@@ -203,7 +203,7 @@ def main() -> int:
         "join_asof_nearest", "agg_equidepth_histogram",
         "stream_session_timer", "nested_recursive_join",
         "win_running_distinct", "sink_dynamic_overwrite",
-        "pipeline_dp_release",
+        "pipeline_dp_release", "source_avro_roundtrip",
         # round-6 widening: scale-sensitive entries that had never run
         # at 10x (Arrow cogroup, two-phase global windows, wedge joins,
         # star rounds, interval-union windows, FFT kernels, bag setops,
