@@ -1191,6 +1191,7 @@ WHERE e.item <> '__sentinel__'
 
 @register(
     "agg_equidepth_histogram",
+    bench=True,  # scale-critical r9 op (two-phase global ntile)
     tags=("aggregate", "histogram", "equidepth", "scale"),
     oracle="""
 WITH ranked AS (

@@ -1233,6 +1233,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_asof_nearest",
+    bench=True,  # scale-critical r9 op: per-round visibility with controls
     tags=("events", "asof", "temporal", "nearest"),
     oracle="""
 WITH views AS (

@@ -3106,6 +3106,7 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_avro_roundtrip",
+    bench=True,  # jar-free wire codec: track its Python-path cost per round
     tags=("source", "sink", "avro", "roundtrip", "jar-free"),
     oracle="""
 WITH src AS (

@@ -47,6 +47,17 @@ EXPECTED_SHAPES: dict[str, dict[str, int]] = {
     # broadcast under AQE) + month agg + final sort; never a nested loop
     # (separately asserted in test_plan_audits).
     "join_interval_overlap": dict(exch=3, scans=2, py=0, smj=0),
+    # round-9 bench additions: shapes recorded at entry.
+    # join_asof_nearest: two slice scans -> union -> ONE logical shuffle
+    # on user_id (both union children exchange) + the final sort.
+    "join_asof_nearest": dict(exch=3, scans=2, py=0, smj=0),
+    # agg_equidepth_histogram: two-phase global_ntile (range-bucket ids
+    # + local ranks + broadcast offsets) then the bucket rollup.
+    "agg_equidepth_histogram": dict(exch=6, scans=2, py=0, smj=0),
+    # source_avro_roundtrip materializes via localCheckpoint
+    # (LocalTableScan) like ann_cosine_topk; the I/O path is audited by
+    # its oracle + tests/test_avro.py instead.
+    "source_avro_roundtrip": dict(exch=0, scans=0, py=0, smj=0),
 }
 
 
