@@ -50,10 +50,6 @@ _SIMPLE = {"long", "int", "double", "boolean", "string", "bytes", "null"}
 
 
 # ------------------------------------------------------------ varints
-def _zigzag_encode(n: int) -> int:
-    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
-
-
 def _write_long(out: io.BytesIO, n: int) -> None:
     z = (n << 1) ^ (n >> 63)  # arithmetic shift keeps the sign bit trick
     z &= (1 << 64) - 1
@@ -159,16 +155,11 @@ def make_schema(name: str, fields: list[tuple[str, str, bool]]) -> dict:
 
 
 # ----------------------------------------------------------- container
-def encode_container(
-    schema: dict,
-    rows: list[tuple],
-    codec: str = "null",
-    block_rows: int = 4096,
-) -> bytes:
-    """Serialize rows (tuples in schema field order) as one Avro OCF."""
+def container_header(schema: dict, codec: str) -> bytes:
+    """Magic + file-metadata map + sync marker (shared by the row-wise
+    and the vectorized Arrow encoders so their bytes stay identical)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
-    ftypes = _field_types(schema)
     out = io.BytesIO()
     out.write(_MAGIC)
     meta = {
@@ -184,6 +175,32 @@ def encode_container(
         out.write(v)
     _write_long(out, 0)  # end of metadata map
     out.write(_SYNC)
+    return out.getvalue()
+
+
+def frame_block(n_rows: int, body: bytes, codec: str) -> bytes:
+    """Frame one encoded block body: count varint, size varint,
+    (optionally deflated) body, sync marker."""
+    if codec == "deflate":
+        body = zlib.compress(body, 6)[2:-4]  # raw deflate per spec
+    out = io.BytesIO()
+    _write_long(out, n_rows)
+    _write_long(out, len(body))
+    out.write(body)
+    out.write(_SYNC)
+    return out.getvalue()
+
+
+def encode_container(
+    schema: dict,
+    rows: list[tuple],
+    codec: str = "null",
+    block_rows: int = 4096,
+) -> bytes:
+    """Serialize rows (tuples in schema field order) as one Avro OCF."""
+    ftypes = _field_types(schema)
+    out = io.BytesIO()
+    out.write(container_header(schema, codec))
     for start in range(0, len(rows), block_rows):
         chunk = rows[start : start + block_rows]
         body = io.BytesIO()
@@ -197,18 +214,142 @@ def encode_container(
                 elif v is None:
                     raise ValueError(f"NULL in non-nullable field {name!r}")
                 _encode_value(body, typ, v)
-        raw = body.getvalue()
-        if codec == "deflate":
-            raw = zlib.compress(raw, 6)[2:-4]  # raw deflate per spec
-        _write_long(out, len(chunk))
-        _write_long(out, len(raw))
-        out.write(raw)
-        out.write(_SYNC)
+        out.write(frame_block(len(chunk), body.getvalue(), codec))
     return out.getvalue()
 
 
-def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
-    """Parse one Avro OCF -> (schema dict, rows as tuples)."""
+# ------------------------------------------- vectorized Arrow encoder
+def _varint_flat(z, valid):
+    """Vectorized unsigned-varint encode of already-zigzagged uint64
+    values -> (flat bytes in row order, per-value byte lengths);
+    rows where ``valid`` is False contribute zero bytes."""
+    import numpy as np
+
+    nb = np.ones(len(z), dtype=np.int64)
+    for k in range(1, 10):  # 64 bits / 7 -> at most 10 varint bytes
+        nb += (z >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    nb[~valid] = 0
+    shifts = np.uint64(7) * np.arange(10, dtype=np.uint64)
+    mat = ((z[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    cols = np.arange(10)
+    mat |= (cols[None, :] < (nb - 1)[:, None]).astype(np.uint8) << 7
+    keep = cols[None, :] < nb[:, None]
+    return mat[keep], nb  # boolean-mask flatten is C-order = row order
+
+
+def _zigzag_np(v):
+    import numpy as np
+
+    u = v.astype(np.uint64, copy=False)
+    return (u << np.uint64(1)) ^ (v >> np.int64(63)).astype(np.uint64)
+
+
+def _field_subchunks(arr, typ: str, nullable: bool, name: str) -> list[tuple]:
+    """Per-field byte sub-chunks for the row-major scatter:
+    ``(src_bytes uint8[], per-row lengths int64[], src_starts|None)``.
+    ``src_starts is None`` means the source is contiguous in row order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
+        # logical types encode as their underlying primitive (spec);
+        # Spark's Arrow unit is already micros for timestamps
+        arr = arr.cast(pa.int64())
+    valid = np.ones(n, dtype=bool) if arr.null_count == 0 else np.asarray(
+        pc.is_valid(arr)
+    )
+    if not nullable and not valid.all():
+        raise ValueError(f"NULL in non-nullable field {name!r}")
+    chunks: list[tuple] = []
+    if nullable:
+        # union branch varint: zigzag(0)=0x00 (null) / zigzag(1)=0x02
+        chunks.append(
+            (
+                np.where(valid, np.uint8(2), np.uint8(0)),
+                np.ones(n, dtype=np.int64),
+                None,
+            )
+        )
+    if typ in ("long", "int"):
+        vals = pc.fill_null(arr.cast(pa.int64()), 0).to_numpy()
+        src, nb = _varint_flat(_zigzag_np(vals), valid)
+        chunks.append((src, nb, None))
+    elif typ == "double":
+        vals = pc.fill_null(arr.cast(pa.float64()), 0.0).to_numpy()
+        mat = vals.astype("<f8", copy=False).view(np.uint8).reshape(n, 8)
+        chunks.append(
+            (mat[valid].ravel(), np.where(valid, 8, 0).astype(np.int64), None)
+        )
+    elif typ == "boolean":
+        vals = pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+        chunks.append(
+            (vals[valid].astype(np.uint8), valid.astype(np.int64), None)
+        )
+    elif typ in ("string", "bytes"):
+        b = arr.cast(pa.large_binary())
+        off = np.frombuffer(b.buffers()[1], dtype=np.int64)[
+            b.offset : b.offset + n + 1
+        ]
+        data_buf = b.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        lens = np.diff(off)
+        lens[~valid] = 0
+        pre, nb = _varint_flat(_zigzag_np(lens), valid)
+        chunks.append((pre, nb, None))  # length prefix varints
+        chunks.append((data, lens, off[:-1]))  # payload, gathered by offset
+    elif typ == "null":
+        pass
+    else:  # pragma: no cover - schema validated at build time
+        raise ValueError(f"unsupported avro type {typ!r}")
+    return chunks
+
+
+def encode_block_arrow(ftypes: list[tuple[str, str, bool]], batch) -> bytes:
+    """Encode one Arrow RecordBatch as an Avro block body (no framing)
+    with numpy scatter-gather — no per-row Python. Exactness: int64
+    values never pass through floats (the pandas-nullable-int trap),
+    and byte output is identical to the row-wise encoder."""
+    import numpy as np
+
+    n = batch.num_rows
+    if n == 0:
+        return b""
+    subs: list[tuple] = []
+    for i, (name, typ, nullable) in enumerate(ftypes):
+        subs.extend(_field_subchunks(batch.column(i), typ, nullable, name))
+    k = len(subs)
+    lens_mat = np.stack([c[1] for c in subs], axis=1)  # (n, k) row-major
+    dst = np.concatenate(
+        ([0], np.cumsum(lens_mat.ravel(), dtype=np.int64))
+    )
+    out = np.empty(int(dst[-1]), dtype=np.uint8)
+    dst_starts = dst[:-1].reshape(n, k)
+    for j, (src, lens, starts) in enumerate(subs):
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens[:-1]))), lens
+        )
+        pos = np.repeat(dst_starts[:, j], lens) + ramp
+        if starts is None:
+            out[pos] = src  # contiguous by construction
+        else:
+            out[pos] = src[np.repeat(starts, lens) + ramp]
+    return out.tobytes()
+
+
+def decode_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse just an OCF header -> (schema, codec, sync marker, offset
+    of the first block).  Accepts a truncated prefix as long as the
+    whole header is present — lets readers probe the schema from the
+    first few KB instead of shipping a whole container to the driver."""
     buf = memoryview(data)
     if bytes(buf[:4]) != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
@@ -233,7 +374,15 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
     sync = bytes(buf[pos : pos + 16])
-    pos += 16
+    if len(sync) != 16:
+        raise ValueError("truncated avro header (no sync marker)")
+    return schema, codec, sync, pos + 16
+
+
+def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
+    """Parse one Avro OCF -> (schema dict, rows as tuples)."""
+    buf = memoryview(data)
+    schema, codec, sync, pos = decode_header(data)
     ftypes = _field_types(schema)
     rows: list[tuple] = []
     total = len(buf)

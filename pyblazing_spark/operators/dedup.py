@@ -68,35 +68,66 @@ def duplicate_clusters(
 STAR_ABOVE = 256
 
 
-def _bucket_pairs(ids: Column, star_above: int = STAR_ABOVE) -> Column:
+def _all_pairs_expr(arr: Column) -> Column:
+    """All ordered (id_a < id_b) pairs of a sorted id array."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _bucket_pairs(
+    ids: Column, star_above: int = STAR_ABOVE, hubs: int = 1
+) -> Column:
     """Candidate (id_a < id_b) pairs from a sorted id array, as structs.
 
     Buckets up to ``star_above`` ids expand to ALL pairs; larger
     (degenerate) buckets — boilerplate or fully-identical corpora can
     drive millions of docs into one band bucket, where all-pairs is
-    O(|bucket|²) ≈ 10¹² rows — expand to a STAR on the bucket minimum
-    instead: (ids[0], other) for every other id, O(|bucket|) rows.
-    The star keeps every member reachable from the bucket's
-    representative, so duplicate-CLUSTER recall survives (greedy dedup
-    still drops every non-min member: each verifies against the rep);
-    only the explicit pair list among non-representative members is
-    traded away, and that list is exactly the quadratic blow-up being
-    capped. Deterministic: ids are sorted, the representative is the
-    global bucket min."""
-    all_pairs = F.flatten(
+    O(|bucket|²) ≈ 10¹² rows — expand to a STAR on the ``hubs``
+    smallest ids instead: all pairs among the hubs, plus (hub, other)
+    for every other member — O(hubs·|bucket|) rows.
+
+    What the cap trades away, precisely (ADVICE r9): above the cap,
+    a pair of NON-hub members is never emitted, even if the two are
+    near-duplicates of each other. Downstream exact verification
+    scores candidates against hubs only, so:
+
+    - PAIR recall: exact at or below the cap; above it, only pairs
+      with at least one hub endpoint can surface. ``minhash_lsh_pairs``'
+      "all pairs >= threshold" contract holds verbatim only for
+      buckets <= star_above.
+    - CLUSTER recall (greedy dedup): a non-hub member is dropped iff
+      it verifies against SOME hub. In a homogeneous degenerate bucket
+      (the boilerplate case the cap exists for) every member matches
+      hub #1 and nothing is lost. In a HETEROGENEOUS large bucket, two
+      members similar to each other but to none of the k hubs both
+      survive — a recall miss that requires the pair to independently
+      miss all k hubs, so raising ``hubs`` tightens the bound at
+      linear cost (k·|bucket| candidates, k² hub pairs).
+
+    Deterministic: ids are sorted, hubs are the global bucket minima."""
+    hub_arr = F.slice(ids, 1, hubs)
+    spokes = F.flatten(
         F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            hub_arr,
+            lambda h: F.transform(
+                F.slice(ids, hubs + 1, F.size(ids)),
+                lambda y: F.struct(h.alias("id_a"), y.alias("id_b")),
             ),
         )
     )
-    star = F.transform(
-        F.slice(ids, 2, F.size(ids)),
-        lambda y: F.struct(F.element_at(ids, 1).alias("id_a"), y.alias("id_b")),
+    star = (
+        F.concat(_all_pairs_expr(hub_arr), spokes) if hubs > 1 else spokes
     )
-    return F.when(F.size(ids) <= F.lit(star_above), all_pairs).otherwise(star)
+    return F.when(
+        F.size(ids) <= F.lit(star_above), _all_pairs_expr(ids)
+    ).otherwise(star)
 
 
 def _hashed_shingle_rows(
@@ -142,8 +173,15 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.7,
     star_above: int = STAR_ABOVE,
+    hubs: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Contract fine print: "all pairs >= threshold" is exact for band
+    buckets up to ``star_above`` members; larger (degenerate) buckets
+    are star-capped, where only pairs with a hub endpoint can surface
+    (see :func:`_bucket_pairs` for the precise pair/cluster recall
+    statement and the ``hubs`` knob that tightens it).
 
     Plan shape: explode k-token windows, hash each to a long (pure
     codegen, no arrays) -> 32 map-side-partial MIN aggregates = the
@@ -193,7 +231,9 @@ def minhash_lsh_pairs(
         buckets.groupBy("__bucket")
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .where(F.size("__ids") >= 2)
-        .select(F.explode(_bucket_pairs(F.col("__ids"), star_above)).alias("__p"))
+        .select(
+            F.explode(_bucket_pairs(F.col("__ids"), star_above, hubs)).alias("__p")
+        )
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
@@ -499,6 +539,7 @@ def embedding_pairs_lsh(
     n_bits: int = 16,
     bands: int = 4,
     star_above: int = STAR_ABOVE,
+    hubs: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine — the LSH-bucketed scale path.
 
@@ -511,7 +552,8 @@ def embedding_pairs_lsh(
     and each surviving pair fetches its two vectors exactly once.
     In-bucket expansion goes through :func:`_bucket_pairs`, so a
     degenerate bucket (millions of identical vectors) emits a linear
-    star on its min id, never O(|bucket|²) pairs."""
+    star on its ``hubs`` min ids, never O(|bucket|²) pairs — with the
+    same above-cap pair/cluster recall fine print documented there."""
     from pyblazing_spark.operators.similarity import hyperplane_buckets
 
     base = df.select(F.col(id_col), F.col(vec_col))
@@ -522,7 +564,9 @@ def embedding_pairs_lsh(
         b.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .where(F.size("__ids") >= 2)
-        .select(F.explode(_bucket_pairs(F.col("__ids"), star_above)).alias("__p"))
+        .select(
+            F.explode(_bucket_pairs(F.col("__ids"), star_above, hubs)).alias("__p")
+        )
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )

@@ -1031,7 +1031,7 @@ WITH per AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
  noised AS (
   SELECT source, n,
-         (('0x' || substring(md5(source), 1, 8))::BIGINT % 1000000)
+         (('0x' || substring(md5(source), 1, 8))::BIGINT % 999999 + 1)
            / 1000000.0 - 0.5 AS c
   FROM per),
  lap AS (
@@ -1057,18 +1057,20 @@ def pipeline_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection over the GROUP-sized frame — is unchanged at any scale,
     because the noise math never touches the fact table.
 
-    Laplace inverse CDF: u ~ U[0,1), c = u - 1/2,
-    noise = -b * sign(c) * ln(1 - 2|c|), b = 1/eps."""
+    Laplace inverse CDF: u ~ U(0,1), c = u - 1/2,
+    noise = -b * sign(c) * ln(1 - 2|c|), b = 1/eps.  The uniform is
+    ``(hash % 999999 + 1) / 1e6`` — clamped AWAY from 0 so c = -0.5
+    can never reach ln(0), which DuckDB raises on while Spark returns
+    NULL (ADVICE r9; u in [1e-6, 0.999999], both engines finite)."""
     docs = T(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     c = (
         F.expr(
             "CAST(CONV(SUBSTRING(MD5(CAST(source AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
         )
-        % 1000000
-        / 1000000.0
-        - 0.5
-    )
+        % 999999
+        + 1
+    ) / 1000000.0 - 0.5
     noise = F.when(c == 0, F.lit(0.0)).otherwise(
         -(1.0 / _DP_EPS) * F.signum(c) * F.log(1 - 2 * F.abs(c))
     )

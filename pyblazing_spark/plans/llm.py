@@ -3152,6 +3152,11 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio"),
             F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
         )
+        # narrow 4-column projection of a single small parquet file =
+        # ONE scan task (split parallelism follows bytes, not rows —
+        # the r8 multimodal lesson): spread it so encode AND the
+        # file-per-task decode read-back run on every core
+        src = src.repartition(spark.sparkContext.defaultParallelism)
         n_written = write_avro(src, out_dir, codec="deflate")
         if n_written == 0:
             # empty input writes no container files (nothing to read a

@@ -3,10 +3,13 @@ pure-Python Object Container codec
 (:mod:`pyblazing_spark.operators.avro_py`).
 
 - :func:`write_avro`: one Avro container file per partition via
-  ``mapInPandas`` — encoding runs Arrow-batched on executors, the
-  driver only collects the (path, rows) manifest. Deterministic file
-  names (partition id), deterministic bytes (fixed sync marker), so a
-  re-run of the same frame produces an identical tree.
+  ``mapInArrow`` — encoding runs numpy-vectorized over Arrow
+  RecordBatches on executors (no per-row Python, and int64 values
+  never pass through pandas' nullable-int float64 detour, which
+  silently loses exactness above 2**53), the driver only collects the
+  (path, rows) manifest. Deterministic file names (partition id),
+  deterministic bytes (fixed sync marker), so a re-run of the same
+  frame produces an identical tree.
 - :func:`read_avro`: ``binaryFile`` scan (one task per container) +
   ``mapInPandas`` decode. File-level parallelism is the natural Avro
   split unit here (the writer emits many partition-sized files);
@@ -27,8 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from pyblazing_spark.operators.avro_py import (
+    _field_types,
+    container_header,
     decode_container,
-    encode_container,
+    decode_header,
+    encode_block_arrow,
+    frame_block,
 )
 
 _SPARK_TO_AVRO = {
@@ -68,48 +75,39 @@ def _avro_schema_of(df: DataFrame, name: str = "spark_record") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
-def _is_ts(ftype: object) -> bool:
-    t = ftype[1] if isinstance(ftype, list) else ftype
-    return isinstance(t, dict) and t.get("logicalType") == "timestamp-micros"
-
-
 def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
     """Write ``df`` as a directory of Avro container files (one per
-    partition); returns the total row count from the write manifest."""
+    partition); returns the total row count from the write manifest.
+    Each incoming Arrow batch becomes one Avro block, encoded with the
+    vectorized numpy path (exact int64, no pandas float detour)."""
     schema = _avro_schema_of(df)
-    names = [f.name for f in df.schema.fields]
-    ts_cols = {
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
-    }
+    ftypes = _field_types(schema)
+    header = container_header(schema, codec)
     os.makedirs(path, exist_ok=True)
 
-    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    def encode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        rows: list[tuple] = []
-        for pdf in batches:
-            for col in ts_cols:
-                # NaT must stay None: astype(int64) first would turn it
-                # into INT64_MIN and the later isna check would miss it
-                mask = pdf[col].isna()
-                conv = (pdf[col].astype("int64") // 1000).astype("object")
-                conv[mask] = None
-                pdf[col] = conv  # ns -> us, NULL-preserving
-            for tup in pdf[names].itertuples(index=False, name=None):
-                rows.append(
-                    tuple(None if pd.isna(v) else v for v in tup)
-                )
         out = f"{path}/part-{pid:05d}.avro"
-        if rows:
+        blocks: list[bytes] = []
+        n_total = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            body = encode_block_arrow(ftypes, batch)
+            blocks.append(frame_block(batch.num_rows, body, codec))
+            n_total += batch.num_rows
+        if n_total:
             with open(out, "wb") as fh:
-                fh.write(encode_container(schema, rows, codec=codec))
-            yield pd.DataFrame({"path": [out], "n_rows": [len(rows)]})
+                fh.write(header)
+                fh.writelines(blocks)
+            yield pa.RecordBatch.from_pydict(
+                {"path": [out], "n_rows": [n_total]}
+            )
 
-    manifest = df.mapInPandas(encode, schema="path string, n_rows long").collect()
+    manifest = df.mapInArrow(encode, schema="path string, n_rows long").collect()
     return sum(r.n_rows for r in manifest)
 
 
@@ -118,15 +116,26 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     OCF within the supported type surface). ``path`` may be a single
     ``.avro`` file, a glob ending in ``.avro``, or a directory of
     container files."""
+    from pyspark.sql import functions as F
+
     pattern = path if path.rstrip("/").endswith(".avro") else f"{path}/*.avro"
     files = spark.read.format("binaryFile").load(pattern)
-    # schema from ONE container's header (driver-side, bounded: the
-    # writer's files are partition-sized; a header-only remote read
-    # would need a range request the binaryFile source doesn't expose)
-    first = files.select("content").limit(1).collect()
+    # schema from ONE container's HEADER only — substring keeps the
+    # driver transfer to a few KB instead of shipping a whole
+    # partition-sized container; fall back to the full blob in the
+    # (pathological) case of a metadata map longer than the probe
+    first = (
+        files.select(F.substring("content", 1, 65536).alias("head"))
+        .limit(1)
+        .collect()
+    )
     if not first:
         raise ValueError(f"read_avro: no .avro files under {path}")
-    avro_schema, _ = decode_container(bytes(first[0].content))
+    try:
+        avro_schema, _, _, _ = decode_header(bytes(first[0].head))
+    except (ValueError, IndexError):
+        whole = files.select("content").limit(1).collect()
+        avro_schema, _, _, _ = decode_header(bytes(whole[0].content))
     out_fields = []
     ts_names = set()
     for f in avro_schema["fields"]:

@@ -202,6 +202,14 @@ def read_files(
         # jar-free from-spec path (sources/avro_files.py) — the
         # spark-avro connector module is not deployable here; the
         # reference has no Avro support at all (format-matrix superset).
+        extra = {k for k in kwargs if k != "file_format"}
+        if extra:
+            # every other format forwards reader kwargs; this reader
+            # takes none — dropping them silently would be a lie
+            raise ValueError(
+                "avro reader options are not supported by the jar-free "
+                f"from-spec path: {sorted(extra)}"
+            )
         from pyblazing_spark.sources.avro_files import read_avro
 
         frames = [read_avro(spark, p) for p in paths]

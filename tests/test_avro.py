@@ -92,6 +92,108 @@ def test_unsupported_shapes_rejected():
         encode_container(sch, [(1,)], codec="snappy")
 
 
+def test_arrow_encoder_byte_identical_to_rowwise():
+    """The numpy scatter-gather block encoder must produce the exact
+    bytes of the row-wise reference encoder, for every supported type,
+    nullability, and the varint length boundaries (7-bit steps)."""
+    import pyarrow as pa
+
+    from pyblazing_spark.operators.avro_py import (
+        _field_types,
+        encode_block_arrow,
+    )
+
+    fields = [
+        ("k", "long", False),
+        ("nk", "long", True),
+        ("i", "int", True),
+        ("x", "double", True),
+        ("b", "boolean", True),
+        ("s", "string", True),
+        ("raw", "bytes", True),
+    ]
+    sch = make_schema("r", fields)
+    rows = [
+        (2**53 + 1, -(2**62), 7, 1.5, True, "héllo", b"\x00\xff"),
+        (0, None, None, None, None, None, None),
+        (-1, 2**63 - 1, -(2**31), -0.0, False, "", b""),
+    ]
+    # varint byte-length boundaries both signs
+    for e in range(0, 64, 7):
+        v = 2**e
+        rows.append((v - 1, -v, None, float(v), True, "x" * (e or 1), None))
+    expected = encode_container(sch, rows, codec="null", block_rows=len(rows))
+    # strip header + block framing (count, size) and trailing sync
+    hdr = len(A.container_header(sch, "null"))
+    body = expected[hdr:-16]
+    pos = 0
+    for _ in range(2):  # two varints: row count, byte size
+        while body[pos] & 0x80:
+            pos += 1
+        pos += 1
+    expected_body = body[pos:]
+
+    cols = list(zip(*rows))
+    batch = pa.record_batch(
+        {
+            "k": pa.array(cols[0], pa.int64()),
+            "nk": pa.array(cols[1], pa.int64()),
+            "i": pa.array(cols[2], pa.int32()),
+            "x": pa.array(cols[3], pa.float64()),
+            "b": pa.array(cols[4], pa.bool_()),
+            "s": pa.array(cols[5], pa.string()),
+            "raw": pa.array(cols[6], pa.binary()),
+        }
+    )
+    got = encode_block_arrow(_field_types(sch), batch)
+    assert got == expected_body
+
+
+def test_write_avro_int64_above_2p53_exact(spark):
+    """ADVICE r9 (medium): nullable BIGINT columns reach mapInPandas as
+    float64 when nulls are present, and 2**53+1 silently round-trips to
+    2**53.  The mapInArrow encoder must preserve int64 exactly."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.avro_files import read_avro, write_avro
+
+    d = tempfile.mkdtemp(prefix="avro_big_")
+    try:
+        big = 2**53 + 1
+        src = spark.createDataFrame(
+            [(1, big), (2, None), (3, -(2**62) - 3)], "k long, v long"
+        )
+        assert write_avro(src, d) == 3
+        back = {r.k: r.v for r in read_avro(spark, d).collect()}
+        assert back[1] == big  # the exact value, not 2**53
+        assert back[2] is None
+        assert back[3] == -(2**62) - 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_files_avro_rejects_options(spark, sf_dir):
+    """ADVICE r9: unsupported reader options must raise, not silently
+    drop (every other format forwards them)."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.avro_files import write_avro
+    from pyblazing_spark.sources.files import read_files
+    from pyblazing_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="avro_opt_")
+    try:
+        write_avro(load_table(spark, sf_dir, "region"), d, codec="null")
+        with pytest.raises(ValueError, match="avro reader options"):
+            read_files(spark, [d], file_format="avro", names=["r"])
+        df, fmt = read_files(spark, [d], file_format="avro")
+        assert fmt == "avro" and df.count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_spark_avro_roundtrip_lossless(spark, sf_dir):
     """Distributed write (one container per partition) -> binaryFile
     decode must be row-for-row lossless incl. NULLs and timestamps."""

@@ -487,12 +487,13 @@ def test_bucket_pairs_property(spark):
             max_size=8,
         ),
         st.integers(2, 12),
+        st.integers(1, 4),
     )
-    def check(buckets, cap):
+    def check(buckets, cap, hubs):
         rows = [(i, sorted(b)) for i, b in enumerate(buckets)]
         df = spark.createDataFrame(rows, "i int, ids array<bigint>")
         out = df.select(
-            "i", F.explode(_bucket_pairs(F.col("ids"), cap)).alias("p")
+            "i", F.explode(_bucket_pairs(F.col("ids"), cap, hubs)).alias("p")
         ).collect()
         got = {}
         for r in out:
@@ -502,7 +503,11 @@ def test_bucket_pairs_property(spark):
             if len(ids) <= cap:
                 want = {(a, c) for a in ids for c in ids if a < c}
             else:
-                want = {(ids[0], c) for c in ids[1:]}
-            assert got.get(i, set()) == want, (i, len(ids), cap)
+                # multi-hub star: all pairs among the k min ids, plus
+                # every (hub, non-hub) spoke
+                hub, rest = ids[:hubs], ids[hubs:]
+                want = {(a, c) for a in hub for c in hub if a < c}
+                want |= {(h, y) for h in hub for y in rest}
+            assert got.get(i, set()) == want, (i, len(ids), cap, hubs)
 
     check()
