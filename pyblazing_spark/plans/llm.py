@@ -25,6 +25,7 @@ recall/precision at production parameters in ``tests/test_llm_ops.py``):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1998,6 +1999,52 @@ def _bpe_pairs_sql(vocab: str) -> str:
 """
 
 
+def _bpe_pair_counts(v: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (w, s) vocab frame — the
+    Spark twin of :func:`_bpe_pairs_sql`."""
+    syms = v.select(
+        "w", F.split(F.expr("trim(BOTH '()' FROM s)"), r"\)\(").alias("sym")
+    ).where(F.size("sym") >= 2)
+    return (
+        syms.select(
+            "w",
+            "sym",
+            F.explode(F.sequence(F.lit(1), F.size("sym") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("sym[i - 1]").alias("p1"),  # Spark arrays are 0-based
+            F.expr("sym[i]").alias("p2"),
+            "w",
+        )
+        .groupBy("p1", "p2")
+        .agg(F.sum("w").alias("weight"))
+    )
+
+
+def _bpe_learn_rounds_sql(k: int) -> str:
+    """CTE chain learning ``k`` greedy merges: vocab1 .. vocab{k+1}.
+    Every vocab CTE is referenced twice (its pairs + the next round),
+    so AS MATERIALIZED throughout — DuckDB inlines plain CTEs and the
+    corpus subtree would replicate per round (CLAUDE.md, graph_kcore)."""
+    parts = [f" vocab1 AS MATERIALIZED ({_BPE_VOCAB_SQL})"]
+    for i in range(1, k + 1):
+        parts.append(
+            f" pairs{i} AS MATERIALIZED ({_bpe_pairs_sql(f'vocab{i}')})"
+        )
+        parts.append(
+            f""" best{i} AS (
+  SELECT p1, p2 FROM pairs{i} ORDER BY weight DESC, p1, p2 LIMIT 1)"""
+        )
+        parts.append(
+            f""" vocab{i + 1} AS MATERIALIZED (
+  SELECT word, w,
+         replace(s, '(' || b.p1 || ')(' || b.p2 || ')',
+                 '(' || b.p1 || b.p2 || ')') AS s
+  FROM vocab{i} CROSS JOIN best{i} b)"""
+        )
+    return ",\n".join(parts)
+
+
 @register(
     "text_bpe_merges",
     tags=("llm", "text", "tokenizer", "bpe"),
@@ -2055,25 +2102,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s", F.regexp_replace("word", r"(.)", r"($1)"))
     )
 
-    def pair_counts(v: DataFrame) -> DataFrame:
-        syms = v.select(
-            "w", F.split(F.expr("trim(BOTH '()' FROM s)"), r"\)\(").alias("sym")
-        ).where(F.size("sym") >= 2)
-        return (
-            syms.select(
-                "w",
-                "sym",
-                F.explode(F.sequence(F.lit(1), F.size("sym") - 1)).alias("i"),
-            )
-            .select(
-                F.expr("sym[i - 1]").alias("p1"),  # Spark arrays are 0-based
-                F.expr("sym[i]").alias("p2"),
-                "w",
-            )
-            .groupBy("p1", "p2")
-            .agg(F.sum("w").alias("weight"))
-        )
-
+    pair_counts = _bpe_pair_counts
     pairs1 = pair_counts(vocab).localCheckpoint(eager=True)
     best = pairs1.orderBy(F.desc("weight"), "p1", "p2").select("p1", "p2").first()
     if best is None:  # empty corpus: no pairs, round 2 == round 1 == empty
@@ -2097,6 +2126,125 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return materialize_bounded(
         ranked(pairs1, 1).unionAll(ranked(pairs2, 2)).orderBy("round", "rank")
+    )
+
+
+_BPE_ENC_MERGES = 4  # learned merge ranks applied by the encode entry
+
+
+@register(
+    "text_bpe_encode",
+    tags=("llm", "text", "tokenizer", "bpe", "encode"),
+    oracle=f"""
+WITH
+{_bpe_learn_rounds_sql(_BPE_ENC_MERGES)},
+ tok AS (
+  SELECT word, w, unnest(string_split(trim(s, '()'), ')(')) AS token
+  FROM vocab{_BPE_ENC_MERGES + 1}),
+ stats AS (
+  SELECT token,
+         CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+         CAST(sum(w) AS BIGINT)               AS total_count
+  FROM tok GROUP BY token)
+SELECT CAST(rank AS INTEGER) AS rank, token, n_words, total_count
+FROM (SELECT *, row_number() OVER (ORDER BY total_count DESC, token) AS rank
+      FROM stats)
+WHERE rank <= 20 ORDER BY rank
+""",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge APPLICATION — the actual tokenize step of
+    a training pipeline (VERDICT r9 #5; ``text_bpe_merges`` only LEARNS
+    ranks). Learns four greedy merges over the corpus
+    vocabulary, then encodes with the classic inference kernel: per
+    word, apply merges in RANK order, each a left-to-right adjacent
+    pair merge over the symbol list (an Arrow-batched pandas_udf; the
+    merge table rides the task closure — at a production vocab it
+    would be an explicit broadcast, same shape).
+
+    Scale shape: the ONLY corpus-scale work is the word-count pass
+    (map-side partials, text never shuffles). Both learning and the
+    Python encode kernel run over the DISTINCT vocabulary — Zipf-
+    bounded, tiny relative to the corpus — with the vocab frame
+    localCheckpoint'd once so the corpus is scanned exactly once for
+    all {_BPE_ENC_MERGES} learn rounds. Encoding a 100 TB corpus costs
+    one word-level aggregation plus O(|vocab| x n_merges) Python — never
+    O(corpus) Python.
+
+    Correctness cross-check: the oracle segments by UNROLLED global
+    replace rounds in training order, the Spark side by per-word
+    rank-ordered pair merging — two independent formulations of BPE
+    whose equivalence (sequential merge application commutes across
+    words) the value-compare proves on real data."""
+    docs = T(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("s", F.regexp_replace("word", r"(.)", r"($1)"))
+        .localCheckpoint(eager=True)  # corpus scanned ONCE for all rounds
+    )
+    merges: list[tuple[str, str]] = []
+    v = vocab
+    for _ in range(_BPE_ENC_MERGES):
+        best = (
+            _bpe_pair_counts(v)
+            .orderBy(F.desc("weight"), "p1", "p2")
+            .select("p1", "p2")
+            .first()
+        )
+        if best is None:  # degenerate corpus: all words single-symbol
+            break
+        merges.append((best.p1, best.p2))
+        v = v.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"({best.p1})({best.p2})"),
+                F.lit(f"({best.p1}{best.p2})"),
+            ),
+        )
+
+    ranks = tuple(merges)
+
+    @F.pandas_udf("array<string>")
+    def bpe_enc(words: pd.Series) -> pd.Series:
+        def enc(wd: str) -> list[str]:
+            sym = list(wd)
+            for p1, p2 in ranks:
+                out, i, n = [], 0, len(sym)
+                while i < n:
+                    if i + 1 < n and sym[i] == p1 and sym[i + 1] == p2:
+                        out.append(p1 + p2)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            return sym
+
+        return words.map(enc)
+
+    toks = vocab.select(
+        "word", "w", F.explode(bpe_enc(F.col("word"))).alias("token")
+    )
+    stats = toks.groupBy("token").agg(
+        F.countDistinct("word").alias("n_words"),
+        F.sum("w").cast("long").alias("total_count"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = stats.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("total_count"), "token"))
+        .cast("int"),
+    ).where(F.col("rank") <= 20)
+    return materialize_bounded(
+        ranked.select("rank", "token", "n_words", "total_count").orderBy("rank")
     )
 
 
