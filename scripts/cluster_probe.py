@@ -136,7 +136,7 @@ def main() -> int:
             def kill_one(before=before, killed=killed_pid):
                 # wait for the query to be mid-flight, then nuke one
                 # executor JVM; the worker relaunches a replacement
-                time.sleep(1.0)
+                time.sleep(float(os.environ.get("KILL_DELAY", "1.0")))
                 pids = sorted(set(executor_pids()) & before) or sorted(
                     executor_pids()
                 )
