@@ -2,9 +2,21 @@
 
 First line of defense is AQE (``spark.sql.adaptive.skewJoin.enabled``,
 on by default in :mod:`pyblazing_spark.session`), which splits skewed
-SHUFFLE partitions at runtime. AQE cannot help when one JOIN KEY alone
-exceeds an executor (runtime splitting still sends the whole key to one
-task on the build side) — for that, explicit salting:
+SHUFFLE partitions at runtime. Two limits, both probed on a real
+Zipf(1.2) corpus (round 10, SCALE.md "Zipf-skew corpus probe"):
+
+- AQE cannot help when one JOIN KEY alone exceeds an executor
+  (runtime splitting still sends the whole key to one task on the
+  build side);
+- AQE splits a skewed partition along MAP-OUTPUT boundaries only: a
+  hot key CLUSTERED in few input files (the natural layout of
+  per-key-arriving logs) is silently unsplittable — the partition is
+  flagged over threshold yet no ``skew=true`` rewrite appears, even
+  under ``forceOptimizeSkewedJoin``. The identical rows round-robin
+  spread across mappers DO get split.
+
+Explicit salting has neither limit — the salt re-keys BEFORE the
+shuffle, so layout and per-key volume are both irrelevant:
 
 - :func:`salted_join`: replicate the small side R times, salt the big
   side uniformly in [0, R) — each hot key's rows spread over R tasks.

@@ -204,6 +204,8 @@ def main() -> int:
         "stream_session_timer", "nested_recursive_join",
         "win_running_distinct", "sink_dynamic_overwrite",
         "pipeline_dp_release", "source_avro_roundtrip",
+        # round-10: BPE merge application (vocab-scale Python kernel)
+        "text_bpe_encode",
         # round-6 widening: scale-sensitive entries that had never run
         # at 10x (Arrow cogroup, two-phase global windows, wedge joins,
         # star rounds, interval-union windows, FFT kernels, bag setops,
