@@ -379,6 +379,33 @@ def decode_header(data: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos + 16
 
 
+def decode_block_rows(
+    block: "memoryview | bytes",
+    n_rows: int,
+    ftypes: list[tuple[str, str, bool]],
+    codec: str = "null",
+) -> list[tuple]:
+    """Decode one (possibly deflated) block body into row tuples."""
+    if codec == "deflate":
+        block = memoryview(zlib.decompress(bytes(block), wbits=-15))
+    elif not isinstance(block, memoryview):
+        block = memoryview(block)
+    rows: list[tuple] = []
+    bpos = 0
+    for _ in range(n_rows):
+        vals = []
+        for name, typ, nullable in ftypes:
+            if nullable:
+                branch, bpos = _read_long(block, bpos)
+                if branch == 0:
+                    vals.append(None)
+                    continue
+            v, bpos = _decode_value(block, bpos, typ)
+            vals.append(v)
+        rows.append(tuple(vals))
+    return rows
+
+
 def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
     """Parse one Avro OCF -> (schema dict, rows as tuples)."""
     buf = memoryview(data)
@@ -389,22 +416,10 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
     while pos < total:
         n_rows, pos = _read_long(buf, pos)
         n_bytes, pos = _read_long(buf, pos)
-        block = buf[pos : pos + n_bytes]
+        rows.extend(
+            decode_block_rows(buf[pos : pos + n_bytes], n_rows, ftypes, codec)
+        )
         pos += n_bytes
-        if codec == "deflate":
-            block = memoryview(zlib.decompress(bytes(block), wbits=-15))
-        bpos = 0
-        for _ in range(n_rows):
-            vals = []
-            for name, typ, nullable in ftypes:
-                if nullable:
-                    branch, bpos = _read_long(block, bpos)
-                    if branch == 0:
-                        vals.append(None)
-                        continue
-                v, bpos = _decode_value(block, bpos, typ)
-                vals.append(v)
-            rows.append(tuple(vals))
         if bytes(buf[pos : pos + 16]) != sync:
             raise ValueError("sync marker mismatch mid-file")
         pos += 16

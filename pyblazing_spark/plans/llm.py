@@ -3330,3 +3330,59 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "source_avro_split_scan",
+    tags=("source", "avro", "split", "scale", "jar-free"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)           AS n,
+       round(sum(o_totalprice) + 1e-4, 2) AS total,
+       CAST(sum(o_orderkey) AS BIGINT)    AS key_sum
+FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def source_avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range-parallel scan of ONE monolithic Avro container
+    (:mod:`pyblazing_spark.sources.avro_split_ds`): the file-per-task
+    reader gives a single 50 GB container exactly one task at 100 TB,
+    so this source re-enters the byte stream at arbitrary offsets via
+    the spec's 16-byte sync markers (Hadoop AvroInputFormat's split
+    model) — one Spark input partition per split_size bytes, false
+    sync matches inside block data rejected by re-verifying the block
+    framing. The 64 KiB split here forces a multi-partition scan of a
+    file the fixture would otherwise read in one task; the oracle
+    recomputes from the source parquet, so any block lost or doubled
+    at a split boundary fails the compare."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.avro_files import write_avro
+    from pyblazing_spark.sources.avro_split_ds import read_avro_split
+
+    out_dir = tempfile.mkdtemp(prefix="avro_sp_")
+    try:
+        src = T(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).coalesce(1)
+        n = write_avro(src, out_dir, codec="deflate")
+        if n == 0:
+            back = spark.createDataFrame(
+                [], "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+            )
+        else:
+            back = read_avro_split(spark, out_dir, split_size=1 << 16)
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice") + 1e-4, 2).alias("total"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -202,14 +202,28 @@ def read_files(
         # jar-free from-spec path (sources/avro_files.py) — the
         # spark-avro connector module is not deployable here; the
         # reference has no Avro support at all (format-matrix superset).
-        extra = {k for k in kwargs if k != "file_format"}
+        extra = {k for k in kwargs if k not in ("file_format", "split_size")}
         if extra:
             # every other format forwards reader kwargs; this reader
-            # takes none — dropping them silently would be a lie
+            # takes only split_size — dropping the rest silently would
+            # be a lie
             raise ValueError(
                 "avro reader options are not supported by the jar-free "
                 f"from-spec path: {sorted(extra)}"
             )
+        if "split_size" in kwargs:
+            # byte-range parallelism WITHIN containers (monolithic-file
+            # scale path) — sources/avro_split_ds.py
+            from pyblazing_spark.sources.avro_split_ds import read_avro_split
+
+            frames = [
+                read_avro_split(spark, p, split_size=int(kwargs["split_size"]))
+                for p in paths
+            ]
+            df = frames[0]
+            for extra_df in frames[1:]:
+                df = df.unionByName(extra_df)
+            return df, "avro"
         from pyblazing_spark.sources.avro_files import read_avro
 
         frames = [read_avro(spark, p) for p in paths]

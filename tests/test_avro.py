@@ -273,6 +273,88 @@ def test_create_table_routes_avro(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_avro_split_reader_all_split_sizes(spark, sf_dir):
+    """Byte-range partitioned scan of ONE monolithic container: every
+    split size must see every block exactly once (row multiset equal to
+    the file-per-task reader), and small splits must actually fan out
+    into many input partitions."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.sources.avro_files import write_avro
+    from pyblazing_spark.sources.avro_split_ds import (
+        AvroSplitReader,
+        read_avro_split,
+    )
+    from pyblazing_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="avro_sp_")
+    try:
+        src = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
+                F.col("o_orderdate").cast("timestamp_ntz").alias("od"),
+            )
+            .coalesce(1)  # ONE container file = the monolith case
+        )
+        assert write_avro(src, d, codec="deflate") == src.count()
+        import glob as g
+
+        (one,) = g.glob(f"{d}/*.avro")
+        expect = sorted(map(tuple, src.collect()))
+        import os
+
+        fsize = os.path.getsize(one)
+        for split in (1 << 16, fsize // 3 + 1, fsize * 2):
+            back = read_avro_split(spark, one, split_size=split)
+            assert sorted(map(tuple, back.collect())) == expect, split
+        # partition arithmetic: 64 KiB splits on a >64 KiB file fan out
+        rdr = AvroSplitReader({"path": one, "split_size": str(1 << 16)})
+        n_parts = len(rdr.partitions())
+        assert n_parts == -(-(fsize - rdr.files[0][4]) // (1 << 16))
+        if fsize > 1 << 16:
+            assert n_parts > 1
+        # schema carried through, not inferred
+        back = read_avro_split(spark, d)  # directory form
+        assert back.schema["od"].dataType.simpleString() == "timestamp_ntz"
+        assert back.schema["st"].dataType.simpleString() == "string"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_avro_split_false_positive_sync_in_data(spark):
+    """A bytes column containing the literal 16-byte sync marker (null
+    codec: raw payload bytes hit the wire verbatim) must not derail the
+    mid-file resynchronization scan — the reader requires the block
+    varints to land back on a sync before trusting a match."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.operators.avro_py import _SYNC
+    from pyblazing_spark.sources.avro_files import write_avro
+    from pyblazing_spark.sources.avro_split_ds import read_avro_split
+
+    d = tempfile.mkdtemp(prefix="avro_fp_")
+    try:
+        rows = [
+            (i, bytes(_SYNC) if i % 3 == 0 else b"x" * (i % 50))
+            for i in range(5000)
+        ]
+        src = spark.createDataFrame(rows, "k long, raw binary").coalesce(1)
+        assert write_avro(src, d, codec="null") == 5000
+        back = read_avro_split(spark, d, split_size=1 << 16)
+        got = {r.k: bytes(r.raw) for r in back.collect()}
+        assert len(got) == 5000
+        assert got[0] == bytes(_SYNC) and got[1] == b"x"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_nullable_timestamp_roundtrip(spark):
     """NaT must survive as NULL — astype(int64) on NaT silently yields
     INT64_MIN, the bug the writer's mask ordering guards against."""
