@@ -391,6 +391,123 @@ def kcore_peel_summary(
         return out.orderBy("round").localCheckpoint(eager=True)
 
 
+def scc_summary(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 8,
+    top: int = 20,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge list over a
+    BOUNDED node domain: transitive closure by reach-doubling (each
+    round joins the closure with itself, so path length covered
+    doubles — fixpoint in ceil(log2(diameter)) rounds), then
+    ``scc_id(u) = min({u} ∪ {v : u→*v and v→*u})`` — nodes with no
+    cycle through them become singletons.
+
+    Returns the ``top`` components by ``(n_nodes DESC, scc_id)``:
+    ``(scc_id, n_nodes, node_sum, n_internal_edges)``.
+
+    Scale contract — read before reusing: the closure is O(N²) pairs
+    for N nodes, so this operator is for node domains that are bounded
+    by construction (modular bucket projections, enum-valued states,
+    dimension keys), where N² is a few million pairs at most and the
+    doubling loop is a handful of self-joins. Corpus-scale SCC over
+    unbounded node sets needs pivot-based forward-backward
+    decomposition or multi-round coloring — a different algorithm, not
+    a bigger version of this one; the honest split mirrors
+    embedding_pairs (bounded brute) vs embedding_pairs_lsh (scale).
+    Loop hygiene matches the other iterative operators: every round's
+    closure is eagerly localCheckpoint'd (O(1) plan tree), constraint
+    propagation is disabled for the loop (LogicalRDD self-union trap,
+    see :func:`connected_components_star`), shuffles sized to cluster
+    parallelism."""
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    spark = edges.sparkSession
+    confs = dict(loop_shuffle_confs(spark))
+    confs["spark.sql.constraintPropagation.enabled"] = "false"
+    with scoped_conf(spark, confs):
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        reach = e
+        n = reach.count()
+        for _ in range(max_rounds):
+            hop = (
+                reach.alias("a")
+                .join(reach.alias("b"), F.col("a.v") == F.col("b.u"))
+                .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+            )
+            reach = (
+                reach.unionAll(hop).distinct().localCheckpoint(eager=True)
+            )
+            n2 = reach.count()
+            if n2 == n:  # closure fixpoint
+                break
+            n = n2
+        mutual = (
+            reach.alias("f")
+            .join(
+                reach.alias("r"),
+                (F.col("f.u") == F.col("r.v")) & (F.col("f.v") == F.col("r.u")),
+            )
+            .select(F.col("f.u").alias("node"), F.col("f.v").alias("peer"))
+        )
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        scc = (
+            nodes.join(mutual, "node", "left")
+            .groupBy("node")
+            .agg(F.min("peer").alias("__mp"))
+            .select(
+                "node",
+                F.least(
+                    F.col("node"), F.coalesce("__mp", F.col("node"))
+                ).alias("scc_id"),
+            )
+        )
+        internal = (
+            e.join(
+                scc.select(F.col("node").alias("u"), F.col("scc_id").alias("__cu")),
+                "u",
+            )
+            .join(
+                scc.select(F.col("node").alias("v"), F.col("scc_id").alias("__cv")),
+                "v",
+            )
+            .where(F.col("__cu") == F.col("__cv"))
+            .groupBy(F.col("__cu").alias("scc_id"))
+            .agg(F.count(F.lit(1)).alias("__ie"))
+        )
+        out = (
+            scc.groupBy("scc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.sum("node").cast("long").alias("node_sum"),
+            )
+            .join(internal, "scc_id", "left")
+            .select(
+                "scc_id",
+                "n_nodes",
+                "node_sum",
+                F.coalesce("__ie", F.lit(0)).cast("long").alias(
+                    "n_internal_edges"
+                ),
+            )
+            .orderBy(F.desc("n_nodes"), "scc_id")
+            .limit(top)
+        )
+        # materialize inside the scope (disabled-constraint plans must
+        # not escape into callers running under default confs)
+        return out.localCheckpoint(eager=True)
+
+
 def bfs_distance_histogram(
     edges: DataFrame,
     seed_mod: int,

@@ -1084,3 +1084,118 @@ def pipeline_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PACK_B = 512  # context-window capacity (tokens per training example)
+_PACK_SHARDS = 8
+
+
+@register(
+    "pipeline_sequence_packing",
+    tags=("pipeline", "llm", "packing", "tokenizer", "curation"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents),
+ cum AS (
+  SELECT *, CAST(sum(n_tok) OVER (
+              PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+  FROM toks),
+ spans AS (
+  SELECT shard, cum, cum - n_tok AS excl,
+         (cum - n_tok) // {_PACK_B} AS first_bin,
+         (cum - 1) // {_PACK_B}     AS last_bin
+  FROM cum),
+ ex AS (
+  SELECT shard, cum, excl,
+         unnest(generate_series(first_bin, last_bin)) AS bin
+  FROM spans),
+ per AS (
+  SELECT shard, CAST(bin AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(least(cum, (bin + 1) * {_PACK_B})
+                  - greatest(excl, bin * {_PACK_B})) AS BIGINT)
+           AS tokens_in_bin,
+         CAST(sum(CASE WHEN excl < bin * {_PACK_B} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_continuing
+  FROM ex GROUP BY shard, bin)
+SELECT shard, bin, n_docs, tokens_in_bin, n_continuing,
+       round(tokens_in_bin * 1.0 / {_PACK_B} + 1e-9, 4) AS fill_ratio
+FROM per ORDER BY shard, bin
+""",
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing manifest: concatenate each shard's
+    documents in id order and cut every 512 tokens — the standard
+    pretraining step that turns ragged documents into fixed-length
+    training examples (documents straddle example boundaries; nothing
+    is padded or dropped). Emits one row per training example:
+    contributing docs, exact token fill, and how many docs CONTINUE
+    from the previous example (the cross-boundary fragments an
+    attention-mask builder needs to know about).
+
+    Scale shape: packing domain = hash shard (real pipelines pack per
+    worker), so the cumulative sum is a PARTITIONED window — never an
+    unpartitioned global sort — and everything downstream is pure
+    column arithmetic: first/last bin by integer division, one
+    explode(sequence) per doc sized by bins TOUCHED (≈ n_tok/512 + 1,
+    not corpus size), one aggregation. No Python anywhere; whitespace
+    token counts stand in for tokenizer counts (`text_bpe_encode` is
+    the real tokenize path — composing them is a select swap).
+    Dtype discipline: the DuckDB window SUM widens BIGINT->HUGEINT, so
+    the oracle pins CAST(... AS BIGINT) at the window; `//` stays
+    floor-div because both operands are BIGINT (CLAUDE.md float-`//`
+    trap does not apply)."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    win = W.partitionBy("shard").orderBy("doc_id")
+    spans = (
+        toks.withColumn("cum", F.sum("n_tok").over(win))
+        .withColumn("excl", F.col("cum") - F.col("n_tok"))
+        .select(
+            "shard",
+            "cum",
+            "excl",
+            F.expr(f"excl div {_PACK_B}").alias("first_bin"),
+            F.expr(f"(cum - 1) div {_PACK_B}").alias("last_bin"),
+        )
+    )
+    ex = spans.select(
+        "shard",
+        "cum",
+        "excl",
+        F.explode(
+            F.sequence(F.col("first_bin"), F.col("last_bin"))
+        ).alias("bin"),
+    )
+    per = ex.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.least(F.col("cum"), (F.col("bin") + 1) * _PACK_B)
+            - F.greatest(F.col("excl"), F.col("bin") * _PACK_B)
+        )
+        .cast("long")
+        .alias("tokens_in_bin"),
+        F.sum(
+            F.when(F.col("excl") < F.col("bin") * _PACK_B, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_continuing"),
+    )
+    return per.select(
+        "shard",
+        "bin",
+        "n_docs",
+        "tokens_in_bin",
+        "n_continuing",
+        F.round(F.col("tokens_in_bin") / _PACK_B + 1e-9, 4).alias(
+            "fill_ratio"
+        ),
+    ).orderBy("shard", "bin")

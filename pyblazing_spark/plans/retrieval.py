@@ -1156,6 +1156,74 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_scc",
+    tags=("graph", "scc", "analytics"),
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT o_orderkey % 250 AS u, o_custkey % 250 AS v
+  FROM orders WHERE o_orderkey % 5 = 0),
+ reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+ nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+ mutual AS MATERIALIZED (
+  SELECT f.u AS node, f.v AS peer
+  FROM reach f JOIN reach r ON f.u = r.v AND f.v = r.u),
+ scc AS MATERIALIZED (
+  SELECT n.node, least(n.node, coalesce(min(m.peer), n.node)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+  GROUP BY n.node),
+ per AS (
+  SELECT scc_id, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(node) AS BIGINT) AS node_sum
+  FROM scc GROUP BY scc_id),
+ internal AS (
+  SELECT su.scc_id, CAST(count(*) AS BIGINT) AS n_internal_edges
+  FROM edges e
+  JOIN scc su ON su.node = e.u
+  JOIN scc sv ON sv.node = e.v
+  WHERE su.scc_id = sv.scc_id
+  GROUP BY su.scc_id)
+SELECT p.scc_id, p.n_nodes, p.node_sum,
+       CAST(coalesce(i.n_internal_edges, 0) AS BIGINT) AS n_internal_edges
+FROM per p LEFT JOIN internal i USING (scc_id)
+ORDER BY p.n_nodes DESC, p.scc_id
+LIMIT 20
+""",
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over a DIRECTED bucket-transition
+    graph (edge ``o_orderkey % 250 -> o_custkey % 250`` over a 1-in-5
+    order slice — cyclic with a giant core PLUS periphery components
+    at the fixture SFs, so the top-20 summary compares real component
+    structure, not one saturated blob), via
+    :func:`pyblazing_spark.operators.graph.scc_summary`: transitive
+    closure by reach-DOUBLING self-joins (log2(diameter) rounds, each
+    closure eagerly checkpointed), then mutual-reachability min-ids.
+    Completes the directed-graph family (components/BFS/pagerank are
+    undirected or per-source). The naive (min-reacher, min-reachee)
+    coloring is NOT SCC — two different components can share both
+    labels through a common small source and sink — so the operator
+    pays for real mutual reachability; the oracle recomputes it with a
+    set-semantics recursive closure (DuckDB UNION recursion) and the
+    same min-id rule. Scale contract: closure is O(N^2) — the operator
+    docstring pins it to bounded node domains (bucket projections like
+    this one); unbounded-domain SCC is a different algorithm (pivot
+    FW-BW), documented, not silently absent."""
+    from pyblazing_spark.operators.graph import scc_summary
+
+    orders = T(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    edges = orders.select(
+        (F.col("o_orderkey") % 250).alias("u"),
+        (F.col("o_custkey") % 250).alias("v"),
+    )
+    return scc_summary(edges, src="u", dst="v")
+
+
+@register(
     "graph_label_propagation",
     tags=("graph", "community", "lpa"),
     oracle="""
