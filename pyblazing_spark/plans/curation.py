@@ -1086,6 +1086,145 @@ def pipeline_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (name, DuckDB fail-predicate) per cascade rule, in drop order —
+#: Gopher/C4-style document quality gates. The Spark twins are built in
+#: the entry; keep the two lists in the same order or first-fail
+#: attribution diverges.
+_CASCADE_RULES = (
+    ("min_len", "n_chars < 120"),
+    ("max_len", "n_chars > 450"),
+    ("word_len", "n_nonspace * 1.0 / n_tok < 4.0"),
+    ("stopword", "NOT has_stop"),
+    ("uniq_ratio", "n_utok * 1.0 / n_tok < 0.4"),
+    ("min_tokens", "n_tok < 20"),
+)
+
+
+@register(
+    "pipeline_filter_cascade",
+    tags=("pipeline", "llm", "quality", "curation", "filter"),
+    oracle=r"""
+WITH d AS MATERIALIZED (
+  SELECT n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok,
+         len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_utok,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+         (lower(text) LIKE '% the %' OR lower(text) LIKE '% and %') AS has_stop
+  FROM documents),
+ f AS MATERIALIZED (
+  SELECT """
+    + ",\n         ".join(
+        f"CASE WHEN {pred} THEN 1 ELSE 0 END AS f{i}"
+        for i, (_, pred) in enumerate(_CASCADE_RULES)
+    )
+    + r"""
+  FROM d),
+ ff AS MATERIALIZED (
+  SELECT *, CASE """
+    + " ".join(
+        f"WHEN f{i} = 1 THEN {i}" for i in range(len(_CASCADE_RULES))
+    )
+    + r""" ELSE 99 END AS first_fail
+  FROM f),
+ agg AS MATERIALIZED (
+  SELECT """
+    + ",\n         ".join(
+        f"CAST(sum(f{i}) AS BIGINT) AS failed{i}, "
+        f"CAST(sum(CASE WHEN first_fail = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS first{i}, "
+        f"CAST(sum(CASE WHEN first_fail > {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS rem{i}"
+        for i in range(len(_CASCADE_RULES))
+    )
+    + r"""
+  FROM ff)
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS rule_idx, '{name}' AS rule, "
+        f"failed{i} AS n_failed, first{i} AS n_dropped_here, "
+        f"rem{i} AS n_remaining FROM agg"
+        for i, (name, _) in enumerate(_CASCADE_RULES)
+    )
+    + "\nORDER BY rule_idx",
+)
+def pipeline_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade with per-rule DROP ATTRIBUTION — the
+    C4/Gopher-style document gate battery (length bounds, mean word
+    length, stopword presence, unique-token ratio, minimum tokens),
+    reported the way a curation run is actually debugged: per rule, how
+    many docs fail it AT ALL, how many are dropped BY it (first failing
+    rule wins — the cost you'd save by removing the rule), and how many
+    docs remain after the cascade prefix. All six rules discriminate at
+    every fixture SF (probed; ~38% of docs survive).
+
+    Scale shape: one scan computes every per-doc feature and all six
+    flags in scan-stage codegen, ONE keyless aggregate produces all 18
+    conditional counts as map-side partials (never six passes — the
+    one-scan `stack` discipline from CLAUDE.md), and the 6-row unpivot
+    happens on the single aggregated row. The only wide exchange is
+    the 18-counter partial merge."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select(
+        "n_chars",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_utok"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_nonspace"),
+        (
+            F.lower(F.col("text")).contains(" the ")
+            | F.lower(F.col("text")).contains(" and ")
+        ).alias("has_stop"),
+    )
+    spark_preds = (
+        F.col("n_chars") < 120,
+        F.col("n_chars") > 450,
+        F.col("n_nonspace") * 1.0 / F.col("n_tok") < 4.0,
+        ~F.col("has_stop"),
+        F.col("n_utok") * 1.0 / F.col("n_tok") < 0.4,
+        F.col("n_tok") < 20,
+    )
+    flagged = d.select(
+        *[
+            F.when(p, 1).otherwise(0).alias(f"f{i}")
+            for i, p in enumerate(spark_preds)
+        ]
+    )
+    ff = F.lit(99)
+    for i in reversed(range(len(spark_preds))):
+        ff = F.when(F.col(f"f{i}") == 1, i).otherwise(ff)
+    flagged = flagged.withColumn("first_fail", ff)
+    aggs = []
+    for i in range(len(_CASCADE_RULES)):
+        aggs += [
+            F.sum(f"f{i}").cast("long").alias(f"failed{i}"),
+            F.sum(F.when(F.col("first_fail") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"first{i}"),
+            F.sum(F.when(F.col("first_fail") > i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"rem{i}"),
+        ]
+    one = flagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', failed{i}, first{i}, rem{i}"
+        for i, (name, _) in enumerate(_CASCADE_RULES)
+    )
+    return (
+        one.selectExpr(
+            f"stack({len(_CASCADE_RULES)}, {stack_args}) AS "
+            "(rule_idx, rule, n_failed, n_dropped_here, n_remaining)"
+        )
+        .select(
+            F.col("rule_idx").cast("int").alias("rule_idx"),
+            "rule",
+            "n_failed",
+            "n_dropped_here",
+            "n_remaining",
+        )
+        .orderBy("rule_idx")
+    )
+
+
 _PACK_B = 512  # context-window capacity (tokens per training example)
 _PACK_SHARDS = 8
 

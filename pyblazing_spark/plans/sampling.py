@@ -152,6 +152,75 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_leakage_safe_split",
+    tags=("sampling", "llm", "split", "dedup", "decontam"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars, md5(trim(text)) AS fp FROM documents),
+ a AS (
+  SELECT doc_id, n_chars, fp,
+         CASE WHEN ('0x' || substring(md5(fp), 1, 8))::BIGINT % 100 < 90
+              THEN 'train' ELSE 'test' END AS split,
+         CASE WHEN {_sql_bucket('doc_id')} < 90
+              THEN 'train' ELSE 'test' END AS naive
+  FROM d)
+SELECT split,
+       CAST(count(*) AS BIGINT)            AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT)  AS n_clusters,
+       CAST(sum(n_chars) AS BIGINT)        AS total_chars,
+       CAST(sum(CASE WHEN split <> naive THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_vs_naive
+FROM a GROUP BY split ORDER BY split
+""",
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the split key is the CONTENT
+    fingerprint, not the doc id, so every exact-duplicate cluster lands
+    wholly in one split — the eval-integrity property a per-doc hash
+    split silently violates (a duplicated document with copies in both
+    train and test is memorization leakage the benchmark can't see).
+    Emits, per split: docs, distinct clusters, bytes, and how many docs
+    MOVED relative to the naive doc-id split — the measured size of the
+    leakage channel being closed. Near-dup-safe splitting composes the
+    same way with minhash cluster ids (`dedup_minhash_lsh` ->
+    components) instead of exact fingerprints; this entry keeps the
+    oracle exact. Per-row expression assignment (one md5 of content,
+    one of the fingerprint) — no shuffle beyond the summary aggregate,
+    and adding data never reassigns existing clusters."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.trim(F.col("text")).cast("binary")).alias("fp"),
+    )
+    fp_bucket = (
+        F.conv(F.substring(F.md5(F.col("fp").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    naive = hash_bucket("doc_id")
+    a = d.select(
+        "n_chars",
+        "fp",
+        F.when(fp_bucket < 90, "train").otherwise("test").alias("split"),
+        F.when(naive < 90, "train").otherwise("test").alias("naive"),
+    )
+    return (
+        a.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(
+                F.when(F.col("split") != F.col("naive"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved_vs_naive"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "sample_epoch_shuffle",
     tags=("sampling", "llm", "shuffle"),
     oracle="""
