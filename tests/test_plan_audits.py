@@ -765,6 +765,56 @@ def test_asof_nearest_is_one_shuffle_one_sort_one_window(spark, sf_dir):
     assert "SinglePartition" not in plan and "rangepartitioning" not in plan, plan
 
 
+def test_filter_cascade_is_one_scan_one_aggregate(spark, sf_dir):
+    """pipeline_filter_cascade's scale claim: all 18 conditional
+    counters come from ONE pass — one parquet scan, one partial/final
+    HashAggregate pair (a single exchange), and the 6-row attribution
+    table from a Generate (stack) over the lone aggregated row. Six
+    per-rule passes would scan the corpus six times at 100 TB."""
+    import pyblazing_spark.plans as plans
+
+    df = plans.REGISTRY["pipeline_filter_cascade"].fn(spark, sf_dir)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    # partial+final of the one keyless aggregate (plus nothing else)
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") == 2, plan
+    assert "Generate " in plan or "Expand" in plan, plan  # the stack unpivot
+
+
+def test_sequence_packing_window_is_partitioned(spark, sf_dir):
+    """pipeline_sequence_packing's scale claim: the cumulative token
+    sum is a PARTITIONED window (hashpartitioning on the shard key) —
+    never an unpartitioned global sort (SinglePartition window = the
+    one-reducer cliff at 100 TB)."""
+    import re
+
+    import pyblazing_spark.plans as plans
+
+    df = plans.REGISTRY["pipeline_sequence_packing"].fn(spark, sf_dir)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    parts = re.findall(r"Exchange (\w+)", plan)
+    # shard exchange for the window + the groupBy + presentation sort
+    assert parts and all(
+        p in ("hashpartitioning", "rangepartitioning") for p in parts
+    ), parts
+
+
+def test_scc_closure_plan_hangs_off_checkpoints(spark, sf_dir):
+    """graph_scc's loop hygiene (same contract as the BFS audit): the
+    final summary must read checkpointed RDDs, not re-derive the
+    closure rounds — no parquet scan may survive into the result plan."""
+    import pyblazing_spark.plans as plans
+
+    df = plans.REGISTRY["graph_scc"].fn(spark, sf_dir)
+    phys = _executed_plan(df)
+    assert "Scan parquet" not in phys, phys[:2000]
+    assert "Scan ExistingRDD" in phys
+
+
 def test_unpivot_is_expand_only(spark, sf_dir):
     """expr_unpivot's scale claim: wide-to-long is ONE Expand over ONE
     scan — no join, no extra shuffle beyond the final presentation
