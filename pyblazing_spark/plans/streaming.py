@@ -243,6 +243,147 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_left_outer_join",
+    tags=("streaming", "join", "stream_stream", "outer", "watermark"),
+    oracle="""
+WITH wm AS MATERIALIZED (
+  SELECT least(
+    (SELECT max(ts) FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-20 00:00:00'),
+    (SELECT max(ts) FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-20 00:00:00')
+  ) - INTERVAL 2 HOUR AS w),
+ v AS (
+  SELECT user_id, ts AS v_ts FROM events
+  WHERE event_type = 'view'
+    AND ts + INTERVAL 1 HOUR < (SELECT w FROM wm)),
+ p AS (
+  SELECT user_id, ts AS p_ts, value FROM events
+  WHERE event_type = 'purchase'),
+ j AS (
+  SELECT v.user_id, v.v_ts, p.p_ts, p.value
+  FROM v LEFT JOIN p
+    ON p.user_id = v.user_id
+   AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+SELECT CAST(user_id % 10 AS INTEGER) AS cohort,
+       CAST(sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST(sum(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched,
+       round(sum(CASE WHEN p_ts IS NOT NULL THEN value ELSE 0 END) + 1e-4, 2)
+         AS matched_value
+FROM j GROUP BY 1 ORDER BY 1
+""",
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join — the abandoned-view
+    shape (views that never converted within the hour emit NULL-padded
+    rows), the outer half of the streaming-join surface
+    ``stream_stream_join`` doesn't touch. Outer semantics are
+    watermark-driven: a NULL row can only emit once the watermark
+    passes the view's join horizon (only then is "no future match"
+    provable), so the drain needs real MULTI-batch watermark
+    progression — three deterministic landing batches split at
+    2024-01-12 / 2024-01-20 — and rows whose horizon the final
+    watermark never passed are legitimately withheld at drain end.
+    Both the drained output and the batch-LEFT-JOIN oracle are
+    therefore restricted to the watermark-CLOSED region: views with
+    ``v_ts + 1h < wm2``, where wm2 = min(per-side max ts over the
+    first two batches) - 2h — the eviction watermark in effect while
+    batch 3 is processed (eviction lags one batch, the r7
+    two-watermark finding). Inside that region the stream MUST have
+    emitted every match and every NULL row, so the compare proves both
+    emission paths, match-now and evict-later."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.tables import load_table
+    from pyblazing_spark.streaming.ops import (
+        interval_join_streams,
+        read_landing_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_loj_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        t12 = F.lit("2024-01-12 00:00:00").cast("timestamp")
+        t20 = F.lit("2024-01-20 00:00:00").cast("timestamp")
+        arrivals = (
+            ("0_early", ev.where(F.col("ts") < t12)),
+            ("1_mid", ev.where((F.col("ts") >= t12) & (F.col("ts") < t20))),
+            ("2_fresh", ev.where(F.col("ts") >= t20)),
+        )
+        for i, (tag, df) in enumerate(arrivals):
+            tmp = os.path.join(base, tag)
+            df.coalesce(1).write.parquet(tmp)
+            dst = os.path.join(landing, f"{tag}.parquet")
+            shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        drained = run_available_now(
+            interval_join_streams(
+                read_landing_stream(spark, landing),
+                left_type="view",
+                right_type="purchase",
+                within="1 hour",
+                how="leftOuter",
+            ),
+            output_mode="append",
+        )
+        # the watermark-closed horizon, recomputed from the batch table
+        # exactly as the oracle does (bounded: two scalar maxes)
+        wm2 = (
+            ev.where(F.col("ts") < t20)
+            .where(F.col("event_type").isin("view", "purchase"))
+            .groupBy("event_type")
+            .agg(F.max("ts").alias("m"))
+            .agg(F.min("m").alias("wm"))
+            .collect()[0]["wm"]
+        )
+        closed = drained.where(
+            F.col("v_ts") + F.expr("INTERVAL 1 HOUR")
+            < F.lit(wm2) - F.expr("INTERVAL 2 HOURS")
+        )
+        return (
+            closed.groupBy((F.col("v_user") % 10).cast("int").alias("cohort"))
+            .agg(
+                F.sum(
+                    F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_pairs"),
+                F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_unmatched"),
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("p_ts").isNotNull(), F.col("p_value")
+                        ).otherwise(0.0)
+                    )
+                    + 1e-4,
+                    2,
+                ).alias("matched_value"),
+            )
+            .orderBy("cohort")
+            # materialize BEFORE the landing dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "stream_window_topk",
     tags=("streaming", "window", "topk"),
     oracle="""

@@ -258,6 +258,7 @@ def interval_join_streams(
     right_type: str = "purchase",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM inner join with event-time bounds: pair each
     ``left_type`` event with the same user's ``right_type`` events that
@@ -271,7 +272,16 @@ def interval_join_streams(
 
     At 100 TB/day the state held is only events inside the watermark
     horizon per (user, side); the join itself shuffles both streams on
-    user_id exactly like the batch equi-join."""
+    user_id exactly like the batch equi-join.
+
+    ``how="leftOuter"`` adds the abandoned-view semantics: a left row
+    with no match emits NULL-padded ONLY when the watermark passes its
+    join horizon (that is when Spark can prove no future match exists),
+    so outer results trail the data by the watermark delay, and rows
+    whose horizon the final watermark never passed are withheld at
+    drain end — callers comparing against a batch LEFT JOIN must
+    restrict both sides to the watermark-closed region (see
+    ``stream_left_outer_join``)."""
     v = (
         stream.where(F.col("event_type") == left_type)
         .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
@@ -289,7 +299,7 @@ def interval_join_streams(
     cond = F.expr(
         f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL {within}"
     )
-    return v.join(p, cond, "inner")
+    return v.join(p, cond, how)
 
 
 def transform_with_state_totals(stream: DataFrame) -> DataFrame:
