@@ -2134,6 +2134,7 @@ _BPE_ENC_MERGES = 4  # learned merge ranks applied by the encode entry
 
 @register(
     "text_bpe_encode",
+    bench=True,  # corpus tokenize step: vocab-bounded Python, track it
     tags=("llm", "text", "tokenizer", "bpe", "encode"),
     oracle=f"""
 WITH
@@ -3334,6 +3335,7 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_avro_split_scan",
+    bench=True,  # the monolithic-container scale path: track per round
     tags=("source", "avro", "split", "scale", "jar-free"),
     oracle="""
 SELECT o_orderstatus,
