@@ -185,14 +185,16 @@ class AvroSplitReader(DataSourceReader):
                 except IndexError:
                     break  # truncated tail: EOF
                 if n_rows < 0 or n_bytes < 0:
-                    pos = _next_block_start(buf, ensure, sync, pos + 1)
+                    # rescan from one past the FALSE MATCH's first byte
+                    # (pos - 16): a real sync may overlap the false one
+                    pos = _next_block_start(buf, ensure, sync, max(1, pos - 15))
                     continue
                 ensure(p2 + n_bytes + 16)
                 mv = memoryview(buf)
                 if bytes(mv[p2 + n_bytes : p2 + n_bytes + 16]) != sync:
                     # false-positive sync match inside block data: the
                     # varints parsed from garbage don't land on a sync
-                    pos = _next_block_start(buf, ensure, sync, pos + 1)
+                    pos = _next_block_start(buf, ensure, sync, max(1, pos - 15))
                     continue
                 rows = decode_block_rows(
                     mv[p2 : p2 + n_bytes], n_rows, self.ftypes, codec
