@@ -1225,6 +1225,135 @@ def pipeline_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HRW_SHARDS = 256
+_HRW_WORKERS = 8
+_HRW_DOWN = 3  # the worker the resize scenario removes
+
+
+@register(
+    "pipeline_rendezvous_sharding",
+    tags=("pipeline", "sharding", "dataloader", "curation"),
+    oracle=f"""
+WITH shards AS MATERIALIZED (
+  SELECT DISTINCT doc_id % {_HRW_SHARDS} AS s FROM documents),
+ docs_per AS MATERIALIZED (
+  SELECT doc_id % {_HRW_SHARDS} AS s, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1),
+ workers AS (SELECT unnest(generate_series(0, {_HRW_WORKERS - 1})) AS w),
+ scored AS MATERIALIZED (
+  SELECT s, w,
+         ('0x' || substring(md5(CAST(s AS VARCHAR) || ':' ||
+                                CAST(w AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM shards CROSS JOIN workers),
+ a8 AS MATERIALIZED (
+  SELECT s, w AS w8 FROM (
+    SELECT s, w, row_number() OVER (PARTITION BY s ORDER BY h DESC, w) AS rn
+    FROM scored) t WHERE rn = 1),
+ a7 AS MATERIALIZED (
+  SELECT s, w AS w7 FROM (
+    SELECT s, w, row_number() OVER (PARTITION BY s ORDER BY h DESC, w) AS rn
+    FROM scored WHERE w <> {_HRW_DOWN}) t WHERE rn = 1),
+ j AS (
+  SELECT a8.s, a8.w8, a7.w7, d.n_docs
+  FROM a8 JOIN a7 ON a7.s = a8.s JOIN docs_per d ON d.s = a8.s)
+SELECT CAST(w AS INTEGER) AS worker,
+       CAST(sum(CASE WHEN w8 = w THEN 1 ELSE 0 END) AS BIGINT) AS n_shards8,
+       CAST(sum(CASE WHEN w8 = w THEN n_docs ELSE 0 END) AS BIGINT) AS n_docs8,
+       CAST(sum(CASE WHEN w7 = w THEN 1 ELSE 0 END) AS BIGINT) AS n_shards7,
+       CAST(sum(CASE WHEN w7 = w AND w8 <> w THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gained
+FROM j CROSS JOIN workers
+GROUP BY w ORDER BY worker
+""",
+)
+def pipeline_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard-to-worker assignment —
+    the dataloader infrastructure op: every worker independently
+    computes ``argmax_w md5(shard:w)`` with no coordinator, and when a
+    worker disappears ONLY its own shards move (minimal disruption —
+    consistent-hashing's property without the ring). The entry scores
+    both the 8-worker and the 7-worker (worker 3 down) assignments and
+    emits per worker: shards and docs owned at W=8, shards at W=7, and
+    shards GAINED by the resize — nonzero only as receivers of worker
+    3's shards, which the value compare proves (for every other worker
+    w8 = w7 on all its shards, so n_gained counts exactly the
+    redistributed set).
+
+    Scale shape: scoring is shards x workers (bounded config-sized
+    cross join, here 256 x 8 = 2048 rows); the corpus contributes one
+    map-side-combined count per shard — fact rows never touch the
+    scoring join, which is how the same plan assigns a 100 TB corpus'
+    shards in milliseconds. Deterministic md5 weights (the portable
+    convention every sampler here uses), ties broken by worker id."""
+    from pyspark.sql import Window as W_
+
+    docs = T(spark, sf_dir, "documents")
+    docs_per = (
+        docs.groupBy((F.col("doc_id") % _HRW_SHARDS).alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    shards = docs_per.select("s")
+    workers = spark.range(_HRW_WORKERS).select(F.col("id").cast("long").alias("w"))
+    scored = shards.crossJoin(workers).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("s").cast("string"),
+                        F.col("w").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+
+    def assign(sc: DataFrame, out: str) -> DataFrame:
+        win = W_.partitionBy("s").orderBy(F.desc("h"), "w")
+        return (
+            sc.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("s", F.col("w").alias(out))
+        )
+
+    a8 = assign(scored, "w8")
+    a7 = assign(scored.where(F.col("w") != _HRW_DOWN), "w7")
+    j = a8.join(a7, "s").join(docs_per, "s")
+    return (
+        j.crossJoin(workers)
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("w8") == F.col("w"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_shards8"),
+            F.sum(
+                F.when(F.col("w8") == F.col("w"), F.col("n_docs")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_docs8"),
+            F.sum(F.when(F.col("w7") == F.col("w"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_shards7"),
+            F.sum(
+                F.when(
+                    (F.col("w7") == F.col("w")) & (F.col("w8") != F.col("w")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_gained"),
+        )
+        .select(F.col("w").cast("int").alias("worker"), "n_shards8",
+                "n_docs8", "n_shards7", "n_gained")
+        .orderBy("worker")
+    )
+
+
 _PACK_B = 512  # context-window capacity (tokens per training example)
 _PACK_SHARDS = 8
 
