@@ -350,10 +350,15 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("m").alias("wm"))
             .collect()[0]["wm"]
         )
-        closed = drained.where(
-            F.col("v_ts") + F.expr("INTERVAL 1 HOUR")
-            < F.lit(wm2) - F.expr("INTERVAL 2 HOURS")
-        )
+        if wm2 is None:
+            # empty corpus: no watermark exists and the drain is empty —
+            # a typed-void literal in the filter would fail analysis
+            closed = drained
+        else:
+            closed = drained.where(
+                F.col("v_ts") + F.expr("INTERVAL 1 HOUR")
+                < F.lit(wm2) - F.expr("INTERVAL 2 HOURS")
+            )
         return (
             closed.groupBy((F.col("v_user") % 10).cast("int").alias("cohort"))
             .agg(

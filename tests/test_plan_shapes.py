@@ -58,6 +58,12 @@ EXPECTED_SHAPES: dict[str, dict[str, int]] = {
     # (LocalTableScan) like ann_cosine_topk; the I/O path is audited by
     # its oracle + tests/test_avro.py instead.
     "source_avro_roundtrip": dict(exch=0, scans=0, py=0, smj=0),
+    # round-10 bench additions: both materialize via localCheckpoint
+    # (bpe: materialize_bounded; avro split: checkpoint before the temp
+    # dir disappears) — I/O and kernel shapes are audited by their
+    # oracles, tests/test_avro.py, and test_plan_audits instead.
+    "text_bpe_encode": dict(exch=0, scans=0, py=0, smj=0),
+    "source_avro_split_scan": dict(exch=0, scans=0, py=0, smj=0),
 }
 
 
