@@ -40,10 +40,16 @@ import struct
 import zlib
 
 _MAGIC = b"Obj\x01"
-#: deterministic sync marker: files are reproducible byte-for-byte
-#: (content-addressed pipelines diff cleanly); uniqueness across files
-#: is only needed for splitting CORRUPT streams, which readers here
-#: never do — they trust block sizes and verify the marker instead.
+#: default sync marker for the row-wise codec (fixed: files are
+#: reproducible byte-for-byte; content-addressed pipelines diff
+#: cleanly). A FIXED marker weakens the split reader's 2^-128
+#: false-match model — any payload that embeds bytes written with the
+#: same marker (e.g. avro-in-avro) reproduces it verbatim, framing and
+#: all. :func:`pyblazing_spark.sources.avro_files.write_avro` therefore
+#: derives a per-(schema, partition) marker instead (still
+#: deterministic across re-runs), and the split reader clamps
+#: implausible block sizes so even a self-consistent false match costs
+#: a rescan, never an OOM.
 _SYNC = bytes(range(16))
 
 _SIMPLE = {"long", "int", "double", "boolean", "string", "bytes", "null"}
@@ -155,11 +161,13 @@ def make_schema(name: str, fields: list[tuple[str, str, bool]]) -> dict:
 
 
 # ----------------------------------------------------------- container
-def container_header(schema: dict, codec: str) -> bytes:
+def container_header(schema: dict, codec: str, sync: bytes = _SYNC) -> bytes:
     """Magic + file-metadata map + sync marker (shared by the row-wise
     and the vectorized Arrow encoders so their bytes stay identical)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
+    if len(sync) != 16:
+        raise ValueError("avro sync marker must be exactly 16 bytes")
     out = io.BytesIO()
     out.write(_MAGIC)
     meta = {
@@ -174,11 +182,11 @@ def container_header(schema: dict, codec: str) -> bytes:
         _write_long(out, len(v))
         out.write(v)
     _write_long(out, 0)  # end of metadata map
-    out.write(_SYNC)
+    out.write(sync)
     return out.getvalue()
 
 
-def frame_block(n_rows: int, body: bytes, codec: str) -> bytes:
+def frame_block(n_rows: int, body: bytes, codec: str, sync: bytes = _SYNC) -> bytes:
     """Frame one encoded block body: count varint, size varint,
     (optionally deflated) body, sync marker."""
     if codec == "deflate":
@@ -187,7 +195,7 @@ def frame_block(n_rows: int, body: bytes, codec: str) -> bytes:
     _write_long(out, n_rows)
     _write_long(out, len(body))
     out.write(body)
-    out.write(_SYNC)
+    out.write(sync)
     return out.getvalue()
 
 

@@ -2036,11 +2036,17 @@ def _bpe_learn_rounds_sql(k: int) -> str:
   SELECT p1, p2 FROM pairs{i} ORDER BY weight DESC, p1, p2 LIMIT 1)"""
         )
         parts.append(
+            # LEFT JOIN ON TRUE, not CROSS JOIN: when a learn round runs
+            # dry (pairs{i} empty -> best{i} empty) the merge must be a
+            # no-op, matching the Spark side's `break` — a cross join
+            # against an empty best{i} would wipe the vocab to zero rows
+            # and silently empty every later round (ADVICE r10).
             f""" vocab{i + 1} AS MATERIALIZED (
   SELECT word, w,
-         replace(s, '(' || b.p1 || ')(' || b.p2 || ')',
-                 '(' || b.p1 || b.p2 || ')') AS s
-  FROM vocab{i} CROSS JOIN best{i} b)"""
+         CASE WHEN b.p1 IS NULL THEN s
+              ELSE replace(s, '(' || b.p1 || ')(' || b.p2 || ')',
+                           '(' || b.p1 || b.p2 || ')') END AS s
+  FROM vocab{i} LEFT JOIN best{i} b ON TRUE)"""
         )
     return ",\n".join(parts)
 

@@ -351,9 +351,13 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["wm"]
         )
         if wm2 is None:
-            # empty corpus: no watermark exists and the drain is empty —
-            # a typed-void literal in the filter would fail analysis
-            closed = drained
+            # no watermark exists (no view/purchase event before the
+            # third batch): the oracle's NULL-comparison filter yields
+            # zero rows, so mirror that with an empty frame — the drain
+            # itself is NOT guaranteed empty (a corpus whose events all
+            # land in batch 3 still emits inner matches), and a typed-
+            # void literal in the filter would fail analysis (ADVICE r10)
+            closed = drained.where(F.lit(False))
         else:
             closed = drained.where(
                 F.col("v_ts") + F.expr("INTERVAL 1 HOUR")

@@ -8,8 +8,9 @@ pure-Python Object Container codec
   never pass through pandas' nullable-int float64 detour, which
   silently loses exactness above 2**53), the driver only collects the
   (path, rows) manifest. Deterministic file names (partition id),
-  deterministic bytes (fixed sync marker), so a re-run of the same
-  frame produces an identical tree.
+  deterministic bytes (sync marker derived from schema + partition
+  id, not random), so a re-run of the same frame produces an
+  identical tree.
 - :func:`read_avro`: ``binaryFile`` scan (one task per container) +
   ``mapInPandas`` decode. File-level parallelism is the natural Avro
   split unit here (the writer emits many partition-sized files);
@@ -23,6 +24,7 @@ long — enough for every fixture table.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Iterator
 
@@ -75,6 +77,23 @@ def _avro_schema_of(df: DataFrame, name: str = "spark_record") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
+def _file_sync(schema: dict, pid: int) -> bytes:
+    """Per-(schema, partition) sync marker: deterministic across
+    re-runs of the same frame (byte-identical trees still diff
+    cleanly), but NOT a global constant — a fixed marker would be
+    reproduced verbatim by any payload embedding bytes written with it
+    (avro-in-avro: an embedded container shares the marker AND carries
+    self-consistent block framing, defeating the split reader's
+    varint+terminating-sync false-match check). Deriving from the
+    schema means an inner container serialized as a ``bytes`` field
+    necessarily has a different schema than its wrapper, hence a
+    different marker."""
+    import hashlib
+
+    seed = json.dumps(schema, separators=(",", ":")) + f"|{pid}"
+    return hashlib.md5(b"pbsp-avro-sync:" + seed.encode()).digest()
+
+
 def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
     """Write ``df`` as a directory of Avro container files (one per
     partition); returns the total row count from the write manifest.
@@ -82,7 +101,6 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
     vectorized numpy path (exact int64, no pandas float detour)."""
     schema = _avro_schema_of(df)
     ftypes = _field_types(schema)
-    header = container_header(schema, codec)
     os.makedirs(path, exist_ok=True)
 
     def encode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -90,6 +108,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        sync = _file_sync(schema, pid)
         out = f"{path}/part-{pid:05d}.avro"
         blocks: list[bytes] = []
         n_total = 0
@@ -97,11 +116,11 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
             if batch.num_rows == 0:
                 continue
             body = encode_block_arrow(ftypes, batch)
-            blocks.append(frame_block(batch.num_rows, body, codec))
+            blocks.append(frame_block(batch.num_rows, body, codec, sync))
             n_total += batch.num_rows
         if n_total:
             with open(out, "wb") as fh:
-                fh.write(header)
+                fh.write(container_header(schema, codec, sync))
                 fh.writelines(blocks)
             yield pa.RecordBatch.from_pydict(
                 {"path": [out], "n_rows": [n_total]}

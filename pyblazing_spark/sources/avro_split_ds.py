@@ -17,10 +17,15 @@ there. Partitioning becomes pure arithmetic over file length:
   immediately after a sync, plus the end of the header;
 - a false-positive sync match (the 16 marker bytes occurring inside
   block data) is detected and skipped: after a candidate sync the
-  reader parses the two block varints and REQUIRES the block to be
-  terminated by the sync again — a lone collision cannot satisfy both
-  (same trust model as Hadoop's splitter; with a random marker the
-  collision probability is 2^-128 per position).
+  reader parses the two block varints, CLAMPS implausible sizes (a
+  body that would run past EOF is provably garbage — without the
+  clamp, garbage varints parsing as a huge n_bytes would stage the
+  rest of the file in memory before rejection), and REQUIRES the
+  block to be terminated by the sync again — a lone collision cannot
+  satisfy all three (same trust model as Hadoop's splitter). Our
+  writer derives the marker per (schema, partition) rather than using
+  one global constant, so embedded avro-in-avro payloads don't carry
+  self-consistent framing under the outer file's marker.
 
 No ``pushFilters``: this reader backs long-lived relations too, and
 Spark 4.1 pins the first pushdown's read info on the shared relation
@@ -156,6 +161,7 @@ class AvroSplitReader(DataSourceReader):
             for (name, typ, nullable) in self.ftypes
         ]
         arrow_schema = pa.schema(fields)
+        file_size = os.path.getsize(path)
         with open(path, "rb") as fh:
             # anchor the buffer 16 bytes early: a sync ENDING exactly at
             # `start` marks a block start that belongs to this split
@@ -166,6 +172,11 @@ class AvroSplitReader(DataSourceReader):
             buf = bytearray(fh.read(min(end - anchor + (1 << 20), 1 << 62)))
 
             def ensure(n: int) -> None:
+                # NOTE: callers must never hold a memoryview export of
+                # `buf` across this call — extend() on an exported
+                # bytearray raises BufferError. The loop below therefore
+                # parses varints/sync straight off the bytearray and
+                # copies each block body before decoding.
                 while len(buf) < n:
                     chunk = fh.read(1 << 20)
                     if not chunk:
@@ -178,26 +189,29 @@ class AvroSplitReader(DataSourceReader):
                 pos = _next_block_start(buf, ensure, sync, 0)
             while pos is not None and anchor + pos < end:
                 ensure(pos + 20)
-                mv = memoryview(buf)
                 try:
-                    n_rows, p2 = _read_long(mv, pos)
-                    n_bytes, p2 = _read_long(mv, p2)
+                    n_rows, p2 = _read_long(buf, pos)
+                    n_bytes, p2 = _read_long(buf, p2)
                 except IndexError:
                     break  # truncated tail: EOF
-                if n_rows < 0 or n_bytes < 0:
+                if not _plausible_block(n_rows, n_bytes, anchor + p2, file_size):
                     # rescan from one past the FALSE MATCH's first byte
-                    # (pos - 16): a real sync may overlap the false one
+                    # (pos - 16): a real sync may overlap the false one.
+                    # The file-size clamp matters: garbage varints from a
+                    # false match can parse as a huge non-negative
+                    # n_bytes, and ensure()-ing that would stage the rest
+                    # of the file in memory before the terminating-sync
+                    # check got a chance to reject it.
                     pos = _next_block_start(buf, ensure, sync, max(1, pos - 15))
                     continue
                 ensure(p2 + n_bytes + 16)
-                mv = memoryview(buf)
-                if bytes(mv[p2 + n_bytes : p2 + n_bytes + 16]) != sync:
+                if bytes(buf[p2 + n_bytes : p2 + n_bytes + 16]) != sync:
                     # false-positive sync match inside block data: the
                     # varints parsed from garbage don't land on a sync
                     pos = _next_block_start(buf, ensure, sync, max(1, pos - 15))
                     continue
                 rows = decode_block_rows(
-                    mv[p2 : p2 + n_bytes], n_rows, self.ftypes, codec
+                    bytes(buf[p2 : p2 + n_bytes]), n_rows, self.ftypes, codec
                 )
                 cols = list(zip(*rows)) if rows else [
                     () for _ in self.ftypes
@@ -210,14 +224,30 @@ class AvroSplitReader(DataSourceReader):
                 pos = p2 + n_bytes + 16
 
 
+def _plausible_block(
+    n_rows: int, n_bytes: int, body_start: int, file_size: int
+) -> bool:
+    """Sanity gate on the two varints parsed after a candidate sync.
+    A false sync match feeds garbage bytes to the varint decoder, which
+    can yield a huge non-negative ``n_bytes``; blindly ensure()-ing
+    ``n_bytes`` would read the remainder of the file into executor
+    memory (an OOM on the 50 GB monoliths this source exists for)
+    before the terminating-sync check rejects the match. Every real
+    block's body + trailing sync fits inside the file, so anything
+    larger is provably false and gets rescanned instead."""
+    if n_rows < 0 or n_bytes < 0:
+        return False
+    return body_start + n_bytes + 16 <= file_size
+
+
 def _next_block_start(buf: bytearray, ensure, sync: bytes, from_pos: int):
     """Offset (into buf) right after the next sync at/after from_pos,
     or None. Extends the buffer as needed while searching."""
     pos = from_pos
     while True:
-        idx = bytes(buf[pos:]).find(sync)
+        idx = buf.find(sync, pos)
         if idx >= 0:
-            return pos + idx + 16
+            return idx + 16
         # not found in what we have: pull more, rescan the tail only
         pos = max(from_pos, len(buf) - 15)
         before = len(buf)

@@ -335,14 +335,19 @@ def test_avro_split_false_positive_sync_in_data(spark):
     import shutil
     import tempfile
 
-    from pyblazing_spark.operators.avro_py import _SYNC
-    from pyblazing_spark.sources.avro_files import write_avro
+    from pyblazing_spark.sources.avro_files import (
+        _avro_schema_of,
+        _file_sync,
+        write_avro,
+    )
     from pyblazing_spark.sources.avro_split_ds import read_avro_split
 
     d = tempfile.mkdtemp(prefix="avro_fp_")
     try:
+        probe = spark.createDataFrame([(0, b"")], "k long, raw binary")
+        sync = _file_sync(_avro_schema_of(probe), 0)
         rows = [
-            (i, bytes(_SYNC) if i % 3 == 0 else b"x" * (i % 50))
+            (i, sync if i % 3 == 0 else b"x" * (i % 50))
             for i in range(5000)
         ]
         src = spark.createDataFrame(rows, "k long, raw binary").coalesce(1)
@@ -350,7 +355,7 @@ def test_avro_split_false_positive_sync_in_data(spark):
         back = read_avro_split(spark, d, split_size=1 << 16)
         got = {r.k: bytes(r.raw) for r in back.collect()}
         assert len(got) == 5000
-        assert got[0] == bytes(_SYNC) and got[1] == b"x"
+        assert got[0] == sync and got[1] == b"x"
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -433,5 +438,107 @@ def test_nullable_timestamp_roundtrip(spark):
         assert back[2] is None
         assert back[1].isoformat() == "2024-03-01T10:00:00"
         assert back[3].isoformat() == "2024-03-02T00:00:01"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_avro_split_block_larger_than_prefetch(spark):
+    """ADVICE r10 (high): a block extending >1 MB past the split's
+    prefetch used to die with BufferError — ensure()/buf.extend() while
+    a memoryview export of the buffer was alive. Write a container
+    whose single block is ~3 MB (null codec, one Arrow batch) and read
+    it with the 64 KiB floor split size: every partition's scan must
+    cross the prefetch boundary."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.avro_files import write_avro
+    from pyblazing_spark.sources.avro_split_ds import read_avro_split
+
+    d = tempfile.mkdtemp(prefix="avro_big_")
+    try:
+        rows = [(i, "y" * (3 << 20)) for i in range(3)]  # ~9 MB, 1 block
+        src = spark.createDataFrame(rows, "k long, s string").coalesce(1)
+        assert write_avro(src, d, codec="null") == 3
+        back = read_avro_split(spark, d, split_size=1 << 16)
+        got = sorted((r.k, len(r.s)) for r in back.collect())
+        assert got == [(0, 3 << 20), (1, 3 << 20), (2, 3 << 20)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_avro_split_huge_varint_false_match_clamped():
+    """ADVICE r10 (medium): a false sync match whose garbage varints
+    parse as a huge non-negative n_bytes must be rejected by the
+    file-size clamp (rescanned), not ensure()'d — on a 50 GB monolith
+    that read-to-EOF is an executor OOM. White-box the predicate, then
+    prove end-to-end exactness on a crafted container that embeds
+    sync + varint(plausible rows) + varint(huge bytes) in a payload."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from pyblazing_spark.operators.avro_py import (
+        _write_long,
+        container_header,
+        encode_block_arrow,
+        frame_block,
+        make_schema,
+        _field_types,
+    )
+    from pyblazing_spark.sources.avro_split_ds import (
+        AvroSplitReader,
+        _plausible_block,
+    )
+
+    # predicate: body past EOF is false; exactly-at-EOF (final block) ok
+    assert _plausible_block(10, 100, body_start=884, file_size=1000)
+    assert not _plausible_block(10, 2**40, body_start=884, file_size=1000)
+    assert not _plausible_block(-1, 100, body_start=884, file_size=1000)
+    assert _plausible_block(1, 0, body_start=984, file_size=1000)
+    assert not _plausible_block(1, 1, body_start=984, file_size=1000)
+
+    import io
+
+    sync = bytes(range(16, 32))
+    # payload = sync + varint(3) + varint(2**40): a self-consistent-
+    # looking block header claiming a terabyte-scale body
+    trap = io.BytesIO()
+    trap.write(sync)
+    _write_long(trap, 3)
+    _write_long(trap, 2**40)
+    schema = make_schema("r", [("k", "long", False), ("raw", "bytes", False)])
+    ftypes = _field_types(schema)
+    rows = [(i, trap.getvalue() if i % 7 == 0 else b"z" * (i % 40))
+            for i in range(4000)]
+    cols = list(zip(*rows))
+    blob = io.BytesIO()
+    blob.write(container_header(schema, "null", sync))
+    for lo in range(0, len(rows), 500):
+        batch = pa.record_batch(
+            {"k": pa.array(cols[0][lo:lo + 500], pa.int64()),
+             "raw": pa.array(cols[1][lo:lo + 500], pa.binary())}
+        )
+        blob.write(frame_block(
+            batch.num_rows, encode_block_arrow(ftypes, batch), "null", sync
+        ))
+    d = tempfile.mkdtemp(prefix="avro_trap_")
+    try:
+        p = os.path.join(d, "trap.avro")
+        with open(p, "wb") as fh:
+            fh.write(blob.getvalue())
+        reader = AvroSplitReader({"path": p, "split_size": str(1 << 16)})
+        parts = reader.partitions()
+        assert len(parts) > 1
+        got = {}
+        for part in parts:
+            for rb in reader.read(part):
+                tbl = rb.to_pydict()
+                for k, raw in zip(tbl["k"], tbl["raw"]):
+                    got[k] = raw
+        assert len(got) == 4000
+        assert got[0] == trap.getvalue() and got[1] == b"z"
     finally:
         shutil.rmtree(d, ignore_errors=True)
