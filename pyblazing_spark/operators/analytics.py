@@ -64,7 +64,10 @@ def pareto_frontier_2d(
 
 
 def pagerank(
-    edges: DataFrame, damping: float = 0.85, iterations: int = 3
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge list ``(src, dst, w)``; returns
     ``(node, rank)`` for every node appearing as src or dst. Dangling
@@ -80,6 +83,9 @@ def pagerank(
     operators/graph.py). An empty edge set returns an empty result
     with a stable schema.
     """
+    from pyblazing_spark.session import make_ckpt
+
+    ckpt = make_ckpt(edges.sparkSession, checkpoint_dir)
     edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -113,7 +119,7 @@ def pagerank(
                 + damping * F.coalesce(F.col("mass"), F.lit(0.0))
             ).alias("rank"),
         )
-        rank = rank.localCheckpoint(eager=True)
+        rank = ckpt(rank)
     out = rank.select(F.col("node").cast("bigint").alias("node"), "rank")
     edges.unpersist()
     nodes.unpersist()

@@ -64,9 +64,15 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_interval: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; component = min node
     id reachable through the undirected pair graph.
+
+    ``checkpoint_dir`` selects reliable checkpointing for the loop's
+    lineage truncation (see :func:`pyblazing_spark.session.make_ckpt`):
+    pass a fault-tolerant FS path on long-running clusters so a lost
+    executor can never strand the loop without recomputable lineage.
 
     The returned DataFrame is persisted (it is the last round's
     materialized labels); callers consume it immediately and the blocks
@@ -75,9 +81,10 @@ def connected_components(
     Raises if the label propagation hasn't converged after ``max_iter``
     rounds (diameter > max_iter) rather than returning a wrong answer.
     """
-    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+    from pyblazing_spark.session import loop_shuffle_confs, make_ckpt, scoped_conf
 
     spark = edges.sparkSession
+    ckpt = make_ckpt(spark, checkpoint_dir)
     # The per-round (node,label) shuffles are sized to CLUSTER
     # PARALLELISM for the loop's duration (see loop_shuffle_confs) —
     # inheriting a fact-table-width spark.sql.shuffle.partitions makes
@@ -117,7 +124,7 @@ def connected_components(
                     # lazy checkpoint: the label-sum action below both
                     # MATERIALIZES it and truncates lineage — one job
                     # per round, not a checkpoint job plus a sum job.
-                    new_labels = new_labels.localCheckpoint(eager=False)
+                    new_labels = ckpt(new_labels, eager=False)
                 else:
                     new_labels = new_labels.persist()
                 _n, new_sum = _label_stats(new_labels)  # materializes persist/checkpoint
@@ -141,6 +148,7 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -173,10 +181,20 @@ def connected_components_star(
     # inside this scope, so any failure (analysis error, OOM) still
     # restores the caller's constraint-propagation + shuffle settings.
     with scoped_conf(spark, confs):
-        return _star_loop(spark, edges, src, dst, max_iter)
+        return _star_loop(spark, edges, src, dst, max_iter, checkpoint_dir)
 
 
-def _star_loop(spark, edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+def _star_loop(
+    spark,
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    from pyblazing_spark.session import make_ckpt
+
+    ckpt = make_ckpt(spark, checkpoint_dir)
     # localCheckpoint (not persist): the caller's edge plan (e.g. a full
     # MinHash-LSH pipeline) must not remain the lineage LEAF — the star
     # rounds reference E many times per round and Catalyst's Union
@@ -192,8 +210,8 @@ def _star_loop(spark, edges: DataFrame, src: str, dst: str, max_iter: int) -> Da
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
     )
+    E = ckpt(E)
     nodes = (
         E.select(F.col("u").alias("id"))
         .unionAll(E.select(F.col("v").alias("id")))
@@ -261,7 +279,7 @@ def _star_loop(spark, edges: DataFrame, src: str, dst: str, max_iter: int) -> Da
         # round; the half cache is dropped explicitly, checkpoint blocks
         # by the ContextCleaner as round handles go unreferenced.
         half = _star(E, large=True).persist()
-        new_e = _star(half, large=False).localCheckpoint(eager=False)
+        new_e = ckpt(_star(half, large=False), eager=False)
         cur = _checksum(new_e)
         half.unpersist()
         E = new_e
@@ -275,13 +293,11 @@ def _star_loop(spark, edges: DataFrame, src: str, dst: str, max_iter: int) -> Da
             members = E.select(
                 F.col("v").alias("id"), F.col("u").alias("component")
             )
-            out = (
-                nodes.join(members, "id", "left")
-                .select(
+            out = ckpt(
+                nodes.join(members, "id", "left").select(
                     "id",
                     F.coalesce("component", F.col("id")).alias("component"),
                 )
-                .localCheckpoint()
             )
             nodes.unpersist()
             return out
@@ -297,6 +313,7 @@ def dedup_by_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     method: str = "propagation",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transitive near-dup dedup: keep the min-id member of every
     connected component, plus every unpaired doc.
@@ -307,7 +324,7 @@ def dedup_by_components(
     if method not in ("propagation", "star"):
         raise ValueError("method must be 'propagation' or 'star'")
     cc = connected_components_star if method == "star" else connected_components
-    comp = cc(pairs)
+    comp = cc(pairs, checkpoint_dir=checkpoint_dir)
     losers = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
@@ -320,6 +337,7 @@ def kcore_peel_summary(
     rounds: int,
     src: str = "s1",
     dst: str = "s2",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded synchronous k-core peeling over an undirected edge list
     (one row per edge, ``src < dst``): each round simultaneously removes
@@ -341,16 +359,18 @@ def kcore_peel_summary(
     is disabled for the loop's duration for the same LogicalRDD
     self-union reason documented on :func:`connected_components_star`
     (the degree pass unions ``src`` and ``dst`` projections of the same
-    checkpointed plan)."""
-    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+    checkpointed plan). ``checkpoint_dir`` selects reliable (FS-backed)
+    checkpointing — see :func:`pyblazing_spark.session.make_ckpt`."""
+    from pyblazing_spark.session import loop_shuffle_confs, make_ckpt, scoped_conf
 
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
     spark = edges.sparkSession
+    ckpt = make_ckpt(spark, checkpoint_dir)
     confs = dict(loop_shuffle_confs(spark))
     confs["spark.sql.constraintPropagation.enabled"] = "false"
     with scoped_conf(spark, confs):
-        cur = edges.select(src, dst).localCheckpoint(eager=True)
+        cur = ckpt(edges.select(src, dst))
         summaries = []
         for r in range(1, rounds + 1):
             deg = (
@@ -359,13 +379,10 @@ def kcore_peel_summary(
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).alias("deg"))
             )
-            removed = deg.where(F.col("deg") < k).select("node").localCheckpoint(
-                eager=True
-            )
-            cur = (
+            removed = ckpt(deg.where(F.col("deg") < k).select("node"))
+            cur = ckpt(
                 cur.join(removed, cur[src] == removed["node"], "left_anti")
                 .join(removed, cur[dst] == removed["node"], "left_anti")
-                .localCheckpoint(eager=True)
             )
             n_nodes = (
                 cur.select(F.col(src).alias("node"))
@@ -389,6 +406,8 @@ def kcore_peel_summary(
         # materialize inside the scope so the disabled-constraint plans
         # never escape into a caller running under default confs
         return out.orderBy("round").localCheckpoint(eager=True)
+        # (final materialization stays LOCAL even in reliable mode: the
+        # summary is rounds-sized and consumed immediately)
 
 
 def scc_summary(
@@ -397,6 +416,7 @@ def scc_summary(
     dst: str = "v",
     max_rounds: int = 8,
     top: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED edge list over a
     BOUNDED node domain: transitive closure by reach-doubling (each
@@ -422,16 +442,15 @@ def scc_summary(
     propagation is disabled for the loop (LogicalRDD self-union trap,
     see :func:`connected_components_star`), shuffles sized to cluster
     parallelism."""
-    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+    from pyblazing_spark.session import loop_shuffle_confs, make_ckpt, scoped_conf
 
     spark = edges.sparkSession
+    ckpt = make_ckpt(spark, checkpoint_dir)
     confs = dict(loop_shuffle_confs(spark))
     confs["spark.sql.constraintPropagation.enabled"] = "false"
     with scoped_conf(spark, confs):
-        e = (
-            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+        e = ckpt(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
         )
         reach = e
         n = reach.count()
@@ -441,9 +460,7 @@ def scc_summary(
                 .join(reach.alias("b"), F.col("a.v") == F.col("b.u"))
                 .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
             )
-            reach = (
-                reach.unionAll(hop).distinct().localCheckpoint(eager=True)
-            )
+            reach = ckpt(reach.unionAll(hop).distinct())
             n2 = reach.count()
             if n2 == n:  # closure fixpoint
                 break
@@ -514,6 +531,7 @@ def bfs_distance_histogram(
     rounds: int,
     src: str = "s1",
     dst: str = "s2",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded multi-source BFS over an undirected edge list: seeds are
     nodes with ``node % seed_mod == 0`` at distance 0; each synchronous
@@ -530,29 +548,24 @@ def bfs_distance_histogram(
     round's distance table is eagerly ``localCheckpoint``ed (O(1) plan
     depth) and constraint propagation is scoped off for the
     checkpointed self-union."""
-    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+    from pyblazing_spark.session import loop_shuffle_confs, make_ckpt, scoped_conf
 
     if rounds < 1 or seed_mod < 1:
         raise ValueError("rounds and seed_mod must be >= 1")
     spark = edges.sparkSession
+    ckpt = make_ckpt(spark, checkpoint_dir)
     confs = dict(loop_shuffle_confs(spark))
     confs["spark.sql.constraintPropagation.enabled"] = "false"
     with scoped_conf(spark, confs):
         und = edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v")
         ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        e = und.localCheckpoint(eager=True)
-        nodes = e.select(F.col("u").alias("node")).distinct().localCheckpoint(
-            eager=True
+        e = ckpt(und)
+        nodes = ckpt(e.select(F.col("u").alias("node")).distinct())
+        seeds = ckpt(
+            nodes.where(F.col("node") % seed_mod == 0).select("node")
         )
-        seeds = (
-            nodes.where(F.col("node") % seed_mod == 0)
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
-        d = seeds.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint(
-            eager=True
-        )
+        d = ckpt(seeds.select("node", F.lit(0).cast("long").alias("dist")))
         # Frontier relaxation: only nodes labeled in round r-1 expand in
         # round r (their neighbors not yet in d get dist r).  Equivalent
         # to whole-table min-relaxation for unweighted BFS — a node's
@@ -564,16 +577,17 @@ def bfs_distance_histogram(
         # remainder is the shared co-occurrence edge build).
         frontier = seeds
         for r in range(1, rounds + 1):
-            newly = (
+            newly = ckpt(
                 e.join(frontier, e["u"] == frontier["node"])
                 .select(F.col("v").alias("node"))
                 .distinct()
                 .join(d, "node", "left_anti")
-                .localCheckpoint(eager=True)
             )
-            d = d.unionAll(
-                newly.select("node", F.lit(r).cast("long").alias("dist"))
-            ).localCheckpoint(eager=True)
+            d = ckpt(
+                d.unionAll(
+                    newly.select("node", F.lit(r).cast("long").alias("dist"))
+                )
+            )
             frontier = newly
         fin = nodes.join(d, "node", "left").select(
             "node", F.coalesce("dist", F.lit(-1)).cast("int").alias("dist")

@@ -288,6 +288,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     checkpoint_every: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, np.ndarray, list[float]]:
     """Full distributed Lloyd k-means: ``iterations`` rounds of
     (two-phase centroid means -> broadcast-closure reassignment) from the
@@ -309,9 +310,10 @@ def kmeans_lloyd(
     ``operators/graph.py``). The driver holds only k x dim floats.
     Clusters that empty out between rounds die (no phantom zero-vector
     centroids — see :func:`centroid_means`)."""
-    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+    from pyblazing_spark.session import loop_shuffle_confs, make_ckpt, scoped_conf
 
     spark = df.sparkSession
+    ckpt = make_ckpt(spark, checkpoint_dir)
     # Round shuffles (k x dim partial sums) are sized to cluster
     # parallelism for the loop, not the session's fact-table shuffle
     # width — same rationale as operators/graph.py; restored on exit.
@@ -335,7 +337,7 @@ def kmeans_lloyd(
             if (i + 1) % checkpoint_every == 0:
                 # lazy: the inertia action below materializes AND
                 # truncates — one job per round.
-                new = new.localCheckpoint(eager=False)
+                new = ckpt(new, eager=False)
             else:
                 new = new.persist()
             history.append(new.agg(F.sum("d2")).collect()[0][0] or 0.0)

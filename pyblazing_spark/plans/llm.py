@@ -571,6 +571,43 @@ def _components_rollup(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
 
 
 @register(
+    "dedup_components_reliable",
+    tags=("llm", "dedup", "graph", "fault-tolerance"),
+    oracle=_COMPONENTS_ORACLE,
+)
+def dedup_components_reliable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME transitive clustering as ``dedup_components``, with the
+    loop's lineage truncation in RELIABLE checkpoint mode
+    (:func:`pyblazing_spark.session.make_ckpt` with a filesystem
+    ``checkpoint_dir``): every checkpointed round is written to a
+    fault-tolerant path instead of executor-memory blocks, so a lost
+    executor mid-loop recovers from the FS with no lineage at all —
+    the production configuration for 1000-executor churn, where
+    ``localCheckpoint`` recovery fails once the parent handle is
+    unpersisted (probed under real executor SIGKILL with parent
+    lineage evicted: scripts/cluster_probe.py --kill-deep, SCALE.md).
+    Identical oracle as ``dedup_components`` — the driver proves the
+    fault-tolerant mode computes identical components."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.operators.graph import connected_components
+
+    ckpt_dir = tempfile.mkdtemp(prefix="pbs_reliable_ckpt_")
+    try:
+        return _components_rollup(
+            spark,
+            sf_dir,
+            lambda pairs: connected_components(pairs, checkpoint_dir=ckpt_dir),
+        )
+    finally:
+        # _components_rollup returns an eagerly materialized frame, so
+        # the round snapshots are consumed by now; a real deployment
+        # points checkpoint_dir at a managed path and reaps by job id.
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+@register(
     "dedup_components_star",
     tags=("llm", "dedup", "graph"),
     oracle=_COMPONENTS_ORACLE,

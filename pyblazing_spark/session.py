@@ -215,6 +215,37 @@ def scoped_conf(spark: SparkSession, confs: dict[str, str]):
                 pass
 
 
+def make_ckpt(spark: SparkSession, checkpoint_dir: str | None = None):
+    """Lineage-truncation function for the iterative-operator loops
+    (connected components, star, k-core, BFS, SCC, PageRank, k-means):
+    ``ckpt(df, eager=True)`` returns a plan-truncated frame.
+
+    - ``checkpoint_dir=None`` (default): ``df.localCheckpoint`` —
+      blocks live in EXECUTOR memory/disk. Fast (no remote FS write),
+      but a lost executor loses its blocks, and because the checkpoint
+      truncated lineage there is nothing to recompute FROM once the
+      parent handle is unpersisted: a mid-loop executor death then
+      fails the job (probed: scripts/cluster_probe.py --kill-deep).
+      Right for interactive sessions and single-box runs, where the
+      JVM dying takes the driver with it anyway.
+    - ``checkpoint_dir=<path>``: RELIABLE ``df.checkpoint`` — every
+      round's state is written to the fault-tolerant filesystem path
+      (HDFS/object store on a cluster; any shared dir on one box), so
+      recovery after executor loss never needs lineage at all. The
+      production setting for 1000-executor churn: with executor MTBF
+      around an hour, a multi-hour iterative job WILL lose one
+      mid-loop. Costs one FS write per round — two-long-column rounds
+      are tiny, so the write is not the bottleneck.
+
+    The checkpoint dir is process-global in Spark (SparkContext
+    level); setting it here is idempotent and later loops with
+    ``None`` still use localCheckpoint, so scoping is per-call."""
+    if checkpoint_dir is None:
+        return lambda df, eager=True: df.localCheckpoint(eager=eager)
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df, eager=True: df.checkpoint(eager=eager)
+
+
 def loop_shuffle_confs(spark: SparkSession) -> dict[str, str]:
     """Shuffle confs for iterative / fixture-bounded computations: size
     each round's exchanges to CLUSTER PARALLELISM (defaultParallelism =

@@ -244,3 +244,66 @@ def test_bfs_distance_histogram_matches_python_bfs(spark, edges, seed_mod):
     }
     want = _ref_bfs_hist(set(edges), seed_mod, 3)
     assert got == want, (sorted(set(edges)), seed_mod)
+
+
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """checkpoint_dir= switches every iterative loop's lineage
+    truncation from localCheckpoint (executor blocks) to a RELIABLE
+    filesystem checkpoint. Results must be identical to local mode, and
+    the snapshots must actually land in the directory — the property a
+    1000-executor deployment depends on (an executor dying mid-loop
+    recovers from the FS, not from evicted lineage)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.operators.analytics import pagerank
+    from pyblazing_spark.operators.graph import (
+        bfs_distance_histogram,
+        connected_components,
+        connected_components_star,
+        kcore_peel_summary,
+        scc_summary,
+    )
+
+    # a chain + a clique + an isolated pair: multi-round convergence
+    edges = [(i, i + 1) for i in range(1, 8)] + [
+        (10, 11), (10, 12), (11, 12), (20, 21),
+    ]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    d = str(tmp_path / "ck")
+
+    got = rows(connected_components(e, checkpoint_dir=d))
+    assert got == rows(connected_components(e))
+    # the reliable snapshots actually hit the filesystem
+    snap = [os.path.join(dp, f) for dp, _, fs in os.walk(d) for f in fs]
+    assert snap, "reliable mode wrote no checkpoint files"
+
+    assert rows(connected_components_star(e, checkpoint_dir=d)) == rows(
+        connected_components_star(e)
+    )
+    ek = e.select(F.col("id_a").alias("s1"), F.col("id_b").alias("s2"))
+    assert rows(kcore_peel_summary(ek, k=2, rounds=2, checkpoint_dir=d)) == rows(
+        kcore_peel_summary(ek, k=2, rounds=2)
+    )
+    assert rows(bfs_distance_histogram(ek, seed_mod=5, rounds=3,
+                                       checkpoint_dir=d)) == rows(
+        bfs_distance_histogram(ek, seed_mod=5, rounds=3)
+    )
+    dir_e = e.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        e.where(F.col("id_a") < 5).select(
+            F.col("id_b").alias("u"), F.col("id_a").alias("v")
+        )
+    )
+    assert rows(scc_summary(dir_e, checkpoint_dir=d)) == rows(scc_summary(dir_e))
+    pe = e.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    assert rows(pagerank(pe, iterations=3, checkpoint_dir=d)) == rows(
+        pagerank(pe, iterations=3)
+    )
