@@ -410,6 +410,42 @@ def kcore_peel_summary(
         # summary is rounds-sized and consumed immediately)
 
 
+def _scc_rollup(e: DataFrame, assign: DataFrame, top: int) -> DataFrame:
+    """Top-``top`` component summary shared by both SCC algorithms:
+    ``assign`` is the (node, scc_id) map, ``e`` the DISTINCT directed
+    edge list; emits (scc_id, n_nodes, node_sum, n_internal_edges)
+    ordered by size."""
+    internal = (
+        e.join(
+            assign.select(F.col("node").alias("u"), F.col("scc_id").alias("__cu")),
+            "u",
+        )
+        .join(
+            assign.select(F.col("node").alias("v"), F.col("scc_id").alias("__cv")),
+            "v",
+        )
+        .where(F.col("__cu") == F.col("__cv"))
+        .groupBy(F.col("__cu").alias("scc_id"))
+        .agg(F.count(F.lit(1)).alias("__ie"))
+    )
+    return (
+        assign.groupBy("scc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").cast("long").alias("node_sum"),
+        )
+        .join(internal, "scc_id", "left")
+        .select(
+            "scc_id",
+            "n_nodes",
+            "node_sum",
+            F.coalesce("__ie", F.lit(0)).cast("long").alias("n_internal_edges"),
+        )
+        .orderBy(F.desc("n_nodes"), "scc_id")
+        .limit(top)
+    )
+
+
 def scc_summary(
     edges: DataFrame,
     src: str = "u",
@@ -489,37 +525,7 @@ def scc_summary(
                 ).alias("scc_id"),
             )
         )
-        internal = (
-            e.join(
-                scc.select(F.col("node").alias("u"), F.col("scc_id").alias("__cu")),
-                "u",
-            )
-            .join(
-                scc.select(F.col("node").alias("v"), F.col("scc_id").alias("__cv")),
-                "v",
-            )
-            .where(F.col("__cu") == F.col("__cv"))
-            .groupBy(F.col("__cu").alias("scc_id"))
-            .agg(F.count(F.lit(1)).alias("__ie"))
-        )
-        out = (
-            scc.groupBy("scc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_nodes"),
-                F.sum("node").cast("long").alias("node_sum"),
-            )
-            .join(internal, "scc_id", "left")
-            .select(
-                "scc_id",
-                "n_nodes",
-                "node_sum",
-                F.coalesce("__ie", F.lit(0)).cast("long").alias(
-                    "n_internal_edges"
-                ),
-            )
-            .orderBy(F.desc("n_nodes"), "scc_id")
-            .limit(top)
-        )
+        out = _scc_rollup(e, scc.select("node", "scc_id"), top)
         # materialize inside the scope (disabled-constraint plans must
         # not escape into callers running under default confs)
         return out.localCheckpoint(eager=True)
@@ -602,4 +608,222 @@ def bfs_distance_histogram(
             .orderBy("dist")
         )
         # materialize inside the scope (see kcore_peel_summary)
+        return out.localCheckpoint(eager=True)
+
+
+def scc_pivot_fwbw(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_outer: int = 12,
+    max_rounds: int = 64,
+    trim_rounds: int = 4,
+    top: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Strongly connected components for UNBOUNDED node domains: trim +
+    multi-pivot forward-backward decomposition in its coloring form
+    (Orzan; the "MultiStep" method of Slota et al. — the standard
+    distributed SCC algorithm family). Never materializes a transitive
+    closure, so where :func:`scc_summary`'s reach-doubling is O(N²)
+    pairs this is O(edges x rounds). Per outer round:
+
+    1. **trim** — a node with no in-edge or no out-edge cannot sit on a
+       cycle: emitted as a singleton SCC (up to ``trim_rounds`` sweeps;
+       trimming eats the acyclic periphery that dominates real graphs);
+    2. **color** — forward max-label propagation to fixpoint:
+       ``color(v) = max id that reaches v``. Every node of an SCC is
+       reached by exactly the same ids, so an SCC never spans two
+       colors — each color class is the FORWARD reachability set of its
+       root (the node whose id equals its color), i.e. the coloring
+       computes the F-sets of ALL pivots simultaneously where classic
+       FW-BW does one pivot per partition per round (measured on the
+       5-region tournament fixture: 5 sequential pivot rounds -> 1
+       coloring round);
+    3. **backward BFS** from every root within its color class —
+       ``SCC(root) = {v in class : v reaches root}`` (= F ∩ B). Members
+       are emitted with ``scc_id = min node id`` (the convention shared
+       with :func:`scc_summary` and the recursive-CTE oracles); the
+       remainder re-colors next round.
+
+    Progress is guaranteed (every color loses at least its root's SCC
+    per round); ``max_outer`` bounds pathological chains-of-many-SCCs,
+    and the error message says to raise it rather than running forever.
+    Same loop hygiene as the other iterative operators: every round's
+    state is checkpoint-truncated (``checkpoint_dir=`` selects reliable
+    FS checkpoints, :func:`pyblazing_spark.session.make_ckpt`),
+    constraint propagation scoped off, shuffles sized to cluster
+    parallelism. Output shape matches :func:`scc_summary`.
+    """
+    import os as _os
+    import time as _time
+
+    from pyblazing_spark.session import loop_shuffle_confs, make_ckpt, scoped_conf
+
+    spark = edges.sparkSession
+    ckpt = make_ckpt(spark, checkpoint_dir)
+    confs = dict(loop_shuffle_confs(spark))
+    confs["spark.sql.constraintPropagation.enabled"] = "false"
+    _dbg = _os.environ.get("PBS_SCC_DEBUG") == "1"
+    with scoped_conf(spark, confs):
+        # e_all keeps self-loops: they count as internal edges in the
+        # rollup (matching scc_summary and the recursive-CTE oracles)
+        # and a self-loop-only node is still a (singleton) component;
+        # the TRAVERSAL uses e0 without them — a self-loop never
+        # changes SCC membership and only pads every frontier.
+        e_all = ckpt(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+        )
+        e0 = ckpt(e_all.where(F.col("u") != F.col("v")))
+        active = ckpt(
+            e_all.select(F.col("u").alias("node"))
+            .unionAll(e_all.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        # emitted (node, scc_id) pieces: each derives from an already-
+        # checkpointed frame, so deferring the union to the end keeps
+        # the final plan a flat union of shallow subtrees
+        done_parts: list[DataFrame] = []
+        remaining = active.count()
+        for _outer in range(max_outer):
+            if remaining == 0:
+                break
+            _t0 = _time.time()
+            ea = ckpt(
+                e0.join(active.select(F.col("node").alias("u")), "u")
+                .join(active.select(F.col("node").alias("v")), "v")
+                .select("u", "v")
+            )
+            for _ in range(trim_rounds):
+                keep = (
+                    ea.select(F.col("u").alias("node"))
+                    .distinct()
+                    .join(ea.select(F.col("v").alias("node")).distinct(), "node")
+                )
+                trimmed = ckpt(
+                    active.join(keep, "node", "left_anti"), eager=False
+                )
+                if trimmed.count() == 0:
+                    break
+                done_parts.append(
+                    trimmed.select("node", F.col("node").alias("scc_id"))
+                )
+                active = ckpt(active.join(trimmed, "node", "left_anti"))
+                ea = ckpt(
+                    ea.join(
+                        trimmed.select(F.col("node").alias("u")), "u", "left_anti"
+                    ).join(
+                        trimmed.select(F.col("node").alias("v")), "v", "left_anti"
+                    )
+                )
+            remaining = active.count()
+            if _dbg:
+                print(f"[scc] outer {_outer}: trim {_time.time()-_t0:.1f}s rem={remaining}")
+            if remaining == 0:
+                break
+            # ---- forward max-label coloring to fixpoint (frontier form:
+            # only strictly-improved labels propagate next round)
+            _t0 = _time.time()
+            col = ckpt(active.select("node", F.col("node").alias("color")))
+            changed = col
+            for _i in range(max_rounds):
+                upd = ckpt(
+                    ea.join(
+                        changed.select(F.col("node").alias("u"), "color"), "u"
+                    )
+                    .groupBy(F.col("v").alias("node"))
+                    .agg(F.max("color").alias("__nc"))
+                    .join(col, "node")
+                    .where(F.col("__nc") > F.col("color"))
+                    .select("node", F.col("__nc").alias("color")),
+                    eager=False,
+                )
+                if upd.count() == 0:
+                    break
+                col = ckpt(
+                    col.join(
+                        upd.select("node", F.col("color").alias("__nc")),
+                        "node",
+                        "left",
+                    ).select(
+                        "node",
+                        F.greatest("color", F.coalesce("__nc", F.lit(0))).alias(
+                            "color"
+                        ),
+                    )
+                )
+                changed = upd
+            else:
+                raise RuntimeError(
+                    f"scc_pivot_fwbw: coloring exceeded {max_rounds} rounds "
+                    "(graph depth too large — raise max_rounds)"
+                )
+            if _dbg:
+                print(f"[scc] color {_time.time()-_t0:.1f}s")
+            # ---- backward BFS from every color root within its class
+            _t0 = _time.time()
+            ec = ckpt(
+                ea.join(
+                    col.select(F.col("node").alias("u"), F.col("color").alias("__cu")),
+                    "u",
+                )
+                .join(
+                    col.select(F.col("node").alias("v"), F.col("color").alias("__cv")),
+                    "v",
+                )
+                .where(F.col("__cu") == F.col("__cv"))
+                .select(F.col("__cu").alias("color"), "u", "v")
+            )
+            reach = ckpt(
+                col.where(F.col("node") == F.col("color")).select("color", "node")
+            )
+            frontier = reach
+            for _ in range(max_rounds):
+                nxt = ckpt(
+                    ec.join(
+                        frontier.select("color", F.col("node").alias("v")),
+                        ["color", "v"],
+                    )
+                    .select("color", F.col("u").alias("node"))
+                    .distinct()
+                    .join(reach, ["color", "node"], "left_anti"),
+                    eager=False,
+                )
+                if nxt.count() == 0:
+                    break
+                # plain union of CHECKPOINTED leaves: flat plan, no
+                # re-execution
+                reach = reach.unionAll(nxt)
+                frontier = nxt
+            else:
+                raise RuntimeError(
+                    f"scc_pivot_fwbw: backward BFS exceeded {max_rounds} rounds "
+                    "(class diameter too large — raise max_rounds)"
+                )
+            sccs = reach.groupBy("color").agg(F.min("node").alias("scc_id"))
+            members = ckpt(reach.join(sccs, "color").select("node", "scc_id"))
+            done_parts.append(members)
+            active = ckpt(
+                active.join(members.select("node"), "node", "left_anti"),
+                eager=False,
+            )
+            remaining = active.count()
+            if _dbg:
+                print(f"[scc] bwd+emit {_time.time()-_t0:.1f}s rem={remaining}")
+        if remaining > 0:
+            raise RuntimeError(
+                f"scc_pivot_fwbw did not decompose the graph in {max_outer} "
+                "trim+color+collect rounds (deeply nested SCC chain — raise "
+                "max_outer)"
+            )
+        if not done_parts:  # empty edge set: stable empty schema
+            return spark.createDataFrame(
+                [], "scc_id long, n_nodes long, node_sum long, n_internal_edges long"
+            )
+        done = done_parts[0]
+        for part_df in done_parts[1:]:
+            done = done.unionAll(part_df)
+        out = _scc_rollup(e_all, done, top)
+        # materialize inside the scope (disabled-constraint plans must
+        # not escape into callers running under default confs)
         return out.localCheckpoint(eager=True)

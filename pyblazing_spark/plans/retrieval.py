@@ -1224,6 +1224,141 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_scc_pivot",
+    tags=("graph", "scc", "analytics", "fwbw"),
+    oracle="""
+WITH RECURSIVE lo AS (
+  SELECT DISTINCT l_orderkey, l_linenumber, l_suppkey FROM lineitem),
+ seq AS (
+  SELECT l_orderkey, l_suppkey,
+         row_number() OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey) AS rk
+  FROM lo),
+ sup AS (SELECT s_suppkey, n_regionkey AS grp
+         FROM supplier JOIN nation ON n_nationkey = s_nationkey),
+ tr AS MATERIALIZED (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+  FROM seq a JOIN seq b
+    ON a.l_orderkey = b.l_orderkey AND b.rk = a.rk + 1
+  WHERE a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2),
+ dom AS MATERIALIZED (
+  SELECT t.u, t.v FROM tr t
+  LEFT JOIN tr r ON r.u = t.v AND r.v = t.u
+  WHERE t.w > coalesce(r.w, 0)),
+ edges AS MATERIALIZED (
+  SELECT d.u, d.v FROM dom d
+  JOIN sup su ON su.s_suppkey = d.u
+  JOIN sup sv ON sv.s_suppkey = d.v
+  WHERE su.grp = sv.grp),
+ reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+ nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+ mutual AS MATERIALIZED (
+  SELECT f.u AS node, f.v AS peer
+  FROM reach f JOIN reach r ON f.u = r.v AND f.v = r.u),
+ scc AS MATERIALIZED (
+  SELECT n.node, least(n.node, coalesce(min(m.peer), n.node)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+  GROUP BY n.node),
+ per AS (
+  SELECT scc_id, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(node) AS BIGINT) AS node_sum
+  FROM scc GROUP BY scc_id),
+ internal AS (
+  SELECT su.scc_id, CAST(count(*) AS BIGINT) AS n_internal_edges
+  FROM edges e
+  JOIN scc su ON su.node = e.u
+  JOIN scc sv ON sv.node = e.v
+  WHERE su.scc_id = sv.scc_id
+  GROUP BY su.scc_id)
+SELECT p.scc_id, p.n_nodes, p.node_sum,
+       CAST(coalesce(i.n_internal_edges, 0) AS BIGINT) AS n_internal_edges
+FROM per p LEFT JOIN internal i USING (scc_id)
+ORDER BY p.n_nodes DESC, p.scc_id
+LIMIT 20
+""",
+)
+def graph_scc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC for UNBOUNDED node domains — the algorithm `graph_scc`'s
+    docstring names as the scale path, now implemented:
+    :func:`pyblazing_spark.operators.graph.scc_pivot_fwbw` (trim +
+    multi-pivot forward-backward decomposition, Fleischer et al.).
+    Never materializes a transitive closure: where reach-doubling is
+    O(N²) pairs, FW-BW is O(edges × rounds) — frontier BFS from one
+    deterministic pivot per partition, F∩B emitted as that pivot's
+    component, remainder split into the three FW-BW cells and
+    recursed. The probe regime where reach-doubling dies (10× the node
+    domain) runs near-linearly here (SCALE.md round-11 table).
+
+    Graph: supplier "dominance" tournament over the REAL key domain
+    (no modular bucketing — every distinct l_suppkey is a node).
+    Consecutive line items in an order form supplier transitions;
+    u→v survives iff transitions u→v strictly outnumber v→u
+    (antisymmetric by construction, so cycles are ≥3 nodes and SCC
+    structure is non-trivial), restricted to same-region pairs, which
+    yields one dense tournament per region — 5 natural partitions
+    exercising the multi-pivot path — plus trimmed periphery at the
+    smaller SFs. The oracle recomputes everything with a recursive-CTE
+    closure + mutual-reachability min-ids (feasible for the oracle at
+    fixture scale; the SPARK side never builds it)."""
+    from pyblazing_spark.operators.graph import scc_pivot_fwbw
+
+    # DISTINCT (order, linenumber, suppkey) triples make
+    # (l_linenumber, l_suppkey) a unique — hence deterministic — sort
+    # key within each order (fixture linenumbers are non-consecutive
+    # and duplicated, so a raw lead() over l_linenumber alone would be
+    # tie-order-dependent and a +1 join would skip gaps).
+    lo = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+        .distinct()
+    )
+    nxt = lo.select(
+        F.col("l_suppkey").alias("u"),
+        F.lead("l_suppkey")
+        .over(
+            W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_suppkey")
+        )
+        .alias("v"),
+    ).where(F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+    tr = nxt.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    rev = tr.select(
+        F.col("u").alias("v"), F.col("v").alias("u"), F.col("w").alias("rw")
+    )
+    dom = (
+        tr.join(rev, ["u", "v"], "left")
+        .where(F.col("w") > F.coalesce(F.col("rw"), F.lit(0)))
+        .select("u", "v")
+    )
+    sup = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            T(spark, sf_dir, "nation"),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_regionkey").alias("grp"))
+    )
+    edges = (
+        dom.join(
+            F.broadcast(sup.select(F.col("s_suppkey").alias("u"),
+                                   F.col("grp").alias("gu"))), "u"
+        )
+        .join(
+            F.broadcast(sup.select(F.col("s_suppkey").alias("v"),
+                                   F.col("grp").alias("gv"))), "v"
+        )
+        .where(F.col("gu") == F.col("gv"))
+        .select("u", "v")
+    )
+    return scc_pivot_fwbw(edges, src="u", dst="v")
+
+
+@register(
     "graph_label_propagation",
     tags=("graph", "community", "lpa"),
     oracle="""

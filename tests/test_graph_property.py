@@ -307,3 +307,105 @@ def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
     assert rows(pagerank(pe, iterations=3, checkpoint_dir=d)) == rows(
         pagerank(pe, iterations=3)
     )
+
+
+def _ref_scc(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan; scc_id = min node of the component."""
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    comp: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(v0: int) -> None:
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            succ = adj.get(v, [])
+            for i in range(pi, len(succ)):
+                w = succ[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            # all successors done: close v
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    return comp
+
+
+@st.composite
+def _digraph(draw):
+    n_edges = draw(st.integers(min_value=1, max_value=30))
+    edges = []
+    for _ in range(n_edges):
+        a = draw(st.integers(min_value=1, max_value=12))
+        b = draw(st.integers(min_value=1, max_value=12))
+        edges.append((a, b))
+    return edges
+
+
+@settings(max_examples=6, deadline=None)
+@given(_digraph())
+def test_scc_pivot_fwbw_matches_tarjan(spark, edges):
+    """Pivot FW-BW (trim + multi-pivot forward/backward BFS) on
+    arbitrary small digraphs — incl. self-loops, parallel edges, and
+    chain-of-cycles topologies the fixture entry can't produce — must
+    reproduce Tarjan's components exactly (as the same top-N rollup)."""
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.operators.graph import scc_pivot_fwbw
+
+    e = spark.createDataFrame(edges, "u long, v long")
+    got = sorted(tuple(r) for r in scc_pivot_fwbw(e, top=1000).collect())
+
+    comp = _ref_scc(edges)
+    per: dict[int, list[int]] = {}
+    for node, c in comp.items():
+        per.setdefault(c, []).append(node)
+    es = set(edges)
+    exp = sorted(
+        (
+            c,
+            len(ns),
+            sum(ns),
+            sum(1 for (a, b) in es if comp[a] == c and comp[b] == c),
+        )
+        for c, ns in per.items()
+    )
+    assert got == exp
