@@ -2172,19 +2172,111 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_learn_inprocess(
+    rows: list[tuple[str, int]], k: int
+) -> list[tuple[str, str]]:
+    """Driver-side greedy BPE learn over the collected vocabulary: ``k``
+    merge rounds with a lazy max-heap and incremental pair-count
+    updates touching only the words that contain the merged pair — the
+    production shape (VERDICT r10 #3). The distributed alternative is
+    one Spark job per merge round (fine at k=4, 50k sequential jobs at
+    a production vocab); here the ONLY cluster work is the word-count
+    aggregation that produced ``rows``, and the learn loop is
+    O(total updates × log) in-process, independent of corpus size and
+    sublinear in k wall-time (the heap amortizes across rounds).
+
+    Exactly replicates the unrolled-SQL oracle's greedy step: best pair
+    = max total weight, ties broken by lexicographically smallest
+    (p1, p2); the merge is the left-to-right non-overlapping adjacent
+    replace (same semantics as one global ``replace`` on the
+    boundary-wrapped form). A dry round (no positive pair left) stops
+    early, matching the oracle's LEFT-JOIN no-op rounds.
+
+    ``rows`` is a |vocab|-bounded collect — distinct lowercase words
+    with counts, the same boundedness contract as the sketch/codebook
+    collects (a 10M-word production vocab is ~100 MB on the driver; the
+    corpus itself never leaves the cluster)."""
+    import heapq
+
+    words: dict[str, list[str]] = {}
+    weight: dict[str, int] = {}
+    pair_w: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[str]] = {}
+    for word, w in rows:
+        syms = list(word)
+        words[word] = syms
+        weight[word] = w
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_w[p] = pair_w.get(p, 0) + w
+            pair_words.setdefault(p, set()).add(word)
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-w, p) for p, w in pair_w.items()
+    ]
+    heapq.heapify(heap)
+
+    def merge_syms(syms: list[str], p1: str, p2: str) -> list[str]:
+        out: list[str] = []
+        i, n = 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == p1 and syms[i + 1] == p2:
+                out.append(p1 + p2)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < k:
+        # lazy heap: discard stale entries (weight changed since push)
+        best: tuple[str, str] | None = None
+        while heap:
+            negw, p = heapq.heappop(heap)
+            if pair_w.get(p, 0) == -negw and -negw > 0:
+                best = p
+                break
+        if best is None:
+            break  # merges ran dry before k rounds
+        p1, p2 = best
+        merges.append(best)
+        for word in list(pair_words.get(best, ())):
+            syms = words[word]
+            w = weight[word]
+            touched: set[tuple[str, str]] = set()
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_w[p] -= w
+                pair_words[p].discard(word)
+                touched.add(p)
+            new = merge_syms(syms, p1, p2)
+            words[word] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_w[p] = pair_w.get(p, 0) + w
+                pair_words.setdefault(p, set()).add(word)
+                touched.add(p)
+            for p in touched:
+                if pair_w.get(p, 0) > 0:
+                    heapq.heappush(heap, (-pair_w[p], p))
+                else:
+                    pair_w.pop(p, None)
+                    pair_words.pop(p, None)
+    return merges
+
+
 _BPE_ENC_MERGES = 4  # learned merge ranks applied by the encode entry
 
 
-@register(
-    "text_bpe_encode",
-    bench=True,  # corpus tokenize step: vocab-bounded Python, track it
-    tags=("llm", "text", "tokenizer", "bpe", "encode"),
-    oracle=f"""
+def _bpe_encode_oracle(k: int) -> str:
+    """Unrolled-SQL oracle for the encode entries: k learn rounds, then
+    token stats over the merged vocabulary."""
+    return f"""
 WITH
-{_bpe_learn_rounds_sql(_BPE_ENC_MERGES)},
+{_bpe_learn_rounds_sql(k)},
  tok AS (
   SELECT word, w, unnest(string_split(trim(s, '()'), ')(')) AS token
-  FROM vocab{_BPE_ENC_MERGES + 1}),
+  FROM vocab{k + 1}),
  stats AS (
   SELECT token,
          CAST(count(DISTINCT word) AS BIGINT) AS n_words,
@@ -2194,32 +2286,14 @@ SELECT CAST(rank AS INTEGER) AS rank, token, n_words, total_count
 FROM (SELECT *, row_number() OVER (ORDER BY total_count DESC, token) AS rank
       FROM stats)
 WHERE rank <= 20 ORDER BY rank
-""",
-)
-def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE merge APPLICATION — the actual tokenize step of
-    a training pipeline (VERDICT r9 #5; ``text_bpe_merges`` only LEARNS
-    ranks). Learns four greedy merges over the corpus
-    vocabulary, then encodes with the classic inference kernel: per
-    word, apply merges in RANK order, each a left-to-right adjacent
-    pair merge over the symbol list (an Arrow-batched pandas_udf; the
-    merge table rides the task closure — at a production vocab it
-    would be an explicit broadcast, same shape).
+"""
 
-    Scale shape: the ONLY corpus-scale work is the word-count pass
-    (map-side partials, text never shuffles). Both learning and the
-    Python encode kernel run over the DISTINCT vocabulary — Zipf-
-    bounded, tiny relative to the corpus — with the vocab frame
-    localCheckpoint'd once so the corpus is scanned exactly once for
-    all {_BPE_ENC_MERGES} learn rounds. Encoding a 100 TB corpus costs
-    one word-level aggregation plus O(|vocab| x n_merges) Python — never
-    O(corpus) Python.
 
-    Correctness cross-check: the oracle segments by UNROLLED global
-    replace rounds in training order, the Spark side by per-word
-    rank-ordered pair merging — two independent formulations of BPE
-    whose equivalence (sequential merge application commutes across
-    words) the value-compare proves on real data."""
+def _bpe_encode_pipeline(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Shared encode pipeline: vocab word-count (the only corpus-scale
+    work), in-process heap learn of ``k`` merges, distributed rank-order
+    encode, top-20 token stats. See ``text_bpe_encode`` for the full
+    scale contract."""
     docs = T(spark, sf_dir, "documents")
     vocab = (
         docs.select(
@@ -2228,31 +2302,10 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("word").rlike("^[a-z]+$"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("s", F.regexp_replace("word", r"(.)", r"($1)"))
-        .localCheckpoint(eager=True)  # corpus scanned ONCE for all rounds
+        .localCheckpoint(eager=True)  # corpus scanned ONCE
     )
-    merges: list[tuple[str, str]] = []
-    v = vocab
-    for _ in range(_BPE_ENC_MERGES):
-        best = (
-            _bpe_pair_counts(v)
-            .orderBy(F.desc("weight"), "p1", "p2")
-            .select("p1", "p2")
-            .first()
-        )
-        if best is None:  # degenerate corpus: all words single-symbol
-            break
-        merges.append((best.p1, best.p2))
-        v = v.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(f"({best.p1})({best.p2})"),
-                F.lit(f"({best.p1}{best.p2})"),
-            ),
-        )
-
-    ranks = tuple(merges)
+    vocab_rows = [(r["word"], r["w"]) for r in vocab.collect()]
+    ranks = tuple(_bpe_learn_inprocess(vocab_rows, k))
 
     @F.pandas_udf("array<string>")
     def bpe_enc(words: pd.Series) -> pd.Series:
@@ -2290,6 +2343,59 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_bounded(
         ranked.select("rank", "token", "n_words", "total_count").orderBy("rank")
     )
+
+
+@register(
+    "text_bpe_encode",
+    bench=True,  # corpus tokenize step: vocab-bounded Python, track it
+    tags=("llm", "text", "tokenizer", "bpe", "encode"),
+    oracle=_bpe_encode_oracle(_BPE_ENC_MERGES),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge APPLICATION — the actual tokenize step of
+    a training pipeline (VERDICT r9 #5; ``text_bpe_merges`` only LEARNS
+    ranks). Learns {_BPE_ENC_MERGES} greedy merges with the in-process
+    heap learner (:func:`_bpe_learn_inprocess` over the |vocab|-bounded
+    collected word counts — job count independent of the merge count),
+    then encodes with the classic inference kernel: per word, apply
+    merges in RANK order, each a left-to-right adjacent pair merge over
+    the symbol list (an Arrow-batched pandas_udf; the merge table rides
+    the task closure — at a production vocab it would be an explicit
+    broadcast, same shape).
+
+    Scale shape: the ONLY corpus-scale work is the word-count pass
+    (map-side partials, text never shuffles). Learning runs in-process
+    over the DISTINCT vocabulary — Zipf-bounded, tiny relative to the
+    corpus — and the Python encode kernel over the same vocab frame
+    (localCheckpoint'd once). Encoding a 100 TB corpus costs one
+    word-level aggregation plus O(|vocab| x n_merges) Python — never
+    O(corpus) Python.
+
+    Correctness cross-check: the oracle segments by UNROLLED global
+    replace rounds in training order, the Spark side by per-word
+    rank-ordered pair merging — two independent formulations of BPE
+    whose equivalence (sequential merge application commutes across
+    words) the value-compare proves on real data."""
+    return _bpe_encode_pipeline(spark, sf_dir, _BPE_ENC_MERGES)
+
+
+@register(
+    "text_bpe_encode_k64",
+    tags=("llm", "text", "tokenizer", "bpe", "encode"),
+    oracle=_bpe_encode_oracle(64),
+)
+def text_bpe_encode_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_bpe_encode`` at a 64-merge vocabulary — the entry that
+    exists BECAUSE the learn phase is in-process now: the previous
+    one-Spark-job-per-merge shape made k=64 mean 64 sequential jobs
+    (and a production 50k-merge vocab absurd), while the heap learner's
+    cluster cost is one word-count aggregation regardless of k
+    (VERDICT r10 #3 "done" criterion). The oracle unrolls all 64 global
+    replace rounds in SQL — 64 materialized CTE stages proving the
+    heap's incremental pair bookkeeping tracks exact global recounts
+    through deep merge chains (merged symbols merging again, dry-round
+    no-ops), not just the 4 shallow rounds."""
+    return _bpe_encode_pipeline(spark, sf_dir, 64)
 
 
 # ---------------------------------------------------------------------------

@@ -409,3 +409,4 @@ def test_scc_pivot_fwbw_matches_tarjan(spark, edges):
         for c, ns in per.items()
     )
     assert got == exp
+

@@ -511,3 +511,59 @@ def test_bucket_pairs_property(spark):
             assert got.get(i, set()) == want, (i, len(ids), cap, hubs)
 
     check()
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+def _naive_bpe_learn(rows, k):
+    """Reference learner: full pair recount every round. O(k x vocab)."""
+    words = {w: list(w) for w, _ in rows}
+    weight = dict(rows)
+    merges = []
+    for _ in range(k):
+        counts = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + weight[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        p1, p2 = best
+        for w, syms in words.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == p1 and syms[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+@_st.composite
+def _vocab(draw):
+    n = draw(_st.integers(min_value=1, max_value=30))
+    out = {}
+    for _ in range(n):
+        w = draw(_st.text(alphabet="abc", min_size=1, max_size=8))
+        out[w] = draw(_st.integers(min_value=1, max_value=9))
+    return sorted(out.items())
+
+
+@_settings(max_examples=120, deadline=None)
+@_given(_vocab(), _st.integers(min_value=1, max_value=12))
+def test_bpe_heap_learner_matches_naive_recount(rows, k):
+    """The lazy-heap incremental learner must reproduce the naive
+    full-recount greedy merge sequence exactly — same pairs, same
+    order, same tie-breaks (max weight, then lexicographically smallest
+    pair), same dry-round stop. Tiny 3-letter alphabets force heavy
+    ties, repeated pairs inside one word, and merged-symbol re-merges."""
+    from pyblazing_spark.plans.llm import _bpe_learn_inprocess
+
+    assert _bpe_learn_inprocess(list(rows), k) == _naive_bpe_learn(rows, k)
