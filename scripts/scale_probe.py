@@ -206,6 +206,10 @@ def main() -> int:
         "pipeline_dp_release", "source_avro_roundtrip",
         # round-10: BPE merge application (vocab-scale Python kernel)
         "text_bpe_encode",
+        # round-11: coloring FW-BW SCC over the real supplier domain,
+        # 64-merge in-process BPE learn, reliable-checkpoint components
+        "graph_scc_pivot", "text_bpe_encode_k64",
+        "dedup_components_reliable",
         # round-6 widening: scale-sensitive entries that had never run
         # at 10x (Arrow cogroup, two-phase global windows, wedge joins,
         # star rounds, interval-union windows, FFT kernels, bag setops,
