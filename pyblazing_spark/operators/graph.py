@@ -404,10 +404,10 @@ def kcore_peel_summary(
         for s in summaries[1:]:
             out = out.unionAll(s)
         # materialize inside the scope so the disabled-constraint plans
-        # never escape into a caller running under default confs
+        # never escape into a caller running under default confs (stays
+        # a LOCAL checkpoint even in reliable mode: the summary is
+        # rounds-sized and consumed immediately)
         return out.orderBy("round").localCheckpoint(eager=True)
-        # (final materialization stays LOCAL even in reliable mode: the
-        # summary is rounds-sized and consumed immediately)
 
 
 def _scc_rollup(e: DataFrame, assign: DataFrame, top: int) -> DataFrame:
