@@ -1,0 +1,135 @@
+"""Multi-keyword corpus tagging via a broadcast Aho-Corasick automaton.
+
+The pattern a training-data pipeline hits constantly: tag every
+document against a dictionary of terms (contamination markers, unsafe
+phrases, licensing strings, PII keywords) in ONE pass over the text.
+k separate ``instr``/regex passes cost O(k x corpus); the Aho-Corasick
+automaton (public classic: Aho & Corasick 1975) matches ALL k patterns
+simultaneously in O(corpus + matches), independent of dictionary size —
+the same reason FlashText-style taggers replace regex alternations at
+corpus scale.
+
+Spark shape: the automaton is built once driver-side from the (small)
+dictionary and rides the task closure into an Arrow-batched
+``mapInPandas`` kernel — the corpus is scanned exactly once, nothing
+text-shaped ever shuffles (the kernel emits (doc, keyword, count)
+rows, dictionary-bounded per doc), and the per-keyword rollup is a
+map-side-combinable aggregation on tiny rows. At a production 100k-term
+dictionary the automaton is a few MB — an explicit ``broadcast()``
+instead of the closure, same shape.
+
+Semantics: counts EVERY occurrence of every keyword, including
+occurrences overlapping a different keyword's match ("an" inside
+"scan" counts for both). Keywords that self-overlap (a proper border,
+e.g. "aa") are matched correctly too — only the SQL replace-trick
+oracle in the catalog entry needs border-free keywords, because
+``replace`` counts non-overlapping occurrences.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_automaton(keywords: list[str]):
+    """Aho-Corasick (goto, fail, output) tables over ``keywords``.
+
+    Returns (goto: list[dict[ch, state]], fail: list[int],
+    out: list[list[int]]) with keyword indices in ``out``; state 0 is
+    the root. Pure-python dict transitions — fast enough for a scan
+    kernel (the per-char cost is one dict lookup amortized), and
+    trivially picklable into task closures."""
+    if not keywords or any(not k for k in keywords):
+        raise ValueError("keywords must be non-empty strings")
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for idx, kw in enumerate(keywords):
+        s = 0
+        for ch in kw:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(idx)
+    fail = [0] * len(goto)
+    q: deque[int] = deque()
+    for s in goto[0].values():
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def count_matches(text: str, automaton, n_keywords: int) -> list[int]:
+    """Per-keyword occurrence counts of one text (all occurrences,
+    overlaps included)."""
+    goto, fail, out = automaton
+    counts = [0] * n_keywords
+    s = 0
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        if out[s]:
+            for idx in out[s]:
+                counts[idx] += 1
+    return counts
+
+
+def tag_keywords(
+    df: DataFrame,
+    keywords: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, keyword, n_matches) for every document x matched keyword —
+    one Aho-Corasick pass per document, all keywords simultaneously.
+    Zero-match (doc, keyword) pairs are NOT emitted (output is
+    matches-sized); roll up and left-join from the dictionary side for
+    dense per-keyword stats."""
+    automaton = build_automaton(keywords)
+    n = len(keywords)
+    kws = list(keywords)
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+
+    def scan(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            kw_out: list[str] = []
+            cnt: list[int] = []
+            for i, txt in zip(pdf["id"], pdf["text"]):
+                if txt is None:
+                    continue
+                counts = count_matches(txt, automaton, n)
+                for j, c in enumerate(counts):
+                    if c:
+                        ids.append(i)
+                        kw_out.append(kws[j])
+                        cnt.append(c)
+            yield pd.DataFrame(
+                {"id": pd.Series(ids, dtype="int64"),
+                 "keyword": pd.Series(kw_out, dtype="object"),
+                 "n_matches": pd.Series(cnt, dtype="int64")}
+            )
+
+    return src.mapInPandas(
+        scan, schema="id long, keyword string, n_matches long"
+    )

@@ -2398,6 +2398,71 @@ def text_bpe_encode_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_encode_pipeline(spark, sf_dir, 64)
 
 
+_KW_TAG_TERMS = (
+    "an", "batch", "fast key", "join", "merge",
+    "order", "part", "scan", "stream", "value",
+)
+# every term above is BORDER-FREE (no proper prefix equals a suffix),
+# which makes the oracle's replace-trick count (non-overlapping) equal
+# to the automaton's all-occurrence count — a property of the ORACLE
+# ENCODING, not the operator (operators/keywords.py handles any terms);
+# test_llm_ops pins the border-free invariant so a dictionary edit
+# cannot silently break oracle equivalence.
+
+_KW_TAG_VALUES = ", ".join(f"('{t}')" for t in _KW_TAG_TERMS)
+
+
+@register(
+    "text_multi_keyword_tag",
+    tags=("llm", "text", "keywords", "tagging"),
+    oracle=f"""
+SELECT kw AS keyword,
+       CAST(sum(CASE WHEN instr(text, kw) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs,
+       CAST(sum((length(text) - length(replace(text, kw, ''))) // length(kw))
+         AS BIGINT) AS n_occurrences
+FROM documents CROSS JOIN (VALUES {_KW_TAG_VALUES}) AS k(kw)
+GROUP BY kw
+ORDER BY kw
+""",
+)
+def text_multi_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary tagging in ONE corpus pass: a broadcast Aho-Corasick
+    automaton (:mod:`pyblazing_spark.operators.keywords`) matches all
+    {len(_KW_TAG_TERMS)} terms simultaneously — O(corpus + matches)
+    where k separate instr/regex passes are O(k x corpus); the shape
+    FlashText-style taggers use for contamination/unsafe-term/licensing
+    dictionaries at training-pipeline scale. Occurrence semantics is
+    ALL matches incl. cross-keyword overlaps ("an" inside "scan"
+    counts for both terms — the oracle's per-term replace-trick
+    independently reproduces exactly that for border-free terms).
+    Per-keyword rollup: docs touched + total occurrences; zero-match
+    terms still emit a row (dictionary left join)."""
+    from pyblazing_spark.operators.keywords import tag_keywords
+
+    docs = T(spark, sf_dir, "documents")
+    tags = tag_keywords(docs, list(_KW_TAG_TERMS))
+    agg = tags.groupBy("keyword").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_matches").cast("long").alias("n_occurrences"),
+    )
+    dictionary = spark.createDataFrame(
+        [(t,) for t in _KW_TAG_TERMS], "keyword string"
+    )
+    out = (
+        dictionary.join(agg, "keyword", "left")
+        .select(
+            "keyword",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_occurrences", F.lit(0)).cast("long").alias(
+                "n_occurrences"
+            ),
+        )
+        .orderBy("keyword")
+    )
+    return materialize_bounded(out)
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
 # algorithm): hash every k-word gram, slide a w-gram window, keep each

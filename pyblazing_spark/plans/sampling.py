@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pyblazing_spark.plans.registry import register
+from pyblazing_spark.session import materialize_bounded
 from pyblazing_spark.plans.tpch import money
 from pyblazing_spark.sources.tables import load_table as T
 
@@ -471,3 +472,120 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_users", "n_events", "total_value", "group_intact")
         .orderBy("split")
     )
+
+
+_TEMP_MIX_N = 200.0  # target sample size across all length classes
+_TEMP_MIX_ALPHA = 0.5  # temperature: w_s ∝ n_s^alpha
+
+_TEMP_MIX_CASE_SQL = """CASE WHEN length(text) < 64 THEN 'len_lt64'
+             WHEN length(text) < 128 THEN 'len_lt128'
+             WHEN length(text) < 256 THEN 'len_lt256'
+             WHEN length(text) < 512 THEN 'len_lt512'
+             ELSE 'len_ge512' END"""
+
+
+@register(
+    "sample_temperature_mix",
+    tags=("sampling", "mixing", "llm"),
+    oracle=f"""
+WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        {_TEMP_MIX_CASE_SQL} AS source
+        FROM documents),
+ n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM d GROUP BY 1),
+ w AS (SELECT source, n_total, pow(n_total, {_TEMP_MIX_ALPHA}) AS wt FROM n),
+ f AS (SELECT source, n_total,
+        least(1.0, {_TEMP_MIX_N} * wt / (SELECT sum(wt) FROM w) / n_total) AS frac
+       FROM w),
+ t AS (SELECT source, n_total, frac,
+        CAST(floor(frac * 4294967296.0 + 1e-6) AS BIGINT) AS thr FROM f),
+ hit AS (SELECT d.source, d.n_chars
+         FROM d JOIN t ON t.source = d.source
+         WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    AS BIGINT) < t.thr),
+ agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(n_chars) AS BIGINT) AS chars_sampled FROM hit GROUP BY 1)
+SELECT t.source, t.n_total, round(t.frac + 1e-9, 4) AS sel_frac,
+       CAST(coalesce(a.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(coalesce(a.chars_sampled, 0) AS BIGINT) AS chars_sampled
+FROM t LEFT JOIN agg a USING (source)
+ORDER BY t.source
+""",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing — the T5/multilingual-corpus
+    recipe: per-source sampling weight ``w_s ∝ n_s^α`` (α = 0.5), so
+    rare sources are upsampled relative to proportional mixing and
+    dominant ones downsampled, with per-source take fraction
+    ``f_s = min(1, N·p_s / n_s)``. Sources here are document length
+    classes (fixed 64/128/256/512-char breakpoints — naturally skewed
+    in the corpus, and exact-integer portable where a float log2 class
+    could diverge by one ULP at a boundary).
+
+    Scale shape: one map-side count per source (the "corpus manifest",
+    sources-sized), the mixing arithmetic on that tiny frame, then ONE
+    fact scan with a broadcast threshold join and a per-row md5
+    predicate — membership is a pure function of (doc_id, manifest), so
+    the sample is identical across engines, reruns, partitionings, and
+    cluster sizes, and no corpus-scale shuffle ever happens (same
+    contract as sample_hash_bernoulli). The float thresholds are
+    integerized against the 32-bit hash space with a ~4-ULP nudge so an
+    engine-side ULP difference in pow/sum cannot flip a comparison
+    except for a doc whose hash lands on the exact boundary integer."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    docs = docs.withColumn(
+        "source",
+        F.when(F.col("n_chars") < 64, "len_lt64")
+        .when(F.col("n_chars") < 128, "len_lt128")
+        .when(F.col("n_chars") < 256, "len_lt256")
+        .when(F.col("n_chars") < 512, "len_lt512")
+        .otherwise("len_ge512"),
+    )
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w = n.withColumn("wt", F.pow("n_total", F.lit(_TEMP_MIX_ALPHA)))
+    tw = w.agg(F.sum("wt").alias("tw"))
+    t = (
+        w.crossJoin(F.broadcast(tw))
+        .withColumn(
+            "frac",
+            F.least(
+                F.lit(1.0),
+                F.lit(_TEMP_MIX_N) * F.col("wt") / F.col("tw") / F.col("n_total"),
+            ),
+        )
+        .withColumn(
+            "thr",
+            F.floor(F.col("frac") * F.lit(4294967296.0) + F.lit(1e-6)).cast("long"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u")
+    )
+    hit = (
+        docs.select("source", "n_chars", u)
+        .join(F.broadcast(t.select("source", "thr")), "source")
+        .where(F.col("u") < F.col("thr"))
+    )
+    agg = hit.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("chars_sampled"),
+    )
+    out = (
+        t.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.round(F.col("frac") + 1e-9, 4).alias("sel_frac"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("chars_sampled", F.lit(0)).cast("long").alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
+    return materialize_bounded(out)

@@ -567,3 +567,76 @@ def test_bpe_heap_learner_matches_naive_recount(rows, k):
     from pyblazing_spark.plans.llm import _bpe_learn_inprocess
 
     assert _bpe_learn_inprocess(list(rows), k) == _naive_bpe_learn(rows, k)
+
+
+def test_keyword_automaton_property():
+    """Aho-Corasick counts vs a brute all-occurrence position scan on
+    random texts — includes SELF-overlapping keywords ("aa" in "aaa"
+    -> 2), cross-keyword overlaps ("an" in "scan"), and keywords that
+    are prefixes/suffixes of each other."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyblazing_spark.operators.keywords import (
+        build_automaton,
+        count_matches,
+    )
+
+    kws = ["a", "aa", "ab", "ba ", "an", "scan", "b"]
+    auto = build_automaton(kws)
+
+    def brute(text: str) -> list[int]:
+        return [
+            sum(
+                1
+                for i in range(len(text) - len(k) + 1)
+                if text[i : i + len(k)] == k
+            )
+            for k in kws
+        ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abns c", max_size=60))
+    def check(text):
+        assert count_matches(text, auto, len(kws)) == brute(text)
+
+    check()
+
+
+def test_keyword_tag_entry_terms_border_free():
+    """The entry's replace-trick oracle equals all-occurrence counts
+    ONLY for border-free terms (no proper prefix == suffix); pin the
+    invariant so a dictionary edit cannot silently diverge the
+    engines."""
+    from pyblazing_spark.plans.llm import _KW_TAG_TERMS
+
+    for t in _KW_TAG_TERMS:
+        for blen in range(1, len(t)):
+            assert t[:blen] != t[-blen:], (
+                f"term {t!r} has border {t[:blen]!r} — replace-trick "
+                "oracle would undercount overlapping occurrences"
+            )
+
+
+def test_tag_keywords_distributed(spark):
+    """The mapInPandas kernel end-to-end: per-(doc, keyword) counts
+    match per-doc brute counts, NULL texts skipped, zero-match pairs
+    absent."""
+    from pyblazing_spark.operators.keywords import tag_keywords
+
+    rows = [
+        (1, "scan the scan an ana"),
+        (2, None),
+        (3, "no hits here xyz"),
+        (4, "part part partition"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id, r.keyword): r.n_matches
+        for r in tag_keywords(df, ["scan", "an", "part", "q"]).collect()
+    }
+    assert got == {
+        (1, "scan"): 2,
+        (1, "an"): 4,  # two inside "scan", one standalone, one in "ana"
+        (4, "part"): 3,  # two words + prefix of "partition"
+    }
