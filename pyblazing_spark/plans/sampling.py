@@ -527,10 +527,16 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate — membership is a pure function of (doc_id, manifest), so
     the sample is identical across engines, reruns, partitionings, and
     cluster sizes, and no corpus-scale shuffle ever happens (same
-    contract as sample_hash_bernoulli). The float thresholds are
+    contract as sample_hash_bernoulli; broadcast shape plan-audited on
+    the lazy plan in test_plan_audits). The float thresholds are
     integerized against the 32-bit hash space with a ~4-ULP nudge so an
     engine-side ULP difference in pow/sum cannot flip a comparison
     except for a doc whose hash lands on the exact boundary integer."""
+    return materialize_bounded(temperature_mix_plan(spark, sf_dir))
+
+
+def temperature_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY mixing plan (un-materialized, for plan audits)."""
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").cast("long").alias("n_chars")
     )
@@ -588,4 +594,4 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-    return materialize_bounded(out)
+    return out

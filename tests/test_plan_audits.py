@@ -827,3 +827,18 @@ def test_unpivot_is_expand_only(spark, sf_dir):
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan
+
+
+def test_temperature_mix_fact_path_is_broadcast_only(spark, sf_dir):
+    """sample_temperature_mix's scale claim: the corpus-scale scan joins
+    the per-source thresholds by BROADCAST only — no SortMergeJoin, no
+    shuffle of document rows besides the tiny per-source aggregations
+    (at 100 TB the membership test must stay a scan-stage predicate)."""
+    from pyblazing_spark.plans.sampling import temperature_mix_plan
+
+    df = temperature_mix_plan(spark, sf_dir)
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        plan[:2000]
+    )
