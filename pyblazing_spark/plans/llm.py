@@ -2414,6 +2414,7 @@ _KW_TAG_VALUES = ", ".join(f"('{t}')" for t in _KW_TAG_TERMS)
 
 @register(
     "text_multi_keyword_tag",
+    bench=True,  # one-pass dictionary tagging kernel: track the scan cost
     tags=("llm", "text", "keywords", "tagging"),
     oracle=f"""
 SELECT kw AS keyword,

@@ -640,3 +640,31 @@ def test_tag_keywords_distributed(spark):
         (1, "an"): 4,  # two inside "scan", one standalone, one in "ana"
         (4, "part"): 3,  # two words + prefix of "partition"
     }
+
+
+def test_keyword_fast_path_equals_automaton():
+    """The str.count fast path must equal the Aho-Corasick counts on
+    every input — it is only selected for border-free dictionaries,
+    where non-overlapping == all-occurrence."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyblazing_spark.operators.keywords import (
+        _border_free,
+        build_automaton,
+        count_matches,
+    )
+
+    kws = ["scan", "an", "part", "ab", "b c"]
+    assert all(_border_free(k) for k in kws)
+    assert not _border_free("aa") and not _border_free("window")
+    auto = build_automaton(kws)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abncs pt", max_size=80))
+    def check(text):
+        assert [text.count(k) for k in kws] == count_matches(
+            text, auto, len(kws)
+        )
+
+    check()

@@ -64,6 +64,10 @@ EXPECTED_SHAPES: dict[str, dict[str, int]] = {
     # oracles, tests/test_avro.py, and test_plan_audits instead.
     "text_bpe_encode": dict(exch=0, scans=0, py=0, smj=0),
     "source_avro_split_scan": dict(exch=0, scans=0, py=0, smj=0),
+    # round-11 bench addition: materializes via materialize_bounded; the
+    # one-pass Aho-Corasick scan shape is covered by the operator tests
+    # and the oracle instead.
+    "text_multi_keyword_tag": dict(exch=0, scans=0, py=0, smj=0),
 }
 
 
