@@ -595,3 +595,135 @@ def temperature_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
     return out
+
+
+_QUOTA_N = 100  # eval-set size apportioned across strata
+
+
+@register(
+    "sample_quota_largest_remainder",
+    tags=("sampling", "quota", "eval"),
+    oracle=f"""
+WITH n AS (SELECT c_mktsegment AS stratum, CAST(count(*) AS BIGINT) AS n_total
+           FROM customer GROUP BY 1),
+ tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS t FROM n),
+ base AS (SELECT stratum, n_total,
+          ({_QUOTA_N} * n_total) // t AS floor_q,
+          ({_QUOTA_N} * n_total) % t  AS rem
+          FROM n CROSS JOIN tot),
+ short AS (SELECT {_QUOTA_N} - CAST(sum(floor_q) AS BIGINT) AS k FROM base),
+ q AS (SELECT stratum, n_total,
+        CAST(floor_q + CASE WHEN
+          row_number() OVER (ORDER BY rem DESC, stratum) <= (SELECT k FROM short)
+          THEN 1 ELSE 0 END AS BIGINT) AS quota
+       FROM base),
+ ranked AS (SELECT c_mktsegment AS stratum, c_custkey, c_acctbal,
+            row_number() OVER (
+              PARTITION BY c_mktsegment
+              ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rk
+            FROM customer),
+ pick AS (SELECT r.stratum, r.c_custkey, r.c_acctbal
+          FROM ranked r JOIN q ON q.stratum = r.stratum
+          WHERE r.rk <= q.quota)
+SELECT q.stratum, q.n_total, q.quota,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_sampled,
+       CAST(coalesce(p.key_xor, 0) AS BIGINT) AS key_xor,
+       round(coalesce(p.bal, 0) + 1e-4, 2) AS sum_acctbal
+FROM q LEFT JOIN (
+  SELECT stratum, count(*) AS n,
+         bit_xor(CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 3, 15))::BIGINT
+                      AS BIGINT)) AS key_xor,
+         sum(c_acctbal) AS bal
+  FROM pick GROUP BY 1) p USING (stratum)
+ORDER BY q.stratum
+""",
+)
+def sample_quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quota stratified sampling via largest-remainder (Hamilton)
+    apportionment — eval-set construction where "take {_QUOTA_N}
+    proportionally" must mean EXACTLY {_QUOTA_N} rows, not a Bernoulli
+    expectation: per-stratum floor quotas ``(N*n_s) div total`` plus one
+    extra for the ``N - Σfloor`` largest remainders (ties broken by
+    stratum name). Everything is BIGINT arithmetic — cross-engine exact
+    with zero float/ULP surface, unlike threshold sampling. Members are
+    the quota-first rows per stratum in md5(key) hex order (string
+    compare — portable), so the selected SET is deterministic across
+    engines/reruns/partitionings; the commutative md5-derived bit_xor
+    checksum proves set identity without shipping rows.
+
+    Scale shape: the apportionment runs on the strata-sized manifest;
+    selection is one window rank per stratum — a single shuffle on the
+    stratum key (rank-based exactness is what you pay for over
+    sample_temperature_mix's shuffle-free threshold membership; for
+    eval sets N is small and the window input can be pre-filtered by a
+    generous hash threshold at a true 100 TB, same two-phase trick as
+    the global-window operators)."""
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("stratum"), "c_custkey", "c_acctbal"
+    )
+    n = cust.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    tot = n.agg(F.sum("n_total").cast("long").alias("t"))
+    base = (
+        n.crossJoin(F.broadcast(tot))
+        .withColumn("floor_q", F.expr(f"({_QUOTA_N}L * n_total) div t"))
+        .withColumn("rem", F.expr(f"({_QUOTA_N}L * n_total) % t"))
+    )
+    short = base.agg(
+        (F.lit(_QUOTA_N) - F.sum("floor_q")).cast("long").alias("k")
+    )
+    q = (
+        base.crossJoin(F.broadcast(short))
+        .withColumn(
+            "rk_rem",
+            F.row_number().over(W.orderBy(F.desc("rem"), "stratum")),
+        )
+        .select(
+            "stratum",
+            "n_total",
+            (
+                F.col("floor_q")
+                + F.when(F.col("rk_rem") <= F.col("k"), 1).otherwise(0)
+            ).cast("long").alias("quota"),
+        )
+    )
+    ranked = cust.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("stratum").orderBy(
+                F.md5(F.col("c_custkey").cast("string").cast("binary")),
+                "c_custkey",
+            )
+        ),
+    )
+    pick = ranked.join(F.broadcast(q.select("stratum", "quota")), "stratum").where(
+        F.col("rk") <= F.col("quota")
+    )
+    key64 = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("c_custkey").cast("string").cast("binary")), 3, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    agg = pick.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.bit_xor(key64).alias("key_xor"),
+        F.sum("c_acctbal").alias("bal"),
+    )
+    out = (
+        q.join(agg, "stratum", "left")
+        .select(
+            "stratum",
+            "n_total",
+            "quota",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("key_xor", F.lit(0)).cast("long").alias("key_xor"),
+            money(F.coalesce("bal", F.lit(0.0)) + 1e-4).alias("sum_acctbal"),
+        )
+        .orderBy("stratum")
+    )
+    return materialize_bounded(out)
