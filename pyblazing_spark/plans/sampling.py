@@ -652,12 +652,15 @@ def sample_quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
     checksum proves set identity without shipping rows.
 
     Scale shape: the apportionment runs on the strata-sized manifest;
-    selection is one window rank per stratum — a single shuffle on the
-    stratum key (rank-based exactness is what you pay for over
-    sample_temperature_mix's shuffle-free threshold membership; for
-    eval sets N is small and the window input can be pre-filtered by a
-    generous hash threshold at a true 100 TB, same two-phase trick as
-    the global-window operators)."""
+    selection is TWO-PHASE so the per-stratum rank window never sees
+    the corpus: quota-first-by-md5 rows are exactly the smallest
+    hashes, so a generous per-stratum hash threshold (~8x the take
+    fraction) prefilters the window input down to ~8x quota rows, and
+    an EXACT per-stratum sufficiency check (survivors >= quota, one
+    tiny aggregate) falls back to the unfiltered input in the
+    astronomically-rare shortfall case — same answer either way,
+    verified not assumed. Rank-based exactness is what you pay for
+    over sample_temperature_mix's shuffle-free threshold membership."""
     cust = T(spark, sf_dir, "customer").select(
         F.col("c_mktsegment").alias("stratum"), "c_custkey", "c_acctbal"
     )
@@ -688,7 +691,40 @@ def sample_quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
             ).cast("long").alias("quota"),
         )
     )
-    ranked = cust.withColumn(
+    # two-phase selection: the quota-first rows per stratum are the
+    # SMALLEST md5 hex strings, and hex-string order agrees with the
+    # numeric order of the leading-32-bit integer, so u < thr keeps a
+    # superset of the top-quota set whenever >= quota rows survive —
+    # which the exact check below verifies before trusting the filter.
+    u32 = (
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+    )
+    thr = q.select(
+        "stratum",
+        F.least(
+            F.lit(1.0), F.lit(8.0) * F.col("quota") / F.col("n_total")
+        ).alias("__f"),
+    ).select(
+        "stratum",
+        F.ceil(F.col("__f") * F.lit(4294967296.0)).cast("long").alias("__thr"),
+    )
+    pre = cust.withColumn("__u", u32).join(F.broadcast(thr), "stratum").where(
+        F.col("__u") < F.col("__thr")
+    )
+    enough = (
+        pre.groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(q.select("stratum", "quota"), "stratum")
+        .where(F.col("__n") < F.col("quota"))
+        .count()
+        == 0
+    )
+    window_in = pre if enough else cust
+    ranked = window_in.withColumn(
         "rk",
         F.row_number().over(
             W.partitionBy("stratum").orderBy(
