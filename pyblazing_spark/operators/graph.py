@@ -747,9 +747,12 @@ def scc_pivot_fwbw(
                         "left",
                     ).select(
                         "node",
-                        F.greatest("color", F.coalesce("__nc", F.lit(0))).alias(
-                            "color"
-                        ),
+                        # coalesce to the node's OWN color, never a
+                        # constant: ids may be negative, and a 0 filler
+                        # would overwrite (and corrupt) their labels
+                        F.greatest(
+                            "color", F.coalesce("__nc", F.col("color"))
+                        ).alias("color"),
                     )
                 )
                 changed = upd

@@ -113,7 +113,7 @@ def tag_keywords(
 
     Two kernels with IDENTICAL all-occurrence semantics (property-pinned
     in tests): small dictionaries of border-free terms use k C-speed
-    ``str.count`` scans — for k < ~{_SMALL_DICT} the interpreter-free
+    ``str.count`` scans — for small k (the _SMALL_DICT=64 crossover) the interpreter-free
     scan wins by ~10x despite being O(k x corpus); everything else
     (large dictionaries, or any self-overlapping term, where
     ``str.count``'s non-overlapping semantics would undercount) takes
@@ -130,13 +130,21 @@ def tag_keywords(
     )
 
     def scan(batches: Iterator["object"]) -> Iterator["object"]:
-        import pandas as pd
+        # mapInArrow, not mapInPandas: pandas delivers a nullable int64
+        # id column as float64, silently rounding ids above 2^53
+        # (CLAUDE.md value-exact-sink rule; the Avro writer is the
+        # precedent) — pyarrow keeps int64 + validity, so null-id docs
+        # pass through as NULL instead of poisoning the whole column
+        import pyarrow as pa
 
-        for pdf in batches:
+        for batch in batches:
             ids: list = []
             kw_out: list[str] = []
             cnt: list[int] = []
-            for i, txt in zip(pdf["id"], pdf["text"]):
+            for i, txt in zip(
+                batch.column("id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
                 if txt is None:
                     continue
                 if fast:
@@ -148,12 +156,15 @@ def tag_keywords(
                         ids.append(i)
                         kw_out.append(kws[j])
                         cnt.append(c)
-            yield pd.DataFrame(
-                {"id": pd.Series(ids, dtype="int64"),
-                 "keyword": pd.Series(kw_out, dtype="object"),
-                 "n_matches": pd.Series(cnt, dtype="int64")}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(kw_out, pa.string()),
+                    pa.array(cnt, pa.int64()),
+                ],
+                names=["id", "keyword", "n_matches"],
             )
 
-    return src.mapInPandas(
+    return src.mapInArrow(
         scan, schema="id long, keyword string, n_matches long"
     )

@@ -2354,7 +2354,7 @@ def _bpe_encode_pipeline(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge APPLICATION — the actual tokenize step of
     a training pipeline (VERDICT r9 #5; ``text_bpe_merges`` only LEARNS
-    ranks). Learns {_BPE_ENC_MERGES} greedy merges with the in-process
+    ranks). Learns four greedy merges with the in-process
     heap learner (:func:`_bpe_learn_inprocess` over the |vocab|-bounded
     collected word counts — job count independent of the merge count),
     then encodes with the classic inference kernel: per word, apply
@@ -2430,7 +2430,7 @@ ORDER BY kw
 def text_multi_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary tagging in ONE corpus pass: a broadcast Aho-Corasick
     automaton (:mod:`pyblazing_spark.operators.keywords`) matches all
-    {len(_KW_TAG_TERMS)} terms simultaneously — O(corpus + matches)
+    ten terms simultaneously — O(corpus + matches)
     where k separate instr/regex passes are O(k x corpus); the shape
     FlashText-style taggers use for contamination/unsafe-term/licensing
     dictionaries at training-pipeline scale. Occurrence semantics is

@@ -1229,7 +1229,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE lo AS (
   SELECT DISTINCT l_orderkey, l_linenumber, l_suppkey FROM lineitem),
- seq AS (
+ seq AS MATERIALIZED (
   SELECT l_orderkey, l_suppkey,
          row_number() OVER (
            PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey) AS rk

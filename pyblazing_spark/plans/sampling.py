@@ -28,6 +28,20 @@ from pyblazing_spark.plans.tpch import money
 from pyblazing_spark.sources.tables import load_table as T
 
 
+def hash_u32(col):
+    """Leading 32 bits of md5(value-as-string) as a BIGINT in
+    [0, 2^32) — the engine-portable uniform hash every threshold /
+    prefilter in this module compares against (DuckDB twin:
+    ``('0x' || substring(md5(CAST(col AS VARCHAR)), 1, 8))::BIGINT``)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+    )
+
+
 def hash_bucket(col, buckets: int = 100):
     """Deterministic bucket id in [0, buckets) from a column's md5.
 
@@ -488,11 +502,11 @@ _TEMP_MIX_CASE_SQL = """CASE WHEN length(text) < 64 THEN 'len_lt64'
     "sample_temperature_mix",
     tags=("sampling", "mixing", "llm"),
     oracle=f"""
-WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+WITH d AS MATERIALIZED (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         {_TEMP_MIX_CASE_SQL} AS source
         FROM documents),
  n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM d GROUP BY 1),
- w AS (SELECT source, n_total, pow(n_total, {_TEMP_MIX_ALPHA}) AS wt FROM n),
+ w AS MATERIALIZED (SELECT source, n_total, pow(n_total, {_TEMP_MIX_ALPHA}) AS wt FROM n),
  f AS (SELECT source, n_total,
         least(1.0, {_TEMP_MIX_N} * wt / (SELECT sum(wt) FROM w) / n_total) AS frac
        FROM w),
@@ -565,17 +579,8 @@ def temperature_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("frac") * F.lit(4294967296.0) + F.lit(1e-6)).cast("long"),
         )
     )
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("u")
-    )
     hit = (
-        docs.select("source", "n_chars", u)
+        docs.select("source", "n_chars", hash_u32("doc_id").alias("u"))
         .join(F.broadcast(t.select("source", "thr")), "source")
         .where(F.col("u") < F.col("thr"))
     )
@@ -640,8 +645,8 @@ ORDER BY q.stratum
 )
 def sample_quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-quota stratified sampling via largest-remainder (Hamilton)
-    apportionment — eval-set construction where "take {_QUOTA_N}
-    proportionally" must mean EXACTLY {_QUOTA_N} rows, not a Bernoulli
+    apportionment — eval-set construction where "take 100
+    proportionally" must mean EXACTLY N=100 rows, not a Bernoulli
     expectation: per-stratum floor quotas ``(N*n_s) div total`` plus one
     extra for the ``N - Σfloor`` largest remainders (ties broken by
     stratum name). Everything is BIGINT arithmetic — cross-engine exact
@@ -696,13 +701,6 @@ def sample_quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
     # numeric order of the leading-32-bit integer, so u < thr keeps a
     # superset of the top-quota set whenever >= quota rows survive —
     # which the exact check below verifies before trusting the filter.
-    u32 = (
-        F.conv(
-            F.substring(F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-    )
     thr = q.select(
         "stratum",
         F.least(
@@ -712,14 +710,21 @@ def sample_quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
         "stratum",
         F.ceil(F.col("__f") * F.lit(4294967296.0)).cast("long").alias("__thr"),
     )
-    pre = cust.withColumn("__u", u32).join(F.broadcast(thr), "stratum").where(
-        F.col("__u") < F.col("__thr")
-    )
+    pre = cust.withColumn("__u", hash_u32("c_custkey")).join(
+        F.broadcast(thr), "stratum"
+    ).where(F.col("__u") < F.col("__thr"))
+    # LEFT join from the quota side: a stratum with quota > 0 but ZERO
+    # survivors produces no group in the survivor counts at all — an
+    # inner join would silently drop it from the check and the fallback
+    # would never trigger (found in round-11 self-review)
     enough = (
-        pre.groupBy("stratum")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .join(q.select("stratum", "quota"), "stratum")
-        .where(F.col("__n") < F.col("quota"))
+        q.select("stratum", "quota")
+        .join(
+            pre.groupBy("stratum").agg(F.count(F.lit(1)).alias("__n")),
+            "stratum",
+            "left",
+        )
+        .where(F.coalesce("__n", F.lit(0)) < F.col("quota"))
         .count()
         == 0
     )

@@ -9,8 +9,8 @@ pure-Python Object Container codec
   silently loses exactness above 2**53), the driver only collects the
   (path, rows) manifest. Deterministic file names (partition id),
   deterministic bytes (sync marker derived from schema + partition
-  id, not random), so a re-run of the same frame produces an
-  identical tree.
+  id + content totals, not random), so a re-run of the same frame
+  produces an identical tree.
 - :func:`read_avro`: ``binaryFile`` scan (one task per container) +
   ``mapInPandas`` decode. File-level parallelism is the natural Avro
   split unit here (the writer emits many partition-sized files);
@@ -77,20 +77,25 @@ def _avro_schema_of(df: DataFrame, name: str = "spark_record") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
-def _file_sync(schema: dict, pid: int) -> bytes:
-    """Per-(schema, partition) sync marker: deterministic across
+def _file_sync(schema: dict, pid: int, n_rows: int, body_bytes: int) -> bytes:
+    """Per-file sync marker derived from (schema, partition id, row
+    count, total un-compressed body bytes): deterministic across
     re-runs of the same frame (byte-identical trees still diff
-    cleanly), but NOT a global constant — a fixed marker would be
-    reproduced verbatim by any payload embedding bytes written with it
-    (avro-in-avro: an embedded container shares the marker AND carries
-    self-consistent block framing, defeating the split reader's
-    varint+terminating-sync false-match check). Deriving from the
-    schema means an inner container serialized as a ``bytes`` field
-    necessarily has a different schema than its wrapper, hence a
-    different marker."""
+    cleanly), but never shared with an EMBEDDED container — the
+    avro-in-avro case where a fixed (or schema-only) marker lets inner
+    blocks carry self-consistent framing under the outer marker and
+    silently surface inner rows through the split reader. Including
+    the body size closes even the self-similar case (identical schema,
+    same partition id, same row count): an outer partition that embeds
+    an inner file as a payload has STRICTLY more body bytes than the
+    inner file's own bodies (the wrapper adds at least the framing and
+    other fields), so the two markers can never coincide."""
     import hashlib
 
-    seed = json.dumps(schema, separators=(",", ":")) + f"|{pid}"
+    seed = (
+        json.dumps(schema, separators=(",", ":"))
+        + f"|{pid}|{n_rows}|{body_bytes}"
+    )
     return hashlib.md5(b"pbsp-avro-sync:" + seed.encode()).digest()
 
 
@@ -108,20 +113,24 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        sync = _file_sync(schema, pid)
         out = f"{path}/part-{pid:05d}.avro"
-        blocks: list[bytes] = []
+        bodies: list[tuple[int, bytes]] = []
         n_total = 0
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            body = encode_block_arrow(ftypes, batch)
-            blocks.append(frame_block(batch.num_rows, body, codec, sync))
+            bodies.append((batch.num_rows, encode_block_arrow(ftypes, batch)))
             n_total += batch.num_rows
         if n_total:
+            # sync derived from content totals (see _file_sync), so the
+            # bodies are encoded first and framed after
+            sync = _file_sync(
+                schema, pid, n_total, sum(len(b) for _, b in bodies)
+            )
             with open(out, "wb") as fh:
                 fh.write(container_header(schema, codec, sync))
-                fh.writelines(blocks)
+                for n_rows, body in bodies:
+                    fh.write(frame_block(n_rows, body, codec, sync))
             yield pa.RecordBatch.from_pydict(
                 {"path": [out], "n_rows": [n_total]}
             )

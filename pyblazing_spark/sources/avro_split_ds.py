@@ -23,9 +23,11 @@ there. Partitioning becomes pure arithmetic over file length:
   rest of the file in memory before rejection), and REQUIRES the
   block to be terminated by the sync again — a lone collision cannot
   satisfy all three (same trust model as Hadoop's splitter). Our
-  writer derives the marker per (schema, partition) rather than using
-  one global constant, so embedded avro-in-avro payloads don't carry
-  self-consistent framing under the outer file's marker.
+  writer derives the marker from (schema, partition, row count, body
+  bytes) rather than a global constant, so an embedded avro-in-avro
+  payload can never share the outer file's marker (the outer body is
+  strictly larger than any file it embeds) and thus never carries
+  self-consistent framing under it.
 
 No ``pushFilters``: this reader backs long-lived relations too, and
 Spark 4.1 pins the first pushdown's read info on the shared relation
@@ -210,9 +212,13 @@ class AvroSplitReader(DataSourceReader):
                     # varints parsed from garbage don't land on a sync
                     pos = _next_block_start(buf, ensure, sync, max(1, pos - 15))
                     continue
-                rows = decode_block_rows(
-                    bytes(buf[p2 : p2 + n_bytes]), n_rows, self.ftypes, codec
-                )
+                # one copy, not two (a bytearray slice is already a
+                # copy): export a memoryview just long enough to take
+                # the bytes, released before any ensure() can grow buf
+                mv = memoryview(buf)
+                body = bytes(mv[p2 : p2 + n_bytes])
+                mv.release()
+                rows = decode_block_rows(body, n_rows, self.ftypes, codec)
                 cols = list(zip(*rows)) if rows else [
                     () for _ in self.ftypes
                 ]

@@ -335,23 +335,49 @@ def test_avro_split_false_positive_sync_in_data(spark):
     import shutil
     import tempfile
 
-    from pyblazing_spark.sources.avro_files import (
-        _avro_schema_of,
-        _file_sync,
-        write_avro,
+    import os
+
+    import pyarrow as pa
+
+    from pyblazing_spark.operators.avro_py import (
+        _field_types,
+        container_header,
+        encode_block_arrow,
+        frame_block,
+        make_schema,
     )
     from pyblazing_spark.sources.avro_split_ds import read_avro_split
 
+    # craft the container directly with a CHOSEN sync so the payloads
+    # can embed the file's own marker (write_avro's marker is content-
+    # derived now, which makes embedding it circular by construction)
+    sync = bytes(range(32, 48))
+    schema = make_schema("r", [("k", "long", False), ("raw", "bytes", False)])
+    ftypes = _field_types(schema)
+    rows = [
+        (i, sync if i % 3 == 0 else b"x" * (i % 50)) for i in range(5000)
+    ]
+    cols = list(zip(*rows))
     d = tempfile.mkdtemp(prefix="avro_fp_")
     try:
-        probe = spark.createDataFrame([(0, b"")], "k long, raw binary")
-        sync = _file_sync(_avro_schema_of(probe), 0)
-        rows = [
-            (i, sync if i % 3 == 0 else b"x" * (i % 50))
-            for i in range(5000)
-        ]
-        src = spark.createDataFrame(rows, "k long, raw binary").coalesce(1)
-        assert write_avro(src, d, codec="null") == 5000
+        p = os.path.join(d, "fp.avro")
+        with open(p, "wb") as fh:
+            fh.write(container_header(schema, "null", sync))
+            for lo in range(0, len(rows), 400):
+                batch = pa.record_batch(
+                    {
+                        "k": pa.array(cols[0][lo : lo + 400], pa.int64()),
+                        "raw": pa.array(cols[1][lo : lo + 400], pa.binary()),
+                    }
+                )
+                fh.write(
+                    frame_block(
+                        batch.num_rows,
+                        encode_block_arrow(ftypes, batch),
+                        "null",
+                        sync,
+                    )
+                )
         back = read_avro_split(spark, d, split_size=1 << 16)
         got = {r.k: bytes(r.raw) for r in back.collect()}
         assert len(got) == 5000

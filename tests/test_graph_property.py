@@ -371,11 +371,14 @@ def _ref_scc(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 @st.composite
 def _digraph(draw):
+    # ids straddle zero: the coloring loop once coalesced missing
+    # updates to literal 0, silently corrupting negative-id labels —
+    # the range pins that regression (round-11 self-review)
     n_edges = draw(st.integers(min_value=1, max_value=30))
     edges = []
     for _ in range(n_edges):
-        a = draw(st.integers(min_value=1, max_value=12))
-        b = draw(st.integers(min_value=1, max_value=12))
+        a = draw(st.integers(min_value=-6, max_value=6))
+        b = draw(st.integers(min_value=-6, max_value=6))
         edges.append((a, b))
     return edges
 
