@@ -11,7 +11,9 @@ corpus scale.
 
 Spark shape: the automaton is built once driver-side from the (small)
 dictionary and rides the task closure into an Arrow-batched
-``mapInPandas`` kernel — the corpus is scanned exactly once, nothing
+``mapInArrow`` kernel (Arrow, not pandas: pandas would deliver a
+nullable int64 doc-id column as float64 and lose exactness above
+2^53) — the corpus is scanned exactly once, nothing
 text-shaped ever shuffles (the kernel emits (doc, keyword, count)
 rows, dictionary-bounded per doc), and the per-keyword rollup is a
 map-side-combinable aggregation on tiny rows. At a production 100k-term

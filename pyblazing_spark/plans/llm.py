@@ -604,6 +604,10 @@ def dedup_components_reliable(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _components_rollup returns an eagerly materialized frame, so
         # the round snapshots are consumed by now; a real deployment
         # points checkpoint_dir at a managed path and reaps by job id.
+        # NOTE: setCheckpointDir is process-global and still points at
+        # the removed path after this — any df.checkpoint() call MUST
+        # flow through make_ckpt (which re-sets the dir per call); no
+        # code path in this package calls df.checkpoint() directly.
         shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 

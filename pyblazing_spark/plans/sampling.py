@@ -511,7 +511,7 @@ WITH d AS MATERIALIZED (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         least(1.0, {_TEMP_MIX_N} * wt / (SELECT sum(wt) FROM w) / n_total) AS frac
        FROM w),
  t AS (SELECT source, n_total, frac,
-        CAST(floor(frac * 4294967296.0 + 1e-6) AS BIGINT) AS thr FROM f),
+        CAST(floor(frac * 4294967296.0 * (1.0 + 1e-12) + 1e-6) AS BIGINT) AS thr FROM f),
  hit AS (SELECT d.source, d.n_chars
          FROM d JOIN t ON t.source = d.source
          WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -543,9 +543,13 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster sizes, and no corpus-scale shuffle ever happens (same
     contract as sample_hash_bernoulli; broadcast shape plan-audited on
     the lazy plan in test_plan_audits). The float thresholds are
-    integerized against the 32-bit hash space with a ~4-ULP nudge so an
-    engine-side ULP difference in pow/sum cannot flip a comparison
-    except for a doc whose hash lands on the exact boundary integer."""
+    integerized against the 32-bit hash space with a RELATIVE nudge
+    (``*(1+1e-12)``, ~4400 ULP of margin at the top of the range where
+    one ULP of ``frac*2^32`` is ~9.5e-7 and an absolute 1e-6 alone
+    would cover barely one) plus a small absolute term for thresholds
+    near zero, so an engine-side ULP difference in pow/sum cannot flip
+    a comparison except for a doc whose hash lands on the exact
+    boundary integer — and both engines apply the identical formula."""
     return materialize_bounded(temperature_mix_plan(spark, sf_dir))
 
 
@@ -576,7 +580,9 @@ def temperature_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "thr",
-            F.floor(F.col("frac") * F.lit(4294967296.0) + F.lit(1e-6)).cast("long"),
+            F.floor(
+                F.col("frac") * F.lit(4294967296.0) * F.lit(1.0 + 1e-12) + F.lit(1e-6)
+            ).cast("long"),
         )
     )
     hit = (

@@ -14,7 +14,7 @@ What it does:
    source (exact, engine-side — no driver collect of data rows);
 4. times the scan and prints bytes/s.
 
-Usage: python scripts/avro_monolith_probe.py [K replicas, default 4]
+Usage: python scripts/avro_monolith_probe.py [K replicas, default 8]
 """
 
 from __future__ import annotations

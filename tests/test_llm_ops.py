@@ -619,7 +619,7 @@ def test_keyword_tag_entry_terms_border_free():
 
 
 def test_tag_keywords_distributed(spark):
-    """The mapInPandas kernel end-to-end: per-(doc, keyword) counts
+    """The mapInArrow kernel end-to-end: per-(doc, keyword) counts
     match per-doc brute counts, NULL texts skipped, zero-match pairs
     absent."""
     from pyblazing_spark.operators.keywords import tag_keywords
