@@ -130,24 +130,27 @@ def _bucket_pairs(
     ).otherwise(star)
 
 
-def _hashed_shingle_rows(
-    df: DataFrame, text_col: str, id_col: str, shingle_words: int = 3
+def _hashed_windows_from_tokens(
+    df: DataFrame, id_col: str, tokens_col: str, shingle_words: int = 3
 ) -> DataFrame:
-    """(id, __h): one row per k-token shingle window, __h = xxhash64 of
-    the window's tokens (multi-arg — no string concat).
+    """(id, __h) from a PRE-TOKENIZED frame: one row per k-token window,
+    __h = xxhash64 of the window's tokens (multi-arg — no string
+    concat). Entry point for pipelines that tokenize once and persist
+    the token arrays (e.g. the corpus-e2e composition), so later dedup/
+    decontam stages never re-scan raw text.
 
     Deliberately row-wise, not array-valued: array-building
     higher-order functions evaluate interpreted (outside whole-stage
     codegen), and Catalyst's InferFiltersFromGenerate + pushdown can
     clone the whole array expression into a per-row Filter — measured
     ~100x slower than this explode + scalar-hash shape."""
-    toks = df.select(F.col(id_col), TXT.tokens(F.col(text_col)).alias("__toks"))
-    win = toks.select(
+    win = df.select(
         id_col,
-        "__toks",
+        F.col(tokens_col).alias("__toks__w"),
         F.explode(
             F.sequence(
-                F.lit(0), F.greatest(F.lit(0), F.size("__toks") - F.lit(shingle_words))
+                F.lit(0),
+                F.greatest(F.lit(0), F.size(tokens_col) - F.lit(shingle_words)),
             )
         ).alias("__i"),
     )
@@ -158,11 +161,23 @@ def _hashed_shingle_rows(
         id_col,
         F.xxhash64(
             *[
-                F.try_element_at(F.col("__toks"), (F.col("__i") + F.lit(j + 1)).cast("int"))
+                F.try_element_at(
+                    F.col("__toks__w"), (F.col("__i") + F.lit(j + 1)).cast("int")
+                )
                 for j in range(shingle_words)
             ]
         ).alias("__h"),
     )
+
+
+def _hashed_shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int = 3
+) -> DataFrame:
+    """(id, __h): one row per k-token shingle window of the whitespace
+    tokenization of ``text_col`` (see
+    :func:`_hashed_windows_from_tokens` for the shape rationale)."""
+    toks = df.select(F.col(id_col), TXT.tokens(F.col(text_col)).alias("__toks"))
+    return _hashed_windows_from_tokens(toks, id_col, "__toks", shingle_words)
 
 
 def minhash_lsh_pairs(
@@ -206,8 +221,27 @@ def minhash_lsh_pairs(
     pays: the inverted-index paths below, whose exchanges are keyed on
     the shingle itself.
     """
-    rows = num_hashes // bands
     hashed = _hashed_shingle_rows(df, text_col, id_col)
+    return minhash_pairs_from_hashed(
+        hashed, id_col, num_hashes, bands, threshold, star_above, hubs
+    )
+
+
+def minhash_pairs_from_hashed(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    star_above: int = STAR_ABOVE,
+    hubs: int = 1,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` from pre-hashed shingle rows
+    (id, __h) — the composition entry point for pipelines that already
+    hold hashed windows (from persisted token arrays via
+    :func:`_hashed_windows_from_tokens`), with identical semantics and
+    plan shape from the signature aggregation onward."""
+    rows = num_hashes // bands
     # ONE aggregation produces both the signature and the exact shingle
     # set: the two consumers below (banding, Jaccard verify) then share
     # an identical exchange subtree, so Spark's ReusedExchange runs the

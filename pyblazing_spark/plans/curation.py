@@ -1467,3 +1467,411 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
     ).orderBy("shard", "bin")
+
+
+# ------------------------------------------------------------------ e2e
+_E2E_BENCH_CUT = 50  # doc_id < 50 = held-out benchmark set
+_E2E_MIX_N = 100.0  # temperature-mix target sample size
+_E2E_ALPHA = 0.5  # temperature: w_s ∝ n_s^alpha
+
+#: Corpus-e2e quality predicates — the pipeline_filter_cascade rules as
+#: a single keep/drop gate (DuckDB fail-form; Spark twins built below).
+_E2E_FAIL_SQL = (
+    "n_chars < 120 OR n_chars > 450"
+    r" OR length(regexp_replace(text, '\s', '', 'g')) * 1.0 / len(tk) < 4.0"
+    " OR NOT (lower(text) LIKE '% the %' OR lower(text) LIKE '% and %')"
+    " OR len(list_distinct(tk)) * 1.0 / len(tk) < 0.4"
+    " OR len(tk) < 20"
+)
+
+_E2E_ORACLE = rf"""
+WITH bench AS MATERIALIZED (
+  SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents
+  WHERE doc_id < {_E2E_BENCH_CUT}),
+ corpus AS MATERIALIZED (
+  SELECT doc_id, source, n_chars, text,
+         string_split_regex(trim(text), '\s+') AS tk
+  FROM documents WHERE doc_id >= {_E2E_BENCH_CUT}),
+ feat AS MATERIALIZED (
+  SELECT doc_id, source, tk,
+         CAST(len(tk) AS BIGINT) AS n_tok,
+         NOT ({_E2E_FAIL_SQL}) AS ok,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 3, 15))::BIGINT
+              AS BIGINT) AS h60,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              AS BIGINT) AS u32
+  FROM corpus),
+ q AS MATERIALIZED (SELECT * FROM feat WHERE ok),
+ d2 AS MATERIALIZED (
+  SELECT q.* FROM q JOIN (SELECT fp, min(doc_id) AS keep FROM q GROUP BY fp) w
+  ON q.doc_id = w.keep),
+ idx3 AS (SELECT doc_id, tk,
+          unnest(generate_series(1, greatest(1, len(tk)-2))) AS i FROM d2),
+ sh3 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s FROM idx3),
+ sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+ losers AS MATERIALIZED (
+  SELECT DISTINCT id_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+ d3 AS MATERIALIZED (
+  SELECT * FROM d2 WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+ idx5 AS (SELECT doc_id, tk,
+          unnest(generate_series(1, greatest(1, len(tk)-4))) AS i FROM d3),
+ c5 AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s FROM idx5),
+ bidx AS (SELECT tk, unnest(generate_series(1, greatest(1, len(tk)-4))) AS i
+          FROM bench),
+ b5 AS MATERIALIZED (
+  SELECT DISTINCT array_to_string(tk[i:i+4], ' ') AS s FROM bidx),
+ contaminated AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM c5 WHERE s IN (SELECT s FROM b5)),
+ d4 AS MATERIALIZED (
+  SELECT * FROM d3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+ mixn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM d4 GROUP BY 1),
+ mixw AS MATERIALIZED (
+  SELECT source, n_total, pow(n_total, {_E2E_ALPHA}) AS wt FROM mixn),
+ thr AS MATERIALIZED (
+  SELECT source,
+         CAST(floor(least(1.0, {_E2E_MIX_N} * wt / (SELECT sum(wt) FROM mixw)
+                               / n_total)
+                    * 4294967296.0 * (1.0 + 1e-12) + 1e-6) AS BIGINT) AS thr
+  FROM mixw),
+ d5 AS MATERIALIZED (SELECT d4.* FROM d4 JOIN thr USING (source)
+                     WHERE u32 < thr),
+ cum AS (SELECT doc_id % {_PACK_SHARDS} AS shard, n_tok,
+         CAST(sum(n_tok) OVER (
+           PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id) AS BIGINT) AS cum
+         FROM d5),
+ spans AS (SELECT shard, cum, cum - n_tok AS excl,
+           (cum - n_tok) // {_PACK_B} AS first_bin,
+           (cum - 1) // {_PACK_B} AS last_bin FROM cum),
+ ex AS (SELECT shard, cum, excl,
+        unnest(generate_series(first_bin, last_bin)) AS bin FROM spans),
+ bins AS MATERIALIZED (
+  SELECT shard, CAST(bin AS BIGINT) AS bin,
+         CAST(sum(least(cum, (bin+1)*{_PACK_B})
+                  - greatest(excl, bin*{_PACK_B})) AS BIGINT) AS tokens_in_bin
+  FROM ex GROUP BY shard, bin)
+SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(coalesce(bit_xor(h60), 0) AS BIGINT) AS key_xor FROM feat
+UNION ALL SELECT 1, 'quality', count(*), CAST(sum(n_tok) AS BIGINT),
+       CAST(coalesce(bit_xor(h60), 0) AS BIGINT) FROM q
+UNION ALL SELECT 2, 'exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT),
+       CAST(coalesce(bit_xor(h60), 0) AS BIGINT) FROM d2
+UNION ALL SELECT 3, 'near_dedup', count(*), CAST(sum(n_tok) AS BIGINT),
+       CAST(coalesce(bit_xor(h60), 0) AS BIGINT) FROM d3
+UNION ALL SELECT 4, 'decontam', count(*), CAST(sum(n_tok) AS BIGINT),
+       CAST(coalesce(bit_xor(h60), 0) AS BIGINT) FROM d4
+UNION ALL SELECT 5, 'temperature_mix', count(*), CAST(sum(n_tok) AS BIGINT),
+       CAST(coalesce(bit_xor(h60), 0) AS BIGINT) FROM d5
+UNION ALL SELECT 6, 'packed', count(*), CAST(sum(tokens_in_bin) AS BIGINT),
+       CAST(coalesce(bit_xor(
+         CAST(('0x' || substring(md5(CAST(shard AS VARCHAR) || ':'
+               || CAST(bin AS VARCHAR) || ':'
+               || CAST(tokens_in_bin AS VARCHAR)), 3, 15))::BIGINT
+              AS BIGINT)), 0) AS BIGINT)
+       FROM bins
+ORDER BY stage_idx
+"""
+
+
+def corpus_e2e_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build composition (LAZY card; see
+    :func:`pipeline_corpus_e2e` for the contract). Side-input frames
+    (near-dup losers, contaminated ids) are materialized eagerly while
+    building, so the returned plan reads ONLY the stage-1 cache and
+    those bounded id sets — the no-rescan property the plan audit
+    checks. The stage-1 cache stays persisted; callers that consume
+    the card should unpersist via :func:`_corpus_e2e_build`."""
+    return _corpus_e2e_build(spark, sf_dir)[0]
+
+
+def _corpus_e2e_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(lazy card, persisted stage-1 feature frame) — the frame handle
+    lets the caller unpersist exactly what this build cached."""
+    from pyblazing_spark.operators.dedup import (
+        _hashed_shingle_rows,
+        _hashed_windows_from_tokens,
+        minhash_pairs_from_hashed,
+    )
+    from pyblazing_spark.plans.sampling import hash_u32
+
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < _E2E_BENCH_CUT)
+    corpus = docs.where(F.col("doc_id") >= _E2E_BENCH_CUT)
+
+    # ---- stage 1: the ONLY pass over corpus text. Every text-derived
+    # artifact any later stage needs — token array, token count, quality
+    # gate, content fingerprint, the two portable id hashes — is
+    # computed here and persisted; downstream stages read the cache.
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    md5_id = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    base = corpus.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        toks.alias("__toks"),
+    )
+    fails = (
+        (F.col("n_chars") < 120)
+        | (F.col("n_chars") > 450)
+        | (
+            F.length(F.regexp_replace("text", r"\s", "")) * 1.0 / F.size("__toks")
+            < 4.0
+        )
+        | ~(
+            F.lower(F.col("text")).contains(" the ")
+            | F.lower(F.col("text")).contains(" and ")
+        )
+        | (F.size(F.array_distinct("__toks")) * 1.0 / F.size("__toks") < 0.4)
+        | (F.size("__toks") < 20)
+    )
+    feat = base.select(
+        "doc_id",
+        "source",
+        "__toks",
+        F.size("__toks").cast("long").alias("n_tok"),
+        (~fails).alias("ok"),
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                    " +",
+                    " ",
+                )
+            )
+        ).alias("fp"),
+        F.conv(F.substring(md5_id, 3, 15), 16, 10).cast("long").alias("h60"),
+        hash_u32("doc_id").alias("u32"),
+    ).persist()
+    feat.count()  # materialize the stage-1 cache
+
+    # ---- stage 2: exact dedup winners (min doc_id per fingerprint).
+    q = feat.where("ok")
+    winners = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    d2 = q.join(winners, "doc_id", "left_semi")
+
+    # ---- stage 3: MinHash-LSH near-dup losers (greedy drop-id_b), from
+    # the CACHED token arrays. Materialized: the pair computation runs
+    # once here and the card plan references only the bounded id set.
+    pairs = minhash_pairs_from_hashed(
+        _hashed_windows_from_tokens(d2, "doc_id", "__toks", 3),
+        "doc_id",
+        threshold=0.5,
+    )
+    losers = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    d3 = d2.join(losers, "doc_id", "left_anti")
+
+    # ---- stage 4: decontamination vs the held-out set (the one
+    # permitted extra text scan — the BENCH side, which is not corpus).
+    c5 = _hashed_windows_from_tokens(d3, "doc_id", "__toks", 5).distinct()
+    b5 = _hashed_shingle_rows(bench, "text", "doc_id", 5).select("__h").distinct()
+    contaminated = (
+        c5.join(F.broadcast(b5), "__h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    d4 = d3.join(contaminated, "doc_id", "left_anti")
+
+    # ---- stage 5: temperature mixing (T5 n^alpha) on the survivors'
+    # per-source manifest; membership is a pure (doc_id, manifest)
+    # predicate via the broadcast integerized thresholds.
+    manifest = d4.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    w = manifest.withColumn("wt", F.pow("n_total", F.lit(_E2E_ALPHA)))
+    tw = w.agg(F.sum("wt").alias("tw"))
+    thr = (
+        w.crossJoin(F.broadcast(tw))
+        .select(
+            "source",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(_E2E_MIX_N) * F.col("wt") / F.col("tw") / F.col("n_total"),
+                )
+                * F.lit(4294967296.0)
+                * F.lit(1.0 + 1e-12)
+                + F.lit(1e-6)
+            )
+            .cast("long")
+            .alias("thr"),
+        )
+    )
+
+    # ---- lineage card: ONE pass over the cached per-doc frame computes
+    # every doc-stage row via conditional aggregation + stack (the
+    # one-scan discipline — never six aggregate branches re-reading the
+    # chain), using cumulative survival flags.
+    tagged = (
+        feat.join(winners.withColumn("__ke", F.lit(1)), "doc_id", "left")
+        .join(losers.withColumn("__ln", F.lit(1)), "doc_id", "left")
+        .join(contaminated.withColumn("__lc", F.lit(1)), "doc_id", "left")
+        .join(F.broadcast(thr), "source", "left")
+        .withColumn("s1", F.col("ok"))
+        .withColumn("s2", F.col("s1") & (F.col("__ke") == 1))
+        .withColumn("s3", F.col("s2") & F.col("__ln").isNull())
+        .withColumn("s4", F.col("s3") & F.col("__lc").isNull())
+        .withColumn("s5", F.col("s4") & (F.col("u32") < F.col("thr")))
+    )
+    stage_conds = [
+        (0, "raw", F.lit(True)),
+        (1, "quality", F.col("s1")),
+        (2, "exact_dedup", F.col("s2")),
+        (3, "near_dedup", F.col("s3")),
+        (4, "decontam", F.col("s4")),
+        (5, "temperature_mix", F.col("s5")),
+    ]
+    aggs = []
+    for i, _, cond in stage_conds:
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{i}"),
+            F.sum(F.when(cond, F.col("n_tok"))).cast("long").alias(f"t{i}"),
+            F.coalesce(F.bit_xor(F.when(cond, F.col("h60"))), F.lit(0))
+            .cast("long")
+            .alias(f"x{i}"),
+        ]
+    one = tagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', n{i}, t{i}, x{i}" for i, name, _ in stage_conds
+    )
+    doc_rows = one.selectExpr(
+        f"stack({len(stage_conds)}, {stack_args}) AS "
+        "(stage_idx, stage, n_rows, n_tokens, key_xor)"
+    )
+
+    # ---- stage 6: sequence-pack the sample (partitioned window cumsum,
+    # bins of _PACK_B tokens — the pipeline_sequence_packing shape).
+    sampled = tagged.where("s5").select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"), "doc_id", "n_tok"
+    )
+    win = W.partitionBy("shard").orderBy("doc_id")
+    spans = (
+        sampled.withColumn("cum", F.sum("n_tok").over(win))
+        .withColumn("excl", F.col("cum") - F.col("n_tok"))
+        .select(
+            "shard",
+            "cum",
+            "excl",
+            F.expr(f"excl div {_PACK_B}").alias("first_bin"),
+            F.expr(f"(cum - 1) div {_PACK_B}").alias("last_bin"),
+        )
+    )
+    bins = (
+        spans.select(
+            "shard",
+            "cum",
+            "excl",
+            F.explode(F.sequence(F.col("first_bin"), F.col("last_bin"))).alias(
+                "bin"
+            ),
+        )
+        .groupBy("shard", "bin")
+        .agg(
+            F.sum(
+                F.least(F.col("cum"), (F.col("bin") + 1) * _PACK_B)
+                - F.greatest(F.col("excl"), F.col("bin") * _PACK_B)
+            )
+            .cast("long")
+            .alias("tokens_in_bin")
+        )
+    )
+    bin_h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("shard").cast("string"),
+                    F.col("bin").cast("string"),
+                    F.col("tokens_in_bin").cast("string"),
+                ).cast("binary")
+            ),
+            3,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    packed_row = bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("tokens_in_bin").cast("long").alias("n_tokens"),
+        F.coalesce(F.bit_xor(bin_h60), F.lit(0)).cast("long").alias("key_xor"),
+    ).select(
+        F.lit(6).alias("stage_idx"),
+        F.lit("packed").alias("stage"),
+        "n_rows",
+        "n_tokens",
+        "key_xor",
+    )
+
+    card = (
+        doc_rows.unionByName(packed_row)
+        .select(
+            F.col("stage_idx").cast("int").alias("stage_idx"),
+            "stage",
+            "n_rows",
+            "n_tokens",
+            "key_xor",
+        )
+        .orderBy("stage_idx")
+    )
+    return card, feat
+
+
+@register(
+    "pipeline_corpus_e2e",
+    tags=("pipeline", "llm", "e2e", "dedup", "decontam", "mixing", "packing"),
+    oracle=_E2E_ORACLE,
+)
+def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus build — the full training-data pipeline
+    composed as ONE artifact: quality-filter cascade → exact dedup →
+    MinHash-LSH near-dedup (greedy drop) → benchmark decontamination →
+    temperature mixing (T5 n^alpha) → sequence packing. Output is the
+    data lineage card a 100 TB run ships with the corpus: one row per
+    stage with surviving row count, surviving token mass, and a
+    commutative md5-xor membership checksum (the packed row checksums
+    per-bin fill), so the oracle validates the exact SET of documents
+    crossing every stage interface — stage interfaces, not stages, are
+    where real pipelines break.
+
+    Scale shape: raw text is scanned ONCE (stage 1) into a persisted
+    per-doc feature frame (token array, quality gate, fingerprint,
+    portable hashes); every later stage reads that cache — the plan
+    audit asserts the final card plan contains ZERO file scans of the
+    corpus. The near-dup pair computation and the contamination probe
+    are materialized as bounded id sets (localCheckpoint; a production
+    run writes them as manifests), the mixing thresholds ride a
+    broadcast, and all six doc-stage rows come from ONE conditional
+    aggregation + stack over the cached frame — never six aggregate
+    branches re-executing the chain (CLAUDE.md one-scan discipline).
+    Packing's cumsum is a per-shard partitioned window, never a global
+    sort. Stage semantics match the standalone entries
+    (pipeline_filter_cascade, dedup_exact, dedup_minhash_lsh,
+    decontam_overlap, sample_temperature_mix,
+    pipeline_sequence_packing); the oracle recomputes all six stages
+    exactly, with exact word-shingle Jaccard standing in for
+    MinHash-LSH (deterministically equal on this corpus' similarity
+    gap — same argument as dedup_minhash_lsh)."""
+    from pyblazing_spark.session import materialize_bounded
+
+    card, feat = _corpus_e2e_build(spark, sf_dir)
+    try:
+        return materialize_bounded(card)
+    finally:
+        feat.unpersist()

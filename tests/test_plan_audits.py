@@ -842,3 +842,31 @@ def test_temperature_mix_fact_path_is_broadcast_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
         plan[:2000]
     )
+
+
+def test_corpus_e2e_card_never_rescans_corpus_text(spark, sf_dir):
+    """pipeline_corpus_e2e's no-rescan claim: raw corpus text is read
+    exactly once (the persisted stage-1 feature build); the lineage
+    card's own plan reads ONLY the stage-1 cache plus the materialized
+    bounded id sets — zero file scans survive into it, and the doc-stage
+    rows come from ONE cached-frame aggregation (a single stack Expand),
+    not six aggregate branches re-executing the chain."""
+    from pyblazing_spark.plans.curation import _corpus_e2e_build
+
+    card, feat = _corpus_e2e_build(spark, sf_dir)
+    try:
+        plan = _executed_plan(card).split("== Initial Plan ==")[0]
+        # every FileScan line is the cached relation's build-plan echo
+        # printed INSIDE an InMemoryTableScan node (the feat cache's
+        # build contains exactly one parquet scan): a real rescan of the
+        # corpus would break the 1:1 count.
+        n_cache = plan.count("InMemoryTableScan")
+        assert n_cache >= 1, plan[:3000]
+        assert plan.count("FileScan parquet") == n_cache, plan[:3000]
+        # near-dup losers + contaminated ids enter as materialized RDDs
+        assert "Scan ExistingRDD" in plan, plan[:3000]
+        # the six doc-stage rows are one stack generate over one
+        # aggregated row — never six aggregate branches
+        assert plan.count("Generate stack") == 1, plan[:3000]
+    finally:
+        feat.unpersist()
