@@ -84,7 +84,10 @@ def connected_components(
     from pyblazing_spark.session import loop_shuffle_confs, make_ckpt, scoped_conf
 
     spark = edges.sparkSession
-    ckpt = make_ckpt(spark, checkpoint_dir)
+    # one ckpt call per round, so make_ckpt's call-counted interval is
+    # the round interval: persist (lineage kept, anchored at the last
+    # truncation) between, truncate every checkpoint_interval-th round.
+    ckpt = make_ckpt(spark, checkpoint_dir, ckpt_interval=checkpoint_interval)
     # The per-round (node,label) shuffles are sized to CLUSTER
     # PARALLELISM for the loop's duration (see loop_shuffle_confs) —
     # inheriting a fact-table-width spark.sql.shuffle.partitions makes
@@ -120,13 +123,10 @@ def connected_components(
                     .groupBy("id")
                     .agg(F.min("label").alias("label"))
                 )
-                if (i + 1) % checkpoint_interval == 0:
-                    # lazy checkpoint: the label-sum action below both
-                    # MATERIALIZES it and truncates lineage — one job
-                    # per round, not a checkpoint job plus a sum job.
-                    new_labels = ckpt(new_labels, eager=False)
-                else:
-                    new_labels = new_labels.persist()
+                # lazy checkpoint: the label-sum action below both
+                # MATERIALIZES it and truncates lineage — one job
+                # per round, not a checkpoint job plus a sum job.
+                new_labels = ckpt(new_labels, eager=False)
                 _n, new_sum = _label_stats(new_labels)  # materializes persist/checkpoint
                 labels.unpersist()
                 labels = new_labels

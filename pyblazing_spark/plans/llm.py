@@ -3607,3 +3607,218 @@ def source_avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ------------------------------------------------ unigram-LM tokenizer
+_UNI_MAXW = 16  # bounded word length (the oracle unrolls the DP to it)
+_UNI_MAXP = 4  # maximum piece length
+_UNI_MINF = 3  # cull threshold for len>=2 pieces
+_UNI_INF = 1 << 40  # infeasible-cell sentinel (24 adds stay < 2^45)
+
+
+def _unigram_oracle() -> str:
+    """Generated exact-integer Viterbi DP oracle: seed piece
+    frequencies, fixed-point costs, then the same combined
+    (cost*32 + 1)-per-piece DP the kernel runs, unrolled to
+    ``_UNI_MAXW`` chained projection steps over a per-word cell-cost
+    array. Integer arithmetic end to end except the ONE ln per piece —
+    quantization-boundary-guarded in tests."""
+    steps = []
+    for j in range(1, _UNI_MAXW + 1):
+        terms = [
+            f"d{j - L} + arr[{(j - L) * _UNI_MAXP + L}]"
+            for L in range(1, min(_UNI_MAXP, j) + 1)
+        ]
+        expr = terms[0] if len(terms) == 1 else f"least({', '.join(terms)})"
+        steps.append(
+            f" dp{j} AS (SELECT *, CASE WHEN len >= {j} THEN {expr} END AS d{j}"
+            f" FROM dp{j - 1})"
+        )
+    dp_chain = ",\n".join(steps)
+    d_list = ", ".join(f"d{j}" for j in range(1, _UNI_MAXW + 1))
+    return rf"""
+WITH words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS w
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents)
+  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= {_UNI_MAXW}
+  GROUP BY word),
+ posi AS (SELECT word, w, unnest(generate_series(1, length(word))) AS i
+          FROM words),
+ cells AS MATERIALIZED (
+  SELECT word, w, CAST(i AS INTEGER) AS i, CAST(L AS INTEGER) AS L,
+         substr(word, CAST(i AS INTEGER), CAST(L AS INTEGER)) AS piece,
+         (i + L - 1 <= length(word)) AS valid
+  FROM (SELECT word, w, i, unnest(generate_series(1, {_UNI_MAXP})) AS L
+        FROM posi)),
+ cand AS MATERIALIZED (
+  SELECT piece, CAST(sum(w) AS BIGINT) AS freq FROM cells WHERE valid
+  GROUP BY piece),
+ tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM cand),
+ kept AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(CAST((SELECT total FROM tot) AS DOUBLE) / freq)
+                    * 4096.0 + 0.5) AS BIGINT) AS cost
+  FROM cand WHERE length(piece) = 1 OR freq >= {_UNI_MINF}),
+ wcell AS (
+  SELECT c.word, c.w, c.i, c.L,
+         CASE WHEN c.valid AND k.cost IS NOT NULL
+              THEN k.cost * 32 + 1 ELSE {_UNI_INF} END AS comb
+  FROM cells c LEFT JOIN kept k USING (piece)),
+ carr AS MATERIALIZED (
+  SELECT word, any_value(w) AS w, length(word) AS len,
+         list(comb ORDER BY i, L) AS arr
+  FROM wcell GROUP BY word),
+ dp0 AS (SELECT word, w, len, arr, CAST(0 AS BIGINT) AS d0 FROM carr),
+{dp_chain},
+ seg AS (SELECT word, w, len,
+         list_value({d_list})[len] AS comb
+         FROM dp{_UNI_MAXW}),
+ res AS (SELECT word, w, CAST(len AS BIGINT) AS wlen,
+         comb // 32 AS cost, comb % 32 AS n_pieces FROM seg)
+SELECT wlen, CAST(n_pieces AS BIGINT) AS n_pieces,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(w) AS BIGINT) AS corpus_occ,
+       CAST(sum(cost) AS BIGINT) AS sum_cost
+FROM res GROUP BY wlen, n_pieces ORDER BY wlen, n_pieces
+"""
+
+
+def _unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct lowercase-word vocabulary with corpus multiplicities —
+    the ONLY corpus-scale job of the unigram entries (same contract as
+    the BPE vocab pass; text never shuffles)."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .where(
+            F.col("word").rlike("^[a-z]+$")
+            & (F.length("word") <= _UNI_MAXW)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+
+@register(
+    "text_unigram_tokenize",
+    tags=("llm", "text", "tokenizer", "unigram", "viterbi"),
+    oracle=_unigram_oracle(),
+)
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family) Viterbi tokenization — the
+    second production tokenizer next to BPE (Kudo 2018, public
+    literature; :mod:`pyblazing_spark.operators.unigram`). The entry
+    runs the EM pipeline's deterministic seed scoring (EM iterations =
+    0: fixed-point integer costs ``floor(ln(total/freq)·4096 + 0.5)``
+    from the substring seed inventory), so the per-word minimum-cost
+    segmentation DP is EXACT INTEGER arithmetic the DuckDB oracle
+    replays verbatim (unrolled to the 16-char word bound) — the same
+    exhaustive-settings pattern as the ANN entries; the EM-trained
+    float path is pinned by hypothesis tests against brute-force
+    segmentation enumeration instead.
+
+    Scale shape: one corpus-scale word-count job (text never
+    shuffles); the substring seed inventory explodes over the DISTINCT
+    vocabulary in scan-stage codegen and aggregates on piece hashes;
+    the driver collects only the culled (piece, cost) table (bounded
+    by distinct <=4-char substrings — a production run caps the
+    inventory per SentencePiece's seed heuristics); Viterbi runs in an
+    Arrow-batched kernel over the vocabulary frame, never per corpus
+    token. Output: per (word length, piece count) class — word count,
+    corpus occurrences, and the exact summed fixed-point cost."""
+    from pyblazing_spark.operators.unigram import (
+        quantized_costs,
+        viterbi_encode_frame,
+    )
+
+    vocab = _unigram_vocab(spark, sf_dir)
+    posi = vocab.select(
+        "word", "w", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
+    )
+    cells = posi.select(
+        "word",
+        "w",
+        "i",
+        F.explode(F.array(*[F.lit(L) for L in range(1, _UNI_MAXP + 1)])).alias(
+            "L"
+        ),
+    ).where(F.col("i") + F.col("L") - 1 <= F.length("word"))
+    freq = (
+        cells.select(F.col("word").substr(F.col("i"), F.col("L")).alias("piece"), "w")
+        .groupBy("piece")
+        .agg(F.sum("w").cast("long").alias("freq"))
+    )
+    # bounded driver collect: the distinct <=4-char substring inventory
+    rows = freq.collect()
+    freqs = {r["piece"]: int(r["freq"]) for r in rows}
+    total = sum(freqs.values())
+    costs = quantized_costs(freqs, total, _UNI_MINF)
+    seg = viterbi_encode_frame(vocab, costs, _UNI_MAXP)
+    return materialize_bounded(
+        seg.groupBy(
+            F.length("word").cast("long").alias("wlen"), "n_pieces"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w").cast("long").alias("corpus_occ"),
+            F.sum("cost").cast("long").alias("sum_cost"),
+        )
+        .orderBy("wlen", "n_pieces")
+    )
+
+
+@register(
+    "text_unigram_em_learn",
+    tags=("llm", "text", "tokenizer", "unigram", "em"),
+    oracle=None,
+)
+def text_unigram_em_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-trained unigram LM (the production scoring
+    :func:`pyblazing_spark.operators.unigram.em_train` — 4 exact
+    forward-backward iterations over the collected |vocab|-bounded
+    word counts, in-process like the BPE heap learner) followed by the
+    float log-prob Viterbi over the vocabulary frame. EM is genuinely
+    non-SQL-expressible (iterative float lattice marginals), so this
+    entry records the driver's rows-only check; semantics are pinned
+    by unit tests (monotone corpus log-likelihood, normalized probs,
+    hypothesis Viterbi-vs-brute-force). Output: top-20 pieces by
+    EM-expected usage across the Viterbi-segmented vocabulary."""
+    import pandas as pd
+
+    from pyblazing_spark.operators.unigram import em_train, viterbi_logp
+
+    vocab = _unigram_vocab(spark, sf_dir)
+    word_rows = [(r["word"], int(r["w"])) for r in vocab.collect()]
+    logp, _lls = em_train(word_rows, n_iters=4, min_freq=_UNI_MINF)
+
+    def enc(pdfs):
+        for pdf in pdfs:
+            out: dict[str, int] = {}
+            for word, w in zip(pdf["word"], pdf["w"]):
+                _, pieces = viterbi_logp(word, logp)
+                for p in pieces:
+                    out[p] = out.get(p, 0) + int(w)
+            yield pd.DataFrame(
+                {"piece": list(out), "used": list(out.values())}
+            )
+
+    used = (
+        vocab.mapInPandas(enc, "piece string, used long")
+        .groupBy("piece")
+        .agg(F.sum("used").cast("long").alias("total_used"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = used.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("total_used"), "piece"))
+        .cast("int"),
+    ).where(F.col("rank") <= 20)
+    return materialize_bounded(
+        ranked.select("rank", "piece", "total_used").orderBy("rank")
+    )

@@ -215,7 +215,11 @@ def scoped_conf(spark: SparkSession, confs: dict[str, str]):
                 pass
 
 
-def make_ckpt(spark: SparkSession, checkpoint_dir: str | None = None):
+def make_ckpt(
+    spark: SparkSession,
+    checkpoint_dir: str | None = None,
+    ckpt_interval: int = 1,
+):
     """Lineage-truncation function for the iterative-operator loops
     (connected components, star, k-core, BFS, SCC, PageRank, k-means):
     ``ckpt(df, eager=True)`` returns a plan-truncated frame.
@@ -228,22 +232,66 @@ def make_ckpt(spark: SparkSession, checkpoint_dir: str | None = None):
       fails the job (probed: scripts/cluster_probe.py --kill-deep).
       Right for interactive sessions and single-box runs, where the
       JVM dying takes the driver with it anyway.
-    - ``checkpoint_dir=<path>``: RELIABLE ``df.checkpoint`` — every
+    - ``checkpoint_dir=<path>``: RELIABLE ``df.checkpoint`` — the
       round's state is written to the fault-tolerant filesystem path
       (HDFS/object store on a cluster; any shared dir on one box), so
       recovery after executor loss never needs lineage at all. The
       production setting for 1000-executor churn: with executor MTBF
       around an hour, a multi-hour iterative job WILL lose one
-      mid-loop. Costs one FS write per round — two-long-column rounds
-      are tiny, so the write is not the bottleneck.
+      mid-loop. The frame is PERSISTED before the checkpoint: Spark
+      writes reliable checkpoint files in a SECOND job after the
+      materializing action, and without the cache that job re-executes
+      the round's final stage — measured double-compute the cache
+      turns into a cheap block read (the write-side half of the
+      reliable-mode overhead). The pre-checkpoint cache is dropped on
+      the NEXT ``ckpt`` call (callers materialize each round before
+      checkpointing the next — every loop here does), or immediately
+      for ``eager=True``.
+
+    ``ckpt_interval=k`` amortizes the truncation cost: only every k-th
+    ``ckpt`` call truncates (localCheckpoint / reliable checkpoint per
+    the mode); intermediate calls ``persist()`` — lineage KEPT, so in
+    reliable mode a lost executor mid-interval recomputes the lost
+    blocks from the last FS snapshot automatically (bounded replay of
+    at most k rounds, Spark-native — no application retry). The
+    intermediate rounds' logical plans grow until the next truncation,
+    so keep k small (3-4); loops that call ``ckpt`` on several frames
+    per round should leave k=1 (the counter is per CALL, not per
+    round). In local mode the same schedule applies (persist between
+    localCheckpoints) — mid-interval block loss there replays from the
+    last LOCAL checkpoint, whose own blocks are the non-recoverable
+    ones (--kill-deep).
 
     The checkpoint dir is process-global in Spark (SparkContext
     level); setting it here is idempotent and later loops with
     ``None`` still use localCheckpoint, so scoping is per-call."""
-    if checkpoint_dir is None:
-        return lambda df, eager=True: df.localCheckpoint(eager=eager)
-    spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    return lambda df, eager=True: df.checkpoint(eager=eager)
+    state = {"n": 0, "pending": None}
+
+    def _drop_pending() -> None:
+        if state["pending"] is not None:
+            state["pending"].unpersist()
+            state["pending"] = None
+
+    def ckpt(df, eager=True):
+        state["n"] += 1
+        _drop_pending()
+        if ckpt_interval > 1 and state["n"] % ckpt_interval != 0:
+            return df.persist()
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=eager)
+        cached = df.persist()
+        out = cached.checkpoint(eager=eager)
+        if eager:
+            cached.unpersist()
+        else:
+            # the caller's next action materializes round + FS write;
+            # drop the cache at the next ckpt call (see docstring).
+            state["pending"] = cached
+        return out
+
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return ckpt
 
 
 def loop_shuffle_confs(spark: SparkSession) -> dict[str, str]:

@@ -1,0 +1,160 @@
+"""Unigram-LM tokenizer semantics: exact-integer Viterbi vs brute-force
+segmentation enumeration (hypothesis), EM training invariants, and the
+cross-engine cost-quantization boundary guard that licenses the
+text_unigram_tokenize oracle."""
+
+from __future__ import annotations
+
+import math
+from itertools import product
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyblazing_spark.operators.unigram import (
+    COMB_PIECES,
+    em_train,
+    quantized_costs,
+    seed_pieces,
+    viterbi_encode_frame,
+    viterbi_int,
+    viterbi_logp,
+)
+
+
+def _brute_min(word: str, costs: dict[str, int], maxp: int = 4):
+    """All segmentations into pieces of length <= maxp, minimum
+    (total cost, n_pieces); None if unsegmentable."""
+    n = len(word)
+    best = None
+    for cuts in product([0, 1], repeat=n - 1):
+        bounds = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+        pieces = [word[bounds[k] : bounds[k + 1]] for k in range(len(bounds) - 1)]
+        if any(len(p) > maxp or p not in costs for p in pieces):
+            continue
+        key = (sum(costs[p] for p in pieces), len(pieces))
+        if best is None or key < best:
+            best = key
+    return best
+
+
+words_st = st.text(alphabet="abc", min_size=1, max_size=10)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(words_st, min_size=1, max_size=12))
+def test_viterbi_int_matches_bruteforce(words):
+    counts = [(w, 1 + i % 3) for i, w in enumerate(words)]
+    freqs, total = seed_pieces(counts)
+    costs = quantized_costs(freqs, total, min_freq=2)
+    for word, _ in counts:
+        comb, pieces = viterbi_int(word, costs)
+        got = (comb // COMB_PIECES, comb % COMB_PIECES)
+        assert _brute_min(word, costs) == got
+        # the reconstructed path realizes exactly the DP optimum
+        assert "".join(pieces) == word
+        assert len(pieces) == got[1]
+        assert sum(costs[p] for p in pieces) == got[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(words_st, min_size=1, max_size=10))
+def test_viterbi_logp_maximizes_likelihood(words):
+    counts = [(w, 1) for w in words]
+    logp, _ = em_train(counts, n_iters=1, min_freq=1)
+    for word, _ in counts:
+        lp, pieces = viterbi_logp(word, logp)
+        assert "".join(pieces) == word
+        assert lp == pytest.approx(sum(logp[p] for p in pieces))
+        # no enumerated segmentation beats the Viterbi likelihood
+        n = len(word)
+        for cuts in product([0, 1], repeat=n - 1):
+            bounds = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            ps = [word[bounds[k] : bounds[k + 1]] for k in range(len(bounds) - 1)]
+            if any(len(p) > 4 or p not in logp for p in ps):
+                continue
+            assert sum(logp[p] for p in ps) <= lp + 1e-9
+
+
+def test_em_monotone_loglikelihood_and_normalized():
+    counts = [("abab", 5), ("abc", 3), ("bc", 7), ("aaaa", 2), ("cab", 4)]
+    logp, lls = em_train(counts, n_iters=6, min_freq=1)
+    # EM never decreases the corpus log-likelihood
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-9, lls
+    probs = [math.exp(v) for v in logp.values()]
+    assert sum(probs) == pytest.approx(1.0)
+    # chars survive: every word stays segmentable
+    for word, _ in counts:
+        viterbi_logp(word, logp)
+
+
+def test_em_prune_keeps_chars_and_renormalizes():
+    counts = [("abab", 5), ("xyxy", 1), ("ab", 9)]
+    logp, _ = em_train(counts, n_iters=3, min_freq=1, prune_below=0.5)
+    assert sum(math.exp(v) for v in logp.values()) == pytest.approx(1.0)
+    for ch in "abxy":
+        assert ch in logp
+    for word, _ in counts:
+        viterbi_logp(word, logp)
+
+
+def test_cost_quantization_matches_duckdb_on_fixture(spark, sf_dir, oracle_con):
+    """The single float in the text_unigram_tokenize contract: Python
+    math.log and DuckDB ln must quantize every fixture piece cost to
+    the SAME integer, and no value may sit near a .5 boundary (the
+    flaky-driver distance guard)."""
+    from pyblazing_spark.plans.llm import _UNI_MAXW, _UNI_MINF, _unigram_vocab
+
+    vocab = _unigram_vocab(spark, sf_dir)
+    counts = [(r["word"], int(r["w"])) for r in vocab.collect()]
+    freqs, total = seed_pieces(counts)
+    costs = quantized_costs(freqs, total, _UNI_MINF)
+    duck = dict(
+        oracle_con.execute(
+            rf"""
+      WITH words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS w
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$') AND length(word) <= {_UNI_MAXW}
+        GROUP BY word),
+       posi AS (SELECT word, w, unnest(generate_series(1, length(word))) AS i
+                FROM words),
+       cells AS (
+        SELECT substr(word, CAST(i AS INTEGER), CAST(L AS INTEGER)) AS piece, w
+        FROM (SELECT word, w, i, unnest(generate_series(1, 4)) AS L FROM posi)
+        WHERE i + L - 1 <= length(word)),
+       cand AS (SELECT piece, CAST(sum(w) AS BIGINT) AS freq FROM cells
+                GROUP BY piece),
+       tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM cand)
+      SELECT piece,
+             CAST(floor(ln(CAST((SELECT total FROM tot) AS DOUBLE) / freq)
+                        * 4096.0 + 0.5) AS BIGINT)
+      FROM cand WHERE length(piece) = 1 OR freq >= {_UNI_MINF}
+    """
+        ).fetchall()
+    )
+    assert duck == costs
+    # boundary-distance guard: > 1e-6 from every rounding boundary
+    for p, f in freqs.items():
+        if len(p) > 1 and f < _UNI_MINF:
+            continue
+        x = math.log(float(total) / f) * 4096.0 + 0.5
+        assert abs(x - round(x)) > 1e-6, (p, f, x)
+
+
+def test_viterbi_encode_frame_distributed(spark):
+    rows = [("abab", 5), ("abc", 3), ("bc", 7), ("a", 2)]
+    vocab = spark.createDataFrame(rows, "word string, w long")
+    freqs, total = seed_pieces(rows)
+    costs = quantized_costs(freqs, total, min_freq=1)
+    got = {
+        r["word"]: (r["w"], r["cost"], r["n_pieces"])
+        for r in viterbi_encode_frame(vocab, costs).collect()
+    }
+    assert set(got) == {w for w, _ in rows}
+    for word, w in rows:
+        comb, pieces = viterbi_int(word, costs)
+        assert got[word] == (w, comb // COMB_PIECES, len(pieces))
