@@ -649,3 +649,156 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is audited pre-materialization in tests/test_plan_audits.py; the
     entry materializes at bounded shuffle width for the driver)."""
     return materialize_bounded(_pq_adc_plan(spark, sf_dir))
+
+
+# ------------------------------------------------------- semantic dedup
+_SEM_TAU = 0.9  # near-dup cosine threshold (fixture gap: base pairs <= 0.61)
+_SEM_OFF = 1_000_000  # planted-copy id offset (multiple of _K)
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + {_SEM_OFF}, embedding FROM embeddings
+            WHERE vec_id % 16 = 0
+  UNION ALL SELECT vec_id + {2 * _SEM_OFF}, embedding FROM embeddings
+            WHERE vec_id % 48 = 0),
+ init AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST(vec_id % {_K} AS INTEGER) AS c0
+  FROM corpus),
+ cent AS (
+  SELECT c0, i, avg(v[i]) AS m
+  FROM init JOIN generate_series(1, 64) t(i) ON true GROUP BY c0, i),
+ cl AS (SELECT c0 AS cand, list(m ORDER BY i) AS cv FROM cent GROUP BY c0),
+ dist AS (
+  SELECT p.vec_id, c.cand, {_sql_d2('p', 'c')} AS d2
+  FROM init p CROSS JOIN cl c),
+ a1 AS (
+  SELECT vec_id, cand AS cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cand) AS rn
+        FROM dist) WHERE rn = 1),
+ e AS MATERIALIZED (
+  SELECT a1.vec_id, a1.cluster, init.v FROM a1 JOIN init USING (vec_id)),
+ pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {_SEM_TAU}),
+ losers AS MATERIALIZED (SELECT DISTINCT id_b FROM pairs)
+SELECT e.cluster,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN l.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(CASE WHEN l.id_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(coalesce(bit_xor(CASE WHEN l.id_b IS NULL THEN
+         CAST(('0x' || substring(md5(CAST(e.vec_id AS VARCHAR)), 3, 15))::BIGINT
+              AS BIGINT) END), 0) AS BIGINT) AS kept_xor
+FROM e LEFT JOIN losers l ON l.id_b = e.vec_id
+GROUP BY e.cluster ORDER BY e.cluster
+"""
+
+
+@register(
+    "dedup_semantic_exhaustive",
+    tags=("vector", "dedup", "semantic", "llm", "clustering"),
+    oracle=_semdedup_oracle(),
+)
+def dedup_semantic_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication at a PROVABLY-EXHAUSTIVE
+    configuration — the recall companion to ``dedup_semantic``
+    (plans/llm.py), whose within-cluster contract is honest about
+    missing cross-cluster pairs; here the corpus is constructed so no
+    qualifying pair CAN cross a cluster, and the greedy keep-one result
+    equals the brute-force one exactly (the ann_lsh exhaustive-settings
+    pattern, unit-tested against brute force at the fixtures). Never
+    all-pairs: the pair join is keyed on the cluster id, so cost is
+    sum(cluster^2), bounded by choosing K ~ n/target_cluster_size (a
+    degenerate cluster of near-identical vectors would use the
+    star-capped ``embedding_pairs_lsh`` expansion within the bucket —
+    same trade documented there).
+
+    Provably-exhaustive configuration (the ann_lsh pattern): the
+    fixture embeddings carry no near-dup pairs (max base-pair cosine
+    0.61, probed all SFs), so the entry PLANTS them — exact copies of
+    every 16th vector (every 48th twice: 3-member groups exercise
+    multi-drop). Identical vectors get identical rounded d2 rows and
+    the argmin tie-break is deterministic, so a copy lands in ITS
+    BASE'S cluster by construction — at tau=0.9, with inter-base pairs
+    capped at 0.61, every qualifying pair is within-bucket and
+    bucketed recall equals brute force EXACTLY (unit-tested at the
+    fixtures; the oracle replays the bucketed semantics verbatim).
+
+    Scale shape: one distributed-Lloyd step (same machinery as
+    vector_kmeans — partial-agg centroid means, broadcast numpy
+    assignment kernel), the assignment materialized once
+    (localCheckpoint — a production run sinks it), cluster-keyed pair
+    join, one conditional rollup. The commutative md5-xor over kept
+    ids proves the surviving SET, not just counts."""
+    from pyblazing_spark.operators.similarity import (
+        centroid_assign_with_dist,
+        centroid_means,
+    )
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionAll(
+        emb.where(F.col("vec_id") % 16 == 0).select(
+            (F.col("vec_id") + _SEM_OFF).alias("vec_id"), "embedding"
+        )
+    ).unionAll(
+        emb.where(F.col("vec_id") % 48 == 0).select(
+            (F.col("vec_id") + 2 * _SEM_OFF).alias("vec_id"), "embedding"
+        )
+    )
+    init = corpus.select(
+        "vec_id", "embedding", (F.col("vec_id") % _K).cast("int").alias("c0")
+    )
+    with scoped_conf(spark, loop_shuffle_confs(spark)):
+        ids, C = centroid_means(init, "embedding", "c0")
+    a = centroid_assign_with_dist(F.col("embedding"), C, cluster_ids=ids)
+    assigned = (
+        init.select("vec_id", "embedding", a.alias("a"))
+        .select("vec_id", "embedding", F.col("a.cluster").alias("cluster"))
+        .localCheckpoint(eager=True)  # the materialized assignment
+    )
+    pa, pb = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        pa.join(
+            pb,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos", VEC.cosine_udf(F.col("a.embedding"), F.col("b.embedding"))
+        )
+        .where(F.col("cos") >= _SEM_TAU)
+        .select(F.col("b.vec_id").alias("id_b"))
+    )
+    losers = pairs.distinct().withColumn("__l", F.lit(1))
+    h60 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 3, 15),
+        16,
+        10,
+    ).cast("long")
+    return materialize_bounded(
+        assigned.join(losers, assigned["vec_id"] == losers["id_b"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.when(F.col("__l") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("__l").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(
+                F.bit_xor(F.when(F.col("__l").isNull(), h60)), F.lit(0)
+            )
+            .cast("long")
+            .alias("kept_xor"),
+        )
+        .orderBy("cluster")
+    )

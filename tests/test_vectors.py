@@ -87,3 +87,63 @@ def test_quantize_codes_reconstruct_within_step(spark, sf_dir):
     assert (df["rmse"] <= max_step / 2 + 1e-9).all()
     assert (df["n_dims"] == V.shape[1]).all()
     assert df["code_sum"].between(0, 255 * V.shape[1]).all()
+
+
+def test_semdedup_exhaustive_bucketed_equals_brute(spark, sf_dir):
+    """dedup_semantic_exhaustive's recall claim: on the planted-copy
+    corpus at tau=0.9, every qualifying cosine pair is within one
+    k-means cluster, so the bucketed pair set (and hence the greedy
+    drop set) EQUALS brute-force all-pairs — the ann_lsh
+    provably-exhaustive pattern."""
+    from pyspark.sql import functions as F
+
+    from pyblazing_spark.functions import vectors as VEC
+    from pyblazing_spark.operators.similarity import (
+        centroid_assign_with_dist,
+        centroid_means,
+    )
+    from pyblazing_spark.plans.vectors import _K, _SEM_OFF, _SEM_TAU
+    from pyblazing_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionAll(
+        emb.where(F.col("vec_id") % 16 == 0).select(
+            (F.col("vec_id") + _SEM_OFF).alias("vec_id"), "embedding"
+        )
+    ).unionAll(
+        emb.where(F.col("vec_id") % 48 == 0).select(
+            (F.col("vec_id") + 2 * _SEM_OFF).alias("vec_id"), "embedding"
+        )
+    )
+    init = corpus.select(
+        "vec_id", "embedding", (F.col("vec_id") % _K).cast("int").alias("c0")
+    )
+    ids, C = centroid_means(init, "embedding", "c0")
+    a = centroid_assign_with_dist(F.col("embedding"), C, cluster_ids=ids)
+    assigned = (
+        init.select("vec_id", "embedding", a.alias("a"))
+        .select("vec_id", "embedding", F.col("a.cluster").alias("cluster"))
+        .localCheckpoint(eager=True)
+    )
+
+    def pair_set(cond):
+        pa, pb = assigned.alias("a"), assigned.alias("b")
+        return {
+            (r["id_a"], r["id_b"])
+            for r in pa.join(pb, cond & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .withColumn(
+                "cos", VEC.cosine_udf(F.col("a.embedding"), F.col("b.embedding"))
+            )
+            .where(F.col("cos") >= _SEM_TAU)
+            .select(
+                F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+            )
+            .collect()
+        }
+
+    bucketed = pair_set(F.col("a.cluster") == F.col("b.cluster"))
+    brute = pair_set(F.lit(True))
+    assert bucketed == brute and len(brute) > 0
+    # planted structure: every pair links a base to one of its copies
+    for id_a, id_b in brute:
+        assert id_b % _SEM_OFF == id_a % _SEM_OFF
