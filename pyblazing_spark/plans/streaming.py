@@ -845,3 +845,65 @@ def stream_session_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_session_timer_bucketed",
+    tags=("streaming", "applyInPandasWithState", "timer", "sessionize",
+          "bucketed"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+ s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS sid
+  FROM g),
+ sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid),
+ closed AS (
+  SELECT * FROM sess
+  WHERE sid < (SELECT max(sid) FROM sess s2 WHERE s2.user_id = sess.user_id))
+SELECT user_id, session_start, session_end, n_events
+FROM closed
+ORDER BY user_id, session_start
+""",
+)
+def stream_session_timer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_session_timer`` through the HASH-BUCKETED state operator
+    (:func:`pyblazing_spark.streaming.ops.session_timeout_stream_bucketed`)
+    — users share ``n_buckets`` dict-state keys, which lifted the
+    50k-tiny-groups worst case from ~2.0k to ~21.3k rows/s (10.4x,
+    scripts/stream_state_probe.py, SCALE.md r12) while emitting the
+    EXACT per-user session set (bucket-sweep timers; equivalence pinned
+    by ``test_session_bucketed_matches_per_user``). Identical oracle as
+    the per-user entry: the one-batch fixture drain closes exactly the
+    data-proven (gap) sessions."""
+    from pyblazing_spark.streaming.ops import (
+        read_events_stream,
+        run_available_now,
+        session_timeout_stream_bucketed,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        session_timeout_stream_bucketed(stream), output_mode="append"
+    )
+    return (
+        out.where(F.col("closed_by") == "gap")
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

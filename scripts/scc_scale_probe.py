@@ -60,7 +60,11 @@ def gen_graph(spark, n: int):
 
 
 def main() -> int:
-    base = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    # --smoke (probe-fleet freshness gate): small domain, fwbw-vs-
+    # doubling equality only — the full scaling ladder stays manual.
+    smoke = "--smoke" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    base = int(pos[0]) if pos else (300 if smoke else 1000)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -82,6 +86,11 @@ def main() -> int:
     # fwbw scaling first (doubling last: its 2x point can OOM the heap,
     # which is itself the result — but it must not poison the fwbw runs)
     b1, tb = run(scc_pivot_fwbw, base)
+    if smoke:
+        a1, ta = run(scc_summary, base)
+        ok = a1 == b1
+        print(f"smoke: N={base} fwbw={tb:.1f}s doubling={ta:.1f}s equal={ok}")
+        return 0 if ok else 1
     b2, tb2 = run(scc_pivot_fwbw, base * 2)
     _, tb4 = run(scc_pivot_fwbw, base * 4)
     _, tb10 = run(scc_pivot_fwbw, base * 10)

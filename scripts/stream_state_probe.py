@@ -74,6 +74,7 @@ def drain(spark, landing: str, shape: str):
         read_landing_stream,
         run_available_now,
         session_timeout_stream,
+        session_timeout_stream_bucketed,
     )
 
     stream = read_landing_stream(spark, landing)
@@ -83,6 +84,10 @@ def drain(spark, landing: str, shape: str):
         df = dedup_stream(stream)
     elif shape == "session_timers":
         df = session_timeout_stream(stream, gap_minutes=30, watermark="1 hour")
+    elif shape == "session_timers_bucketed":
+        df = session_timeout_stream_bucketed(
+            stream, gap_minutes=30, watermark="1 hour", n_buckets=32
+        )
     else:
         raise ValueError(shape)
     prog: list = []
@@ -111,7 +116,11 @@ def main() -> int:
     try:
         landing = build_landing(spark, base, rows, batches)
         total = rows * batches
-        for shape in ("interval_join_leftouter", "dedup", "session_timers"):
+        shapes = ("interval_join_leftouter", "dedup", "session_timers",
+                  "session_timers_bucketed")
+        if os.environ.get("STREAM_PROBE_SHAPES"):
+            shapes = tuple(os.environ["STREAM_PROBE_SHAPES"].split(","))
+        for shape in shapes:
             prog, n_out, dt = drain(spark, landing, shape)
             state_rows = []
             rates = []

@@ -291,7 +291,11 @@ def main() -> int:
 
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     reuse = "--reuse" in sys.argv
-    k = int(pos[0]) if pos else 10
+    # --smoke (probe-fleet freshness gate): tiny K + first three entries
+    # only — proves the script still runs end to end as the tree moves,
+    # in ~a minute, without re-certifying the full skew table.
+    smoke = "--smoke" in sys.argv
+    k = int(pos[0]) if pos else (2 if smoke else 10)
     zipf_dir = pos[1] if len(pos) > 1 else f"/tmp/zipf_probe_{k}x"
     uni_dir = pos[2] if len(pos) > 2 else f"/tmp/scale_probe_{k}x"
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -339,7 +343,7 @@ def main() -> int:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
             )
-        for name, mode in ENTRIES:
+        for name, mode in (ENTRIES[:3] if smoke else ENTRIES):
             try:
                 spdf = REGISTRY[name].fn(spark, d).toPandas()
                 # timing from a SECOND run: the first absorbs one-time

@@ -249,3 +249,70 @@ def test_session_timeout_stream_timer_and_gap_paths(spark, tmp_path):
         (1, "2024-01-02T10:00:00", "2024-01-02T10:10:00", 2, "gap"),
         (1, "2024-01-02T11:20:00", "2024-01-02T11:20:00", 1, "timer"),
     }, got
+
+
+def _three_batch_landing(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    landing = str(tmp_path / "landing_b")
+    os.makedirs(landing)
+    batches = (
+        # users 1 and 65 share bucket 1 at n_buckets=64 — the dict state
+        # must keep them separate; u1 gap-splits in-batch
+        [(1, 1, "2024-01-02 10:00:00"), (2, 1, "2024-01-02 10:10:00"),
+         (3, 1, "2024-01-02 11:20:00"), (6, 65, "2024-01-02 10:05:00")],
+        [(4, 2, "2024-01-02 13:00:00")],
+        # wm reaches 12:00 during this batch -> u1's 11:20 session and
+        # u65's 10:05 session close by timer (bucket sweep)
+        [(5, 3, "2024-01-02 13:05:00")],
+    )
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, s string"
+        ).select(
+            "event_id",
+            F.col("s").cast("timestamp").alias("ts"),
+            "user_id",
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        tmp = str(tmp_path / f"bb{i}")
+        df.coalesce(1).write.parquet(tmp)
+        dst = f"{landing}/{i}.parquet"
+        shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+    return landing
+
+
+def test_session_bucketed_matches_per_user(spark, tmp_path):
+    """session_timeout_stream_bucketed emits exactly the per-user
+    operator's session set across gap AND timer closure paths,
+    including two users colliding in one bucket's dict state."""
+    from pyblazing_spark.streaming import read_landing_stream
+    from pyblazing_spark.streaming.ops import (
+        run_available_now,
+        session_timeout_stream,
+        session_timeout_stream_bucketed,
+    )
+
+    landing = _three_batch_landing(spark, tmp_path)
+
+    def drain(fn, **kw):
+        return {
+            (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(),
+             r.n_events, r.closed_by)
+            for r in run_available_now(
+                fn(read_landing_stream(spark, landing), **kw),
+                output_mode="append",
+            ).collect()
+        }
+
+    per_user = drain(session_timeout_stream)
+    bucketed = drain(session_timeout_stream_bucketed, n_buckets=64)
+    assert bucketed == per_user
+    assert (1, "2024-01-02T10:00:00", "2024-01-02T10:10:00", 2, "gap") in bucketed
+    assert (1, "2024-01-02T11:20:00", "2024-01-02T11:20:00", 1, "timer") in bucketed
+    assert (65, "2024-01-02T10:05:00", "2024-01-02T10:05:00", 1, "timer") in bucketed
