@@ -260,3 +260,44 @@ def test_do_progress_bar_dispatch(spark):
     ctx_on.do_progress_bar("z", lambda a: calls.append(("bar", a)),
                            lambda a: calls.append(("wait", a)))
     assert calls == [("wait", "z")]
+
+
+def test_make_ckpt_interval_schedule(spark, tmp_path):
+    """make_ckpt(ckpt_interval=k): calls 1..k-1 persist (lineage kept),
+    the k-th truncates; reliable mode persists before the FS checkpoint
+    and drops that cache on the next call."""
+    from pyspark.storagelevel import StorageLevel
+
+    from pyblazing_spark.session import make_ckpt
+
+    # local mode, interval 3: two persists then a localCheckpoint
+    ckpt = make_ckpt(spark, None, ckpt_interval=3)
+    a = ckpt(spark.range(10))
+    b = ckpt(spark.range(10))
+    c = ckpt(spark.range(10))
+    assert a.storageLevel != StorageLevel.NONE  # persisted
+    assert b.storageLevel != StorageLevel.NONE
+    assert c.count() == 10
+    # truncation: the 3rd frame's plan is an RDD scan, not a Range
+    assert "LogicalRDD" in c._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in a._jdf.queryExecution().optimizedPlan().toString()
+    for df in (a, b):
+        df.unpersist()
+
+    # reliable mode, interval 1: every call truncates to checkpoint
+    # files; the internal pre-checkpoint cache is dropped (eager).
+    rdir = str(tmp_path / "ck")
+    rckpt = make_ckpt(spark, rdir, ckpt_interval=1)
+    r1 = rckpt(spark.range(7))
+    assert r1.count() == 7
+    assert "LogicalRDD" in r1._jdf.queryExecution().optimizedPlan().toString()
+    import glob
+
+    assert glob.glob(f"{rdir}/*/rdd-*"), "no reliable checkpoint written"
+
+    # reliable eager=False: cache pends until the NEXT ckpt call
+    r2 = rckpt(spark.range(5), eager=False)
+    assert r2.count() == 5
+    n_cached = len(spark.sparkContext._jsc.getPersistentRDDs())
+    rckpt(spark.range(3))  # drops the pending cache
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) < n_cached
