@@ -35,8 +35,12 @@ def _run(args, timeout=480, env_extra=None):
 
 
 def test_stream_state_probe_smoke():
-    out = _run(["scripts/stream_state_probe.py", "2000", "3"])
-    assert "PLATEAU" in out
+    # 12 small batches, not 3: the plateau check is a watermark-horizon
+    # property — dedup's state legitimately grows until the horizon
+    # fills (~5 batches) and the "far below cumulative input" bound
+    # needs the post-plateau tail.
+    out = _run(["scripts/stream_state_probe.py", "2000", "12"])
+    assert "GROWING" not in out and "PLATEAU" in out
 
 
 def test_scc_scale_probe_smoke():
