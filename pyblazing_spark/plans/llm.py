@@ -3705,6 +3705,7 @@ def _unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_unigram_tokenize",
+    bench=True,  # second tokenizer family: track the vocab-bounded kernel
     tags=("llm", "text", "tokenizer", "unigram", "viterbi"),
     oracle=_unigram_oracle(),
 )
