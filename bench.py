@@ -242,8 +242,9 @@ def main() -> None:
     # one full multi-stage query at the TARGET sf before timing: the very
     # first sf-sized AQE execution pays one-off scheduler/memory-manager
     # warmup (~1 s) that would otherwise bill the alphabetically-first
-    # query.
-    qs["tpch_q6"](spark, sf_dir).collect()
+    # query. In ONLY mode (respike subprocess) tpch_q6 may be filtered
+    # out — warm with the query under test instead.
+    qs.get("tpch_q6", qs[sorted(qs)[0]])(spark, sf_dir).collect()
 
     # Trimmed median per query (round-5 verdict: 3 reps could not
     # resolve a 20% per-query move): each query is timed `reps` times

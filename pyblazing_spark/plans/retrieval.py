@@ -1603,3 +1603,240 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _cosupply_edges(spark, sf_dir, min_orders=2, key="l_partkey")
     return bfs_distance_histogram(edges, seed_mod=50, rounds=3)
+
+
+_CTX_OFF = 1_000_000  # planted passage-copy id offset
+_CTX_BUDGET = 600  # context-window token budget
+
+
+@register(
+    "retrieval_context_pack",
+    tags=("llm", "retrieval", "rag", "fusion", "dedup", "packing"),
+    oracle=rf"""
+WITH docs2 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 1
+  UNION ALL SELECT doc_id + {_CTX_OFF}, text FROM documents WHERE doc_id >= 1),
+ emb2 AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 1
+  UNION ALL SELECT vec_id + {_CTX_OFF}, embedding FROM embeddings
+            WHERE vec_id >= 1),
+ tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM docs2),
+ dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM tok WHERE token <> '' GROUP BY doc_id),
+ stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+ tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ('spark', 'hash', 'window')
+  GROUP BY doc_id, token),
+ idf AS (
+  SELECT token, ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token) d
+  CROSS JOIN stats s),
+ bm AS (
+  SELECT tf.doc_id,
+         round(sum(idf.idf * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                      + {_BM25_B} * dl.dl / s.avgdl))) + 1e-9, 4)
+           AS score
+  FROM tf JOIN idf ON tf.token = idf.token
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+ lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS lex_rank
+  FROM bm QUALIFY lex_rank <= {_RRF_LIST}),
+ qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+ vecs AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding, qv.v) + 1e-9, 4) AS cos
+  FROM emb2 CROSS JOIN qv),
+ vec AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+           AS vec_rank
+  FROM vecs QUALIFY vec_rank <= {_RRF_LIST}),
+ fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         coalesce(lex_rank, 0) AS lex_rank,
+         coalesce(vec_rank, 0) AS vec_rank,
+         round(coalesce(1.0 / ({_RRF_K} + lex_rank), 0)
+               + coalesce(1.0 / ({_RRF_K} + vec_rank), 0) + 1e-9, 6) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+ ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+         doc_id, rrf FROM fused),
+ enrich AS (
+  SELECT r.rank, r.doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(d.text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+         CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tok
+  FROM ranked r JOIN docs2 d USING (doc_id) WHERE r.rank <= {_RRF_LIST}),
+ dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY rank) > 1 AS is_dup
+  FROM enrich),
+ packd AS (
+  SELECT *, CAST(sum(CASE WHEN is_dup THEN 0 ELSE n_tok END)
+                 OVER (ORDER BY rank) AS BIGINT) AS cum_tok
+  FROM dedup)
+SELECT rank, doc_id, n_tok, is_dup, cum_tok,
+       (NOT is_dup AND cum_tok <= {_CTX_BUDGET}) AS included
+FROM packd ORDER BY rank
+""",
+)
+def retrieval_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context-window ASSEMBLY — the step between hybrid retrieval
+    and the prompt: fuse the lexical (BM25) and vector legs by
+    reciprocal rank (the retrieval_rrf_fusion machinery), DEDUP the
+    retrieved passages by content fingerprint (mirrored/quoted passages
+    retrieve together and waste context — first occurrence by rank
+    wins), then pack survivors greedily in rank order into a
+    {budget}-token context budget. Emits the full audited candidate
+    list: rank, token cost, dup flag, running token total, included.
+
+    The corpus is derived with a verbatim copy of every passage at an
+    id offset (the dedup stage is non-vacuous BY CONSTRUCTION at every
+    SF — identical text ranks adjacently in both legs; probed 10 dups
+    in the fused top-20 at all three SFs), the same planted-duplicate
+    pattern as dedup_semantic_exhaustive.
+
+    Scale shape: both retrieval legs keep their entries' contracts
+    (BM25 shuffles only (doc_id, count) pairs; the vector leg streams
+    the corpus once against one broadcast query vector); everything
+    after fusion — fingerprint join, dedup window, cumulative pack —
+    runs on the LIST-DEPTH-bounded candidate set (<= 2x20 rows), so
+    the unpartitioned windows are bounded by construction, never
+    corpus-sized."""
+    from pyblazing_spark.functions import text as TXT
+    from pyblazing_spark.functions.vectors import cosine_udf, nudge_round
+
+    base_docs = T(spark, sf_dir, "documents").where(F.col("doc_id") >= 1)
+    docs2 = base_docs.select("doc_id", "text").unionAll(
+        base_docs.select(
+            (F.col("doc_id") + _CTX_OFF).alias("doc_id"), "text"
+        )
+    )
+    tok = docs2.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.log(
+                1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    bm = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("tf")
+                    * (_BM25_K1 + 1)
+                    / (
+                        F.col("tf")
+                        + _BM25_K1
+                        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                )
+                + 1e-9,
+                4,
+            ).alias("score")
+        )
+    )
+    lex = (
+        bm.withColumn(
+            "lex_rank",
+            F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).cast("long"),
+        )
+        .where(F.col("lex_rank") <= _RRF_LIST)
+        .select("doc_id", "lex_rank")
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    base_emb = emb.where(F.col("vec_id") >= 1).select("vec_id", "embedding")
+    emb2 = base_emb.unionAll(
+        base_emb.select((F.col("vec_id") + _CTX_OFF).alias("vec_id"), "embedding")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    vec = (
+        emb2.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            nudge_round(cosine_udf(F.col("embedding"), F.col("qv")), 4).alias(
+                "cos"
+            ),
+        )
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(W.orderBy(F.desc("cos"), "doc_id")).cast("long"),
+        )
+        .where(F.col("vec_rank") <= _RRF_LIST)
+        .select("doc_id", "vec_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0))
+            + 1e-9,
+            6,
+        ).alias("rrf"),
+    )
+    ranked = (
+        fused.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("rrf"), "doc_id")).cast("long"),
+        )
+        .where(F.col("rank") <= _RRF_LIST)
+        .select("rank", "doc_id")
+    )
+    enrich = ranked.join(docs2, "doc_id").select(
+        "rank",
+        "doc_id",
+        TXT.fingerprint(F.col("text")).alias("fp"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    dedup = enrich.withColumn(
+        "is_dup",
+        F.row_number().over(W.partitionBy("fp").orderBy("rank")) > 1,
+    )
+    packd = dedup.withColumn(
+        "cum_tok",
+        F.sum(F.when(F.col("is_dup"), 0).otherwise(F.col("n_tok")))
+        .over(W.orderBy("rank"))
+        .cast("long"),
+    )
+    return materialize_bounded(
+        packd.select(
+            "rank",
+            "doc_id",
+            "n_tok",
+            "is_dup",
+            "cum_tok",
+            (~F.col("is_dup") & (F.col("cum_tok") <= _CTX_BUDGET)).alias(
+                "included"
+            ),
+        ).orderBy("rank")
+    )

@@ -158,3 +158,30 @@ def test_viterbi_encode_frame_distributed(spark):
     for word, w in rows:
         comb, pieces = viterbi_int(word, costs)
         assert got[word] == (w, comb // COMB_PIECES, len(pieces))
+
+
+def test_unigram_em_entry_matches_driver_recompute(spark, sf_dir):
+    """text_unigram_em_learn is a rows-only driver entry (EM floats are
+    not SQL-expressible); this pins its VALUES instead: the distributed
+    mapInPandas Viterbi usage rollup must equal a pure-driver
+    recomputation over the same vocabulary, piece for piece."""
+    import pyblazing_spark.plans as plans
+    from pyblazing_spark.plans.llm import _UNI_MINF, _unigram_vocab
+    from pyblazing_spark.operators.unigram import em_train, viterbi_logp
+
+    got = {
+        (r["rank"], r["piece"], r["total_used"])
+        for r in plans.REGISTRY["text_unigram_em_learn"].fn(spark, sf_dir).collect()
+    }
+    rows = [
+        (r["word"], int(r["w"]))
+        for r in _unigram_vocab(spark, sf_dir).collect()
+    ]
+    logp, _ = em_train(rows, n_iters=4, min_freq=_UNI_MINF)
+    used: dict[str, int] = {}
+    for word, w in rows:
+        for p in viterbi_logp(word, logp)[1]:
+            used[p] = used.get(p, 0) + w
+    ranked = sorted(used.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = {(i + 1, p, u) for i, (p, u) in enumerate(ranked)}
+    assert got == want
