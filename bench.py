@@ -272,7 +272,27 @@ def main() -> None:
 
     # Free this process's JVM before the control subprocess starts its
     # own (two concurrent 48g drivers would contend and bias the A/B).
+    # spark.stop() alone is NOT enough: the py4j gateway JVM survives it
+    # (verified: `pgrep -c java` stays 1 after stop + gateway.shutdown),
+    # holding its 48g heap RSS while the control runs — observed 21.9 s
+    # vs 1.9 s on the control's alphabetically-first query, decaying as
+    # the OS reclaimed, which inflates the control total in OUR favor.
+    # Terminate the gateway process and quiesce briefly so the A/B is
+    # honest in both directions.
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
     spark.stop()
+    try:
+        if gw is not None:
+            gw.shutdown()
+            proc = getattr(gw, "proc", None)
+            if proc is not None:
+                proc.terminate()
+                proc.wait(timeout=30)
+    except Exception:
+        pass
+    time.sleep(10)
     control = _run_control(reps)
     try:
         respike = (
