@@ -68,6 +68,10 @@ EXPECTED_SHAPES: dict[str, dict[str, int]] = {
     # one-pass Aho-Corasick scan shape is covered by the operator tests
     # and the oracle instead.
     "text_multi_keyword_tag": dict(exch=0, scans=0, py=0, smj=0),
+    # round-12 bench addition: materializes via materialize_bounded; the
+    # vocab pass / piece aggregation / Viterbi kernel shapes are covered
+    # by the oracle and tests/test_unigram.py instead.
+    "text_unigram_tokenize": dict(exch=0, scans=0, py=0, smj=0),
 }
 
 
