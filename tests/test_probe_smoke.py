@@ -73,3 +73,8 @@ def test_zipf_probe_smoke(tmp_path):
         },
     )
     assert "FAIL" not in out
+
+
+def test_unigram_vocab_probe_smoke():
+    out = _run(["scripts/unigram_vocab_probe.py", "--smoke"])
+    assert "cost tracks TOTAL VOCAB CHARACTERS" in out
