@@ -1875,3 +1875,276 @@ def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return materialize_bounded(card)
     finally:
         feat.unpersist()
+
+
+# -------------------------------------------------- incremental ingest
+_INC_CUT = 200  # doc_id < CUT = the already-ingested snapshot
+_INC_MOD = 23  # every MOD-th batch doc was already crawled (re-crawl)
+_INC_ROFF = 10_000_000  # re-crawl snapshot ids map BELOW everything
+
+_INC_ORACLE = rf"""
+WITH snap AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id < {_INC_CUT}
+  UNION ALL
+  SELECT doc_id - {_INC_ROFF}, string_split_regex(trim(text), '\s+'),
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+  FROM documents WHERE doc_id >= {_INC_CUT} AND doc_id % {_INC_MOD} = 0),
+ batch AS MATERIALIZED (
+  SELECT d.doc_id, d.n_chars, d.text,
+         string_split_regex(trim(d.text), '\s+') AS tk
+  FROM documents d WHERE d.doc_id >= {_INC_CUT}),
+ feat AS MATERIALIZED (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok,
+         NOT ({_E2E_FAIL_SQL}) AS ok,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 3, 15))::BIGINT
+              AS BIGINT) AS h60
+  FROM batch),
+ q AS MATERIALIZED (SELECT * FROM feat WHERE ok),
+ exsnap AS MATERIALIZED (
+  SELECT DISTINCT q.doc_id FROM q JOIN snap s ON s.fp = q.fp),
+ exbatch AS MATERIALIZED (
+  SELECT q.doc_id FROM q
+  WHERE q.doc_id NOT IN (SELECT doc_id FROM exsnap)
+    AND q.doc_id > (SELECT min(q2.doc_id) FROM q q2
+                    WHERE q2.fp = q.fp
+                      AND q2.doc_id NOT IN (SELECT doc_id FROM exsnap))),
+ d2 AS MATERIALIZED (
+  SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM exsnap)
+                    AND doc_id NOT IN (SELECT doc_id FROM exbatch)),
+ uni AS MATERIALIZED (
+  SELECT doc_id, tk FROM snap UNION ALL SELECT doc_id, tk FROM d2),
+ idx3 AS (SELECT doc_id, tk,
+          unnest(generate_series(1, greatest(1, len(tk)-2))) AS i FROM uni),
+ sh3 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s FROM idx3),
+ sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+ pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= {_INC_CUT}
+  GROUP BY 1, 2),
+ jac AS MATERIALIZED (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+ nearsnap AS MATERIALIZED (
+  SELECT DISTINCT id_b FROM jac WHERE id_a < {_INC_CUT}),
+ nearbatch AS MATERIALIZED (
+  SELECT DISTINCT id_b FROM jac
+  WHERE id_b NOT IN (SELECT id_b FROM nearsnap)),
+ d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT id_b FROM nearsnap)
+                           AND doc_id NOT IN (SELECT id_b FROM nearbatch))
+SELECT CAST(0 AS INTEGER) AS stage_idx, 'quality' AS stage,
+       CAST((SELECT count(*) FROM feat) AS BIGINT) AS n_in,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(0 AS BIGINT) AS drop_vs_snapshot,
+       CAST((SELECT count(*) FROM feat) - count(*) AS BIGINT)
+         AS drop_within_batch,
+       CAST(coalesce(bit_xor(h60), 0) AS BIGINT) AS kept_xor
+FROM q
+UNION ALL SELECT 1, 'exact_dedup',
+       (SELECT count(*) FROM q), count(*),
+       (SELECT count(*) FROM exsnap), (SELECT count(*) FROM exbatch),
+       CAST(coalesce(bit_xor(h60), 0) AS BIGINT)
+FROM d2
+UNION ALL SELECT 2, 'near_dedup',
+       (SELECT count(*) FROM d2), count(*),
+       (SELECT count(*) FROM nearsnap), (SELECT count(*) FROM nearbatch),
+       CAST(coalesce(bit_xor(h60), 0) AS BIGINT)
+FROM d3
+ORDER BY stage_idx
+"""
+
+
+@register(
+    "pipeline_corpus_ingest_incremental",
+    tags=("pipeline", "llm", "e2e", "incremental", "dedup", "ingest"),
+    oracle=_INC_ORACLE,
+)
+def pipeline_corpus_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus ingest — the daily-crawl append shape that a
+    100 TB corpus actually runs every day, where ``pipeline_corpus_e2e``
+    is the from-scratch build: a NEW batch (doc_id >= {cut}) is quality-
+    gated, exact-deduped, and near-deduped against BOTH itself and the
+    already-ingested SNAPSHOT (doc_id < {cut}, plus planted re-crawls of
+    every {mod}-th batch doc — the re-crawled-URL case that makes the
+    vs-snapshot attribution non-vacuous at every SF). Each stage row
+    attributes its drops: vs-snapshot (content the corpus already has)
+    versus within-batch (self-duplication in today's crawl) — the split
+    an ingest dashboard actually monitors, since the two have different
+    remedies (crawler revisit policy vs upstream mirror lists).
+
+    Snapshot contract: the snapshot ships only its content FINGERPRINTS
+    and token shingles (a production run reads them from the corpus
+    manifest — text never reloads); batch docs dropping vs the snapshot
+    is a broadcast-able semi-join on 16-byte keys plus shared LSH
+    buckets between batch and snapshot signatures. Greedy keep: a batch
+    doc near-matching ANY earlier content (snapshot id or lower batch
+    id) drops; snapshot members are never re-dropped (the pair filter
+    keeps only pairs whose higher id is a batch doc — re-crawl snapshot
+    ids map below zero so they always sit on the earlier side). One
+    conditional aggregation + stack emits the whole card; the batch
+    feature frame is the only persisted corpus-scale state."""
+    from pyblazing_spark.operators.dedup import (
+        _hashed_windows_from_tokens,
+        minhash_pairs_from_hashed,
+    )
+    from pyblazing_spark.session import materialize_bounded
+
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    fingerprint = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    snap = (
+        docs.where(F.col("doc_id") < _INC_CUT)
+        .select("doc_id", toks.alias("__toks"), fingerprint.alias("fp"))
+        .unionByName(
+            docs.where(
+                (F.col("doc_id") >= _INC_CUT)
+                & (F.col("doc_id") % _INC_MOD == 0)
+            ).select(
+                (F.col("doc_id") - _INC_ROFF).alias("doc_id"),
+                toks.alias("__toks"),
+                fingerprint.alias("fp"),
+            )
+        )
+        .persist()
+    )
+    md5_id = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    base = docs.where(F.col("doc_id") >= _INC_CUT).select(
+        "doc_id", "n_chars", "text", toks.alias("__toks")
+    )
+    fails = (
+        (F.col("n_chars") < 120)
+        | (F.col("n_chars") > 450)
+        | (
+            F.length(F.regexp_replace("text", r"\s", "")) * 1.0 / F.size("__toks")
+            < 4.0
+        )
+        | ~(
+            F.lower(F.col("text")).contains(" the ")
+            | F.lower(F.col("text")).contains(" and ")
+        )
+        | (F.size(F.array_distinct("__toks")) * 1.0 / F.size("__toks") < 0.4)
+        | (F.size("__toks") < 20)
+    )
+    feat = base.select(
+        "doc_id",
+        "__toks",
+        F.size("__toks").cast("long").alias("n_tok"),
+        (~fails).alias("ok"),
+        fingerprint.alias("fp"),
+        F.conv(F.substring(md5_id, 3, 15), 16, 10).cast("long").alias("h60"),
+    ).persist()
+    feat.count()
+
+    try:
+        q = feat.where("ok")
+        exsnap = (
+            q.join(snap.select("fp").distinct(), "fp", "left_semi")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        rem = q.join(exsnap, "doc_id", "left_anti")
+        winners = (
+            rem.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+        )
+        exbatch = (
+            rem.join(winners, "doc_id", "left_anti")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        d2 = rem.join(exbatch, "doc_id", "left_anti")
+        uni = snap.select("doc_id", "__toks").unionByName(
+            d2.select("doc_id", "__toks")
+        )
+        pairs = minhash_pairs_from_hashed(
+            _hashed_windows_from_tokens(uni, "doc_id", "__toks", 3),
+            "doc_id",
+            threshold=0.5,
+        ).where(F.col("id_b") >= _INC_CUT)
+        nearsnap = (
+            pairs.where(F.col("id_a") < _INC_CUT)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nearbatch = (
+            pairs.where(F.col("id_a") >= _INC_CUT)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .join(nearsnap, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        tagged = (
+            feat.join(exsnap.withColumn("__es", F.lit(1)), "doc_id", "left")
+            .join(exbatch.withColumn("__eb", F.lit(1)), "doc_id", "left")
+            .join(nearsnap.withColumn("__ns", F.lit(1)), "doc_id", "left")
+            .join(nearbatch.withColumn("__nb", F.lit(1)), "doc_id", "left")
+            .withColumn("s_q", F.col("ok"))
+            .withColumn(
+                "s_e",
+                F.col("s_q") & F.col("__es").isNull() & F.col("__eb").isNull(),
+            )
+            .withColumn(
+                "s_n",
+                F.col("s_e") & F.col("__ns").isNull() & F.col("__nb").isNull(),
+            )
+        )
+
+        def _n(cond, alias):
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(alias)
+
+        def _x(cond, alias):
+            return (
+                F.coalesce(F.bit_xor(F.when(cond, F.col("h60"))), F.lit(0))
+                .cast("long")
+                .alias(alias)
+            )
+
+        one = tagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_feat"),
+            _n(F.col("s_q"), "n_q"),
+            _n(F.col("s_e"), "n_d2"),
+            _n(F.col("s_n"), "n_d3"),
+            _n(F.col("__es") == 1, "es_ct"),
+            _n(F.col("__eb") == 1, "eb_ct"),
+            _n(F.col("__ns") == 1, "ns_ct"),
+            _n(F.col("__nb") == 1, "nb_ct"),
+            _x(F.col("s_q"), "x_q"),
+            _x(F.col("s_e"), "x_d2"),
+            _x(F.col("s_n"), "x_d3"),
+        )
+        card = one.selectExpr(
+            "stack(3, "
+            "0, 'quality', n_feat, n_q, CAST(0 AS BIGINT), n_feat - n_q, x_q, "
+            "1, 'exact_dedup', n_q, n_d2, es_ct, eb_ct, x_d2, "
+            "2, 'near_dedup', n_d2, n_d3, ns_ct, nb_ct, x_d3"
+            ") AS (stage_idx, stage, n_in, n_kept, drop_vs_snapshot, "
+            "drop_within_batch, kept_xor)"
+        ).select(
+            F.col("stage_idx").cast("int").alias("stage_idx"),
+            "stage",
+            "n_in",
+            "n_kept",
+            "drop_vs_snapshot",
+            "drop_within_batch",
+            "kept_xor",
+        )
+        return materialize_bounded(card.orderBy("stage_idx"))
+    finally:
+        feat.unpersist()
+        snap.unpersist()
