@@ -98,9 +98,23 @@ def _respike(timings: dict, control: dict, reps: int) -> dict:
         }
         if iso:
             entry["respike_value"] = round(min(iso), 3)
-            entry["verdict"] = (
-                "noise" if min(iso) <= 1.25 * baseline else "check"
-            )
+            if c is not None:
+                # apples-to-apples: isolated current vs isolated control
+                entry["verdict"] = (
+                    "noise" if min(iso) <= 1.25 * c else "check"
+                )
+            else:
+                # Degraded leg (control commit lacks BENCH_ONLY): an
+                # isolated-vs-in-run comparison is cross-condition —
+                # isolated runs are systematically faster (r12 finding),
+                # so a plain "check" here would be spurious. Call it
+                # noise only when isolation itself collapsed the spike;
+                # otherwise flag distinctly for manual adjudication.
+                entry["verdict"] = (
+                    "noise"
+                    if min(iso) <= 1.25 * baseline
+                    else "check-degraded"
+                )
         else:
             entry["verdict"] = "respike-failed"
         out[name] = entry

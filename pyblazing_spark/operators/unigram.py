@@ -81,6 +81,19 @@ def quantized_costs(
     }
 
 
+def quantize_logp(logp: dict[str, float]) -> dict[str, int]:
+    """EM log-probabilities -> integer fixed-point Viterbi costs:
+    ``floor(-logp*4096 + 0.5)`` (logp <= 0 so costs >= 0). This is the
+    cross-engine float convention of the whole unigram family: once the
+    learned floats are quantized, the segmentation DP is exact integer
+    arithmetic both engines reproduce bit-for-bit; the only float risk
+    is a logp within quantization error of a .5 boundary, asserted wide
+    by the margin tests (same pattern as :func:`quantized_costs`)."""
+    return {
+        p: int(math.floor(-lp * COST_SCALE + 0.5)) for p, lp in logp.items()
+    }
+
+
 def viterbi_int(
     word: str, costs: dict[str, int], max_piece_len: int = MAX_PIECE_LEN
 ) -> tuple[int, list[str]]:
@@ -89,6 +102,13 @@ def viterbi_int(
     implement the lexicographic objective. Tie-break (equal combined):
     prefer the LONGER last piece. Returns (combined, pieces)."""
     n = len(word)
+    if n >= COMB_PIECES:
+        # the combined cost*32+1 encoding overflows its piece-count
+        # field at 32+ pieces (ADVICE r12): fail loudly, not wrongly.
+        raise ValueError(
+            f"word of length {n} exceeds the combined-encoding bound "
+            f"({COMB_PIECES - 1} chars); split or raise COMB_PIECES"
+        )
     dp: list[int | None] = [0] + [None] * n
     back = [0] * (n + 1)
     for j in range(1, n + 1):

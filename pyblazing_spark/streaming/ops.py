@@ -582,7 +582,15 @@ def session_timeout_stream_bucketed(
 
     return (
         stream.withWatermark("ts", watermark)
-        .withColumn("__bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)))
+        .withColumn(
+            # HASH-bucket (not plain modulo): strided or clustered
+            # user_id distributions (all-even ids, sharded id ranges)
+            # would collapse pmod(user_id, n) onto few buckets,
+            # reintroducing the per-invocation skew this operator
+            # exists to fix (ADVICE r12).
+            "__bucket",
+            F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets)),
+        )
         .groupBy("__bucket")
         .applyInPandasWithState(
             update,

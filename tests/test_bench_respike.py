@@ -43,8 +43,28 @@ def test_respike_check_verdict_and_degraded_control(monkeypatch):
     out = bench._respike(
         {"q": 3.0}, {"control_queries": {"q": 1.0}, "_worktree": "/fake"}, 5
     )
-    assert out["q"]["verdict"] == "check"
+    # ADVICE r12: without an isolated control the comparison is
+    # cross-condition (isolated runs are systematically faster), so the
+    # verdict must be distinct from a clean apples-to-apples "check".
+    assert out["q"]["verdict"] == "check-degraded"
     assert out["q"]["control_isolated"] is None  # degraded leg recorded
+
+
+def test_respike_check_verdict_with_isolated_control(monkeypatch):
+    def fake_iso(cwd, name, reps=3):
+        # current code isolated = 2.9, control isolated = 1.0
+        return 1.0 if cwd == "/fake/wt" else 2.9
+
+    monkeypatch.setattr(bench, "_isolated_query_run", fake_iso)
+    monkeypatch.setattr(bench, "_worktree_supports_only", lambda wt: True)
+    out = bench._respike(
+        {"q": 3.0},
+        {"control_queries": {"q": 1.0}, "_worktree": "/fake/wt"},
+        5,
+    )
+    # isolated-vs-isolated gap survived -> a clean "check"
+    assert out["q"]["verdict"] == "check"
+    assert out["q"]["control_isolated"] == 1.0
 
 
 def test_respike_bounds_to_three(monkeypatch):

@@ -30,6 +30,23 @@ def test_query_vs_oracle(name, spark, sf_dir, oracle_con):
         assert len(spark_pdf) > 0, f"{name}: empty result at {sf_dir}"
 
 
+def test_every_entry_carries_an_oracle():
+    """Lint (VERDICT r12 #1 closeout): every catalog entry must register
+    a value-compared DuckDB oracle. The last rows-only entry
+    (text_unigram_em_learn) gained a full-replay EM oracle in r13 —
+    keep the invariant: a new non-SQL-expressible op needs either an
+    unrolled-replay oracle (precedents: bpe_encode_k64, kmeans_iter2,
+    unigram EM) or an explicit entry in this allowlist with a comment
+    saying why the driver's hard signal genuinely cannot apply."""
+    allowed_rows_only: set[str] = set()
+    offenders = [
+        name
+        for name, spec in plans.REGISTRY.items()
+        if spec.oracle is None and name not in allowed_rows_only
+    ]
+    assert not offenders, offenders
+
+
 def test_vector_oracles_carry_tie_nudge():
     """Lint: every rounded float-distance/score expression in an oracle
     (cosine or dot-product based) must carry the repo-standard +1e-9

