@@ -1594,16 +1594,30 @@ def corpus_e2e_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_e2e_build(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(lazy card, persisted stage-1 feature frame) — the frame handle
-    lets the caller unpersist exactly what this build cached."""
+    lets the caller unpersist exactly what this build cached.
+
+    ``checkpoint_dir`` (VERDICT r12 #3) selects how the two bounded
+    loser/contaminated id sets are materialized: ``None`` =
+    ``localCheckpoint`` (fast; single-box / interactive — executor loss
+    mid-build loses blocks with severed lineage), a filesystem path =
+    RELIABLE ``Dataset.checkpoint`` via
+    :func:`pyblazing_spark.session.make_ckpt` (persist-first, so the
+    second FS-write job reads cache instead of re-executing) — the
+    production mode for 1000-executor churn, same flag the iterative
+    graph loops take. Proven by ``scripts/cluster_probe.py
+    --kill-deep`` killing an executor mid-composition."""
     from pyblazing_spark.operators.dedup import (
         _hashed_shingle_rows,
         _hashed_windows_from_tokens,
         minhash_pairs_from_hashed,
     )
     from pyblazing_spark.plans.sampling import hash_u32
+    from pyblazing_spark.session import make_ckpt
+
+    ckpt = make_ckpt(spark, checkpoint_dir)
 
     docs = T(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") < _E2E_BENCH_CUT)
@@ -1669,10 +1683,8 @@ def _corpus_e2e_build(
         "doc_id",
         threshold=0.5,
     )
-    losers = (
-        pairs.select(F.col("id_b").alias("doc_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    losers = ckpt(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(), eager=True
     )
     d3 = d2.join(losers, "doc_id", "left_anti")
 
@@ -1680,11 +1692,9 @@ def _corpus_e2e_build(
     # permitted extra text scan — the BENCH side, which is not corpus).
     c5 = _hashed_windows_from_tokens(d3, "doc_id", "__toks", 5).distinct()
     b5 = _hashed_shingle_rows(bench, "text", "doc_id", 5).select("__h").distinct()
-    contaminated = (
-        c5.join(F.broadcast(b5), "__h", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .localCheckpoint(eager=True)
+    contaminated = ckpt(
+        c5.join(F.broadcast(b5), "__h", "left_semi").select("doc_id").distinct(),
+        eager=True,
     )
     d4 = d3.join(contaminated, "doc_id", "left_anti")
 
@@ -1855,11 +1865,14 @@ def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hashes); every later stage reads that cache — the plan
     audit asserts the final card plan contains ZERO file scans of the
     corpus. The near-dup pair computation and the contamination probe
-    are materialized as bounded id sets (localCheckpoint; a production
-    run writes them as manifests), the mixing thresholds ride a
-    broadcast, and all six doc-stage rows come from ONE conditional
-    aggregation + stack over the cached frame — never six aggregate
-    branches re-executing the chain (CLAUDE.md one-scan discipline).
+    are materialized as bounded id sets (localCheckpoint by default;
+    ``_corpus_e2e_build(checkpoint_dir=...)`` flips them to RELIABLE
+    filesystem checkpoints for 1000-executor churn — same flag as the
+    iterative graph loops, kill-probed under local-cluster), the mixing
+    thresholds ride a broadcast, and all six doc-stage rows come from
+    ONE conditional aggregation + stack over the cached frame — never
+    six aggregate branches re-executing the chain (CLAUDE.md one-scan
+    discipline).
     Packing's cumsum is a per-shard partitioned window, never a global
     sort. Stage semantics match the standalone entries
     (pipeline_filter_cascade, dedup_exact, dedup_minhash_lsh,

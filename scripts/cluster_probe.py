@@ -16,6 +16,7 @@ Usage:
   python scripts/cluster_probe.py [sf_dir] [prefix ... | --head=N]
   python scripts/cluster_probe.py [sf_dir] --kill name [name ...]
   python scripts/cluster_probe.py --kill-deep
+  python scripts/cluster_probe.py --kill-e2e [sf_dir]
 
 ``--kill``: runs each named entry while SIGKILLing one
 CoarseGrainedExecutorBackend JVM mid-query; the standalone worker
@@ -237,10 +238,94 @@ def kill_deep_probe() -> int:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def kill_e2e_probe(sf_dir: str) -> int:
+    """VERDICT r12 #3: executor SIGKILL mid-``pipeline_corpus_e2e``.
+    The composition materializes its loser/contaminated id sets with
+    severed lineage (localCheckpoint default); under
+    ``checkpoint_dir=`` they become reliable FS checkpoints and the
+    card must still match the DuckDB oracle bit-for-bit after the
+    kill. Ground truth is the entry's own oracle SQL — fully
+    independent of any Spark run."""
+    import shutil
+    import tempfile
+
+    import pyblazing_spark.plans as plans
+    from pyblazing_spark.plans.curation import _corpus_e2e_build
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    expected = con.execute(plans.REGISTRY["pipeline_corpus_e2e"].oracle).df()
+
+    base = tempfile.mkdtemp(prefix="kill_e2e_")
+    ck_dir = os.path.join(base, "ck")
+    delay = float(os.environ.get("KILL_DELAY", "2.0"))
+    rc = 1
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        def run(ckpt_dir):
+            killed: list[int] = []
+            _kill_after(delay, killed)
+            t0 = time.time()
+            card, feat = _corpus_e2e_build(spark, sf_dir, checkpoint_dir=ckpt_dir)
+            try:
+                pdf = card.toPandas()
+                return ("ok", pdf, time.time() - t0, killed)
+            except Exception as exc:
+                return ("fail", str(exc).splitlines()[0][:160],
+                        time.time() - t0, killed)
+            finally:
+                feat.unpersist()
+
+        for mode, ckpt_dir in (("localCheckpoint", None), ("reliable", ck_dir)):
+            try:
+                status, info, dt, killed = run(ckpt_dir)
+            except Exception as exc:  # build itself died (local mode may)
+                status, info, dt, killed = (
+                    "fail", str(exc).splitlines()[0][:160], 0.0, [])
+            tag = f"killed pid={killed[0]}" if killed else "KILL MISSED"
+            if status == "ok":
+                try:
+                    assert_frames_match(info, expected, name="pipeline_corpus_e2e")
+                    print(f"  {mode:16s} EXACT after kill ({dt:.1f}s, {tag})")
+                    if mode == "reliable":
+                        rc = 0
+                except AssertionError as exc:
+                    print(f"  {mode:16s} WRONG RESULT ({dt:.1f}s, {tag}): "
+                          f"{str(exc).splitlines()[0][:120]}")
+            else:
+                verdict = ("EXPECTED-FAIL" if mode == "localCheckpoint"
+                           else "FAIL")
+                print(f"  {mode:16s} {verdict} ({dt:.1f}s, {tag}): {info}")
+            # the kill may poison the session — health-check, rebuild
+            try:
+                spark.range(1).count()
+            except Exception:
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                time.sleep(3)
+                spark = build_session()
+                spark.sparkContext.setLogLevel("ERROR")
+        return rc
+    finally:
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     if "--kill-deep" in args:
         return kill_deep_probe()
+    if "--kill-e2e" in args:
+        args.remove("--kill-e2e")
+        sf = args[0] if args and not args[0].startswith("--") else "/root/testdata/sf0.01"
+        return kill_e2e_probe(sf)
     sf_dir = "/root/testdata/sf0.01"
     if args and not args[0].startswith("--"):
         sf_dir = args.pop(0)
