@@ -20,6 +20,8 @@ Scale notes (each entry's docstring carries specifics):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -363,6 +365,128 @@ def pipeline_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_TXN_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+  WHERE o_orderkey % 4 = 0),
+ v2 AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+  WHERE o_orderkey % 4 <= 1),
+ v3 AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+  WHERE o_orderkey % 4 = 1
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 100000 FROM orders
+  WHERE o_orderkey % 4 IN (0, 2)),
+ snaps AS (
+  SELECT 1 AS version, k, p FROM v1
+  UNION ALL SELECT 2, k, p FROM v2
+  UNION ALL SELECT 3, k, p FROM v3),
+ rows_ AS (
+  SELECT version, k, CAST(floor(p * 100 + 0.5) AS BIGINT) AS cents
+  FROM snaps)
+SELECT CAST(version AS INTEGER) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       COALESCE(bit_xor(CAST(('0x' || substring(
+           md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)),
+           3, 15))::BIGINT AS BIGINT)), 0) AS key_xor
+FROM rows_ GROUP BY version ORDER BY version
+"""
+
+
+@register(
+    "sink_txn_snapshot_log",
+    tags=("sink", "txn", "snapshot", "merge", "time-travel", "superset"),
+    oracle=_TXN_ORACLE,
+)
+def sink_txn_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional table format end-to-end
+    (:mod:`pyblazing_spark.sources.txn_table` — snapshot-isolation
+    commit log over plain parquet, VERDICT r12 #5): a three-commit
+    history (create even-mod-4 orders → append mod-4=1 → MERGE upsert
+    updating mod-4=0 prices and inserting mod-4=2) followed by a
+    TIME-TRAVEL read of every snapshot. The output aggregates each
+    snapshot (row count, price cents mass, md5-h60 key⊕cents XOR
+    checksum), so the oracle — which recomputes each version as pure
+    set algebra over ``orders`` — validates the exact row SET visible
+    at every version: create/append/merge semantics, upsert
+    matched-vs-inserted classification, AND snapshot immutability (a
+    merge that leaked into version 1's file set would flip v1's
+    checksum). Reference analogue: none (the reference has no sinks or
+    DML — SURVEY §2.8); protocol from the public Delta/Iceberg papers.
+
+    Scale: commits are O(1) JSON files published put-if-absent; MERGE
+    rewrites only files whose footer key-range intersects the source
+    batch (file skipping measured in test_merge_skips_disjoint_files);
+    snapshot reads are plain distributed parquet scans of the live
+    file list. Concurrent-writer safety is optimistic retry
+    (test_concurrent_appends_all_land races 8 appenders)."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.session import materialize_bounded
+    from pyblazing_spark.sources.txn_table import TxnTable
+
+    orders = T(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice"]
+    out_dir = tempfile.mkdtemp(prefix="txn_snapshot_log_")
+    try:
+        t = TxnTable.create(
+            spark,
+            os.path.join(out_dir, "t"),
+            orders.where(F.col("o_orderkey") % 4 == 0).select(*cols),
+            key="o_orderkey",
+        )
+        t.append(orders.where(F.col("o_orderkey") % 4 == 1).select(*cols))
+        t.merge(
+            orders.where(
+                (F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 4 == 2)
+            ).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 100000).alias("o_totalprice"),
+            )
+        )
+        frames = []
+        for v in (1, 2, 3):
+            cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            snap = t.read(version=v).select(
+                F.lit(v).cast("int").alias("version"),
+                F.col("o_orderkey").alias("k"),
+                cents.alias("cents"),
+            )
+            h60 = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("k").cast("string"),
+                            F.col("cents").cast("string"),
+                        ).cast("binary")
+                    ),
+                    3,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            frames.append(
+                snap.groupBy("version").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("total_cents"),
+                    F.coalesce(F.bit_xor(h60), F.lit(0))
+                    .cast("long")
+                    .alias("key_xor"),
+                )
+            )
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return materialize_bounded(out.orderBy("version"))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @register(

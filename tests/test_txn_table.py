@@ -1,0 +1,141 @@
+"""Transactional table format (sources/txn_table.py): snapshot
+isolation, time travel, MERGE file-skipping, concurrent-writer safety,
+and vacuum — the log-structured-table protocol built jar-free over
+plain parquet."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from pyblazing_spark.sources.txn_table import CommitConflict, TxnTable
+
+
+def _mk(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_append_overwrite_time_travel_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _mk(spark, [(1, "a"), (2, "b")]), key="k")
+    assert t.latest_version() == 1
+    t.append(_mk(spark, [(3, "c")]))
+    t.overwrite(_mk(spark, [(9, "z")]))
+    assert _sorted(t.read(version=1)) == [(1, "a"), (2, "b")]
+    assert _sorted(t.read(version=2)) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _sorted(t.read(version=3)) == [(9, "z")]
+    assert _sorted(t.read()) == [(9, "z")]
+    hist = t.history()
+    assert [h["action"] for h in hist] == ["create", "append", "overwrite"]
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[1]["n_added_rows"] == 1
+    with pytest.raises(ValueError):
+        t.read(version=4)
+    with pytest.raises(ValueError):
+        TxnTable.create(spark, path, _mk(spark, [(1, "x")]))
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"),
+        _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), key="k",
+    )
+    t.merge(_mk(spark, [(2, "B"), (4, "D")]))
+    assert _sorted(t.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "D")]
+    # old snapshot untouched (snapshot isolation across DML)
+    assert _sorted(t.read(version=1)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_skips_disjoint_files(spark, tmp_path):
+    """A live file whose key [min,max] is disjoint from the source
+    batch's range must survive a MERGE unrewritten (Delta-style data
+    skipping applied to write amplification)."""
+    path = str(tmp_path / "t")
+    low = _mk(spark, [(i, "low") for i in range(10)]).coalesce(1)
+    high = _mk(spark, [(i, "high") for i in range(1000, 1010)]).coalesce(1)
+    t = TxnTable.create(spark, path, low, key="k")
+    t.append(high)
+    before = {f["path"]: f for f in t._live_files()}
+    low_files = {p for p, f in before.items() if f["max"] < 500}
+    assert low_files and len(before) > len(low_files)
+    t.merge(_mk(spark, [(1005, "HIGH"), (2000, "NEW")]).coalesce(1))
+    after = {f["path"] for f in t._live_files()}
+    assert low_files <= after  # low-range files survived by reference
+    assert _sorted(t.read())[:3] == [(0, "low"), (1, "low"), (2, "low")]
+    got = dict(_sorted(t.read()))
+    assert got[1005] == "HIGH" and got[2000] == "NEW" and got[1001] == "high"
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Optimistic concurrency: N racing appenders all commit (each
+    retries the put-if-absent publication with the next version);
+    the final snapshot is the union, the log is gap-free."""
+    t = TxnTable.create(spark, str(tmp_path / "t"),
+                        _mk(spark, [(0, "base")]), key="k")
+    errs: list[Exception] = []
+
+    def add(i: int):
+        try:
+            t.append(_mk(spark, [(i, f"w{i}")]))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=add, args=(i,)) for i in range(1, 9)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.latest_version() == 9  # create + 8 appends, contiguous
+    assert _sorted(t.read()) == [(0, "base")] + [
+        (i, f"w{i}") for i in range(1, 9)
+    ]
+
+
+def test_commit_conflict_surfaces_when_retries_exhausted(spark, tmp_path):
+    t = TxnTable.create(spark, str(tmp_path / "t"),
+                        _mk(spark, [(0, "x")]), key="k")
+    # jam the next version slot so every retry loses
+    orig = t._try_publish
+    t._try_publish = lambda v, p: False
+    try:
+        with pytest.raises(CommitConflict):
+            t._commit_with_retry(
+                lambda snap: {"action": "append", "add": [], "remove": [],
+                              "key": "k"},
+                max_retries=2,
+            )
+    finally:
+        t._try_publish = orig
+
+
+def test_vacuum_drops_unreferenced_files_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _mk(spark, [(1, "a")]), key="k")
+    t.overwrite(_mk(spark, [(2, "b")]))
+    t.overwrite(_mk(spark, [(3, "c")]))
+    dropped = t.vacuum(retain_from_version=3)
+    assert dropped  # v1+v2 data gone
+    assert _sorted(t.read()) == [(3, "c")]  # latest intact
+    with pytest.raises(Exception):
+        t.read(version=1).collect()  # time travel below cutoff forfeited
+
+
+def test_commit_files_are_atomic_json(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _mk(spark, [(1, "a")]), key="k")
+    t.append(_mk(spark, [(2, "b")]))
+    log_dir = os.path.join(path, "_txn")
+    names = sorted(os.listdir(log_dir))
+    assert names == ["v00000001.json", "v00000002.json"]  # no tmp litter
+    v2 = json.load(open(os.path.join(log_dir, names[1])))
+    assert v2["action"] == "append" and v2["parent"] == 1
+    assert all(a["rows"] == 1 for a in v2["add"])
+    assert "min" in v2["add"][0] and "max" in v2["add"][0]
