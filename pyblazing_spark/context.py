@@ -19,6 +19,7 @@ Catalyst builtin), and execution are Spark's.
 from __future__ import annotations
 
 import itertools
+import threading
 import time
 import warnings
 from concurrent.futures import Future, ThreadPoolExecutor
@@ -143,6 +144,9 @@ class BlazingContext:
         self._pending: dict[int, Future] = {}
         self._fetched: set[int] = set()
         self._pool = ThreadPoolExecutor(max_workers=4, thread_name_prefix="bsql-async")
+        self._ansi_lock = threading.Lock()
+        self._ansi_depth = 0
+        self._ansi_prev: str | None = None
         self._peak_memory: dict[str, int] = {}
         self.enable_progress_bar = enable_progress_bar
         if config_options:
@@ -301,15 +305,26 @@ class BlazingContext:
         previous value restored after. Lazy mode returns a plain Spark
         DataFrame and deliberately keeps session semantics."""
         key = "spark.sql.ansi.enabled"
-        prev = self.spark.conf.get(key, None)
-        self.spark.conf.set(key, "false")
+        # refcounted: the conf is SESSION-global, and the async pool runs
+        # up to 4 eager queries concurrently (the reference's own e2e
+        # suites set `concurrent: true` — TPCHSuite.yaml:4-7). A plain
+        # set/restore would re-enable ANSI under a still-running sibling
+        # query; instead the first enter disables, the last exit restores.
+        with self._ansi_lock:
+            if self._ansi_depth == 0:
+                self._ansi_prev = self.spark.conf.get(key, None)
+                self.spark.conf.set(key, "false")
+            self._ansi_depth += 1
         try:
             yield
         finally:
-            if prev is None:
-                self.spark.conf.unset(key)
-            else:
-                self.spark.conf.set(key, prev)
+            with self._ansi_lock:
+                self._ansi_depth -= 1
+                if self._ansi_depth == 0:
+                    if self._ansi_prev is None:
+                        self.spark.conf.unset(key)
+                    else:
+                        self.spark.conf.set(key, self._ansi_prev)
 
     def _run_eager(self, query: str, query_id: int, started: float):
         try:

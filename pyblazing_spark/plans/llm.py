@@ -2062,12 +2062,12 @@ def _bpe_pair_counts(v: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_learn_rounds_sql(k: int) -> str:
+def _bpe_learn_rounds_sql(k: int, vocab_sql: str = _BPE_VOCAB_SQL) -> str:
     """CTE chain learning ``k`` greedy merges: vocab1 .. vocab{k+1}.
     Every vocab CTE is referenced twice (its pairs + the next round),
     so AS MATERIALIZED throughout — DuckDB inlines plain CTEs and the
     corpus subtree would replicate per round (CLAUDE.md, graph_kcore)."""
-    parts = [f" vocab1 AS MATERIALIZED ({_BPE_VOCAB_SQL})"]
+    parts = [f" vocab1 AS MATERIALIZED ({vocab_sql})"]
     for i in range(1, k + 1):
         parts.append(
             f" pairs{i} AS MATERIALIZED ({_bpe_pairs_sql(f'vocab{i}')})"
@@ -2177,7 +2177,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_learn_inprocess(
-    rows: list[tuple[str, int]], k: int
+    rows: list[tuple[str, int]], k: int, unit: int = 1
 ) -> list[tuple[str, str]]:
     """Driver-side greedy BPE learn over the collected vocabulary: ``k``
     merge rounds with a lazy max-heap and incremental pair-count
@@ -2199,7 +2199,13 @@ def _bpe_learn_inprocess(
     ``rows`` is a |vocab|-bounded collect — distinct lowercase words
     with counts, the same boundedness contract as the sketch/codebook
     collects (a 10M-word production vocab is ~100 MB on the driver; the
-    corpus itself never leaves the cluster)."""
+    corpus itself never leaves the cluster).
+
+    ``unit`` sets the initial symbol width in characters: 1 =
+    character-level (the classic entry), 2 = byte-level over the
+    hex-encoded word (each 2-hex-char chunk IS one raw byte — the
+    GPT-2-style byte alphabet, engine-portable because both Spark and
+    DuckDB produce identical uppercase ``hex()``)."""
     import heapq
 
     words: dict[str, list[str]] = {}
@@ -2207,7 +2213,11 @@ def _bpe_learn_inprocess(
     pair_w: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[str]] = {}
     for word, w in rows:
-        syms = list(word)
+        syms = (
+            list(word)
+            if unit == 1
+            else [word[i : i + unit] for i in range(0, len(word), unit)]
+        )
         words[word] = syms
         weight[word] = w
         for i in range(len(syms) - 1):
@@ -2400,6 +2410,124 @@ def text_bpe_encode_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
     through deep merge chains (merged symbols merging again, dry-round
     no-ops), not just the 4 shallow rounds."""
     return _bpe_encode_pipeline(spark, sf_dir, 64)
+
+
+# Byte-level BPE (VERDICT r12 #6): symbols are RAW UTF-8 BYTES, not
+# characters — the GPT-2-style byte alphabet, so multi-byte characters
+# split and merges can cross character boundaries. Engine-portable
+# encoding: each byte rides as its 2-hex-char uppercase chunk (Spark
+# hex(binary) == DuckDB hex(varchar), probed identical), so the whole
+# char-level oracle/learner machinery applies with unit=2 symbols. The
+# vocab keeps EVERY whitespace token (punctuation, digits, casing —
+# no ^[a-z]+$ gate): byte-level BPE exists precisely to need no
+# alphabet assumptions.
+_BPE_BYTE_MERGES = 6
+
+_BPE_BYTE_VOCAB_SQL = """
+  SELECT word, CAST(count(*) AS BIGINT) AS w,
+         regexp_replace(hex(word), '([0-9A-F]{2})', '(\\1)', 'g') AS s
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+"""
+
+
+@register(
+    "text_bpe_byte_level",
+    tags=("llm", "text", "tokenizer", "bpe", "bytes"),
+    oracle=f"""
+WITH
+{{rounds}},
+ tok AS (
+  SELECT word, w, unnest(string_split(trim(s, '()'), ')(')) AS token_hex
+  FROM vocab{_BPE_BYTE_MERGES + 1}),
+ stats AS (
+  SELECT token_hex,
+         CAST(length(token_hex) // 2 AS BIGINT)  AS n_bytes,
+         CAST(count(DISTINCT word) AS BIGINT)    AS n_words,
+         CAST(sum(w) AS BIGINT)                  AS total_count
+  FROM tok GROUP BY token_hex),
+ ranked AS (
+  SELECT *, row_number() OVER (ORDER BY total_count DESC, token_hex) AS rank
+  FROM stats)
+SELECT CAST(rank AS INTEGER) AS rank, token_hex, n_bytes, n_words, total_count
+FROM ranked WHERE rank <= 20 ORDER BY rank
+""".replace(
+        "{rounds}", _bpe_learn_rounds_sql(_BPE_BYTE_MERGES, _BPE_BYTE_VOCAB_SQL)
+    ),
+)
+def text_bpe_byte_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE learn + encode (VERDICT r12 #6): the same
+    in-process heap learner as ``text_bpe_encode``, but over the raw
+    UTF-8 byte alphabet — every whitespace token (no lowercase gate),
+    each initial symbol one byte, merges free to cross character
+    boundaries. This proves the |vocab| driver-collect bound is a
+    property of the LEARNER, not of the [a-z] alphabet: the collected
+    rows are still the distinct-token vocabulary (hex-encoded — 2 chars
+    per byte), and the learn loop's cost is bounded by total symbol
+    updates exactly as before (vocab-scale probe row in SCALE.md).
+    Output: top-20 learned tokens as uppercase hex with byte length,
+    word coverage, and corpus mass. The oracle unrolls the same six
+    greedy rounds over the hex-chunked vocabulary in SQL — byte-exact
+    because both engines produce identical uppercase ``hex()`` and
+    binary-collation tie-breaks.
+
+    Scale: identical contract to ``text_bpe_encode`` — ONE corpus-scale
+    word-count aggregation, learn in-process, encode as a vectorized
+    pandas_udf over the DISTINCT vocabulary only."""
+    docs = T(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(F.hex(F.col("word").cast("binary")).alias("hx"), "word", "w")
+        .localCheckpoint(eager=True)  # corpus scanned ONCE
+    )
+    vocab_rows = [(r["hx"], r["w"]) for r in vocab.collect()]
+    ranks = tuple(_bpe_learn_inprocess(vocab_rows, _BPE_BYTE_MERGES, unit=2))
+
+    @F.pandas_udf("array<string>")
+    def bpe_enc_bytes(hexes: pd.Series) -> pd.Series:
+        def enc(hx: str) -> list[str]:
+            sym = [hx[i : i + 2] for i in range(0, len(hx), 2)]
+            for p1, p2 in ranks:
+                out, i, n = [], 0, len(sym)
+                while i < n:
+                    if i + 1 < n and sym[i] == p1 and sym[i + 1] == p2:
+                        out.append(p1 + p2)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            return sym
+
+        return hexes.map(enc)
+
+    toks = vocab.select(
+        "word", "w", F.explode(bpe_enc_bytes(F.col("hx"))).alias("token_hex")
+    )
+    stats = toks.groupBy("token_hex").agg(
+        F.countDistinct("word").alias("n_words"),
+        F.sum("w").cast("long").alias("total_count"),
+    ).withColumn("n_bytes", (F.length("token_hex") / 2).cast("long"))
+    from pyspark.sql import Window as W
+
+    ranked = stats.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("total_count"), "token_hex"))
+        .cast("int"),
+    ).where(F.col("rank") <= 20)
+    return materialize_bounded(
+        ranked.select(
+            "rank", "token_hex", "n_bytes", "n_words", "total_count"
+        ).orderBy("rank")
+    )
 
 
 _KW_TAG_TERMS = (

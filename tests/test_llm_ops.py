@@ -569,6 +569,74 @@ def test_bpe_heap_learner_matches_naive_recount(rows, k):
     assert _bpe_learn_inprocess(list(rows), k) == _naive_bpe_learn(rows, k)
 
 
+def _naive_byte_bpe(word_counts, k):
+    """Pure-Python byte-level reference: symbols are tuples of raw ints
+    (actual bytes), full recount each round; ties broken by
+    lexicographically smallest (p1, p2) AS BYTE SEQUENCES."""
+    words = {w: [bytes([b]) for b in w.encode("utf-8")] for w, _ in word_counts}
+    weight = dict(word_counts)
+    merges = []
+    for _ in range(k):
+        counts = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + weight[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        p1, p2 = best
+        for w, syms in words.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == p1 and syms[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+@_settings(max_examples=120, deadline=None)
+@_given(
+    _st.lists(
+        _st.tuples(
+            _st.text(
+                alphabet=_st.characters(min_codepoint=33, max_codepoint=0x3FF),
+                min_size=1,
+                max_size=8,
+            ),
+            _st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    _st.integers(min_value=1, max_value=10),
+)
+def test_byte_level_bpe_hex_learner_matches_raw_bytes(rows, k):
+    """VERDICT r12 #6 pin: the hex-chunk (unit=2) learner over
+    hex-encoded words must reproduce the TRUE byte-level greedy merge
+    sequence — a pure-Python reference operating on raw byte values —
+    merge for merge. Multi-byte UTF-8 words (codepoints up to U+03FF)
+    force merges across character boundaries; the hex encoding must
+    preserve byte-wise tie-breaks exactly (uppercase hex is
+    order-isomorphic to bytes per 2-char chunk... asserted here, not
+    assumed)."""
+    from pyblazing_spark.plans.llm import _bpe_learn_inprocess
+
+    hex_rows = [(w.encode("utf-8").hex().upper(), c) for w, c in rows]
+    got = _bpe_learn_inprocess(hex_rows, k, unit=2)
+    want = [
+        (a.hex().upper(), b.hex().upper())
+        for a, b in _naive_byte_bpe(rows, k)
+    ]
+    assert got == want
+
+
 def test_keyword_automaton_property():
     """Aho-Corasick counts vs a brute all-occurrence position scan on
     random texts — includes SELF-overlapping keywords ("aa" in "aaa"

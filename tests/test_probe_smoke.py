@@ -78,3 +78,13 @@ def test_zipf_probe_smoke(tmp_path):
 def test_unigram_vocab_probe_smoke():
     out = _run(["scripts/unigram_vocab_probe.py", "--smoke"])
     assert "cost tracks TOTAL VOCAB CHARACTERS" in out
+
+
+def test_concurrent_probe_smoke():
+    out = _run(["scripts/concurrent_probe.py", "--smoke"])
+    assert "PROBE OK 8/8" in out and "refcount clean" in out
+
+
+def test_bpe_byte_vocab_probe_smoke():
+    out = _run(["scripts/bpe_byte_vocab_probe.py", "--smoke"])
+    assert "PROBE OK" in out
