@@ -34,10 +34,15 @@ def _worktree_supports_only(wt: str) -> bool:
         return False
 
 
-def _isolated_query_run(cwd: str, name: str, reps: int = 3) -> float | None:
+def _isolated_query_run(
+    cwd: str, name: str, reps: int = 3, errs: list | None = None
+) -> float | None:
     """One query, fresh JVM, own subprocess — the isolation that
     manual spike adjudication used (CLAUDE.md bench note), automated.
-    Returns the query's trimmed median or None on any failure."""
+    Returns the query's trimmed median or None on any failure; the
+    failure REASON is appended to ``errs`` so a silently-missing
+    isolated leg is diagnosable from the artifact (r13: a None here
+    left two respikes stuck at check-degraded with no trace)."""
     env = os.environ.copy()
     env["SPARK_GRAFT_BENCH_CONTROL"] = "0"
     env["SPARK_GRAFT_BENCH_ONLY"] = name
@@ -53,9 +58,16 @@ def _isolated_query_run(cwd: str, name: str, reps: int = 3) -> float | None:
             None,
         )
         if proc.returncode != 0 or line is None:
+            if errs is not None:
+                errs.append(
+                    f"{cwd}:{name} rc={proc.returncode} "
+                    f"tail={(proc.stderr or proc.stdout).strip()[-300:]}"
+                )
             return None
         return json.loads(line).get("queries", {}).get(name)
-    except Exception:  # noqa: BLE001 — adjudication is best-effort
+    except Exception as exc:  # noqa: BLE001 — adjudication is best-effort
+        if errs is not None:
+            errs.append(f"{cwd}:{name} {type(exc).__name__}: {exc}")
         return None
 
 
@@ -81,13 +93,18 @@ def _respike(timings: dict, control: dict, reps: int) -> dict:
     out: dict[str, dict] = {}
     # bound the adjudication pass: the roving pattern is ONE query/run
     for name in sorted(flagged, key=lambda n: -timings[n] / cq[n])[:3]:
-        a = _isolated_query_run(_REPO, name)
+        errs: list[str] = []
+        a = _isolated_query_run(_REPO, name, errs=errs)
         c = (
-            _isolated_query_run(wt, name)
+            _isolated_query_run(wt, name, errs=errs)
             if wt and _worktree_supports_only(wt)
             else None
         )
-        b = _isolated_query_run(_REPO, name)
+        if c is None and wt and _worktree_supports_only(wt):
+            # one retry: a single transiently-dead JVM must not degrade
+            # the whole adjudication to a cross-condition compare (r13)
+            c = _isolated_query_run(wt, name, errs=errs)
+        b = _isolated_query_run(_REPO, name, errs=errs)
         iso = [v for v in (a, b) if v is not None]
         baseline = c if c is not None else cq[name]
         entry = {
@@ -96,6 +113,8 @@ def _respike(timings: dict, control: dict, reps: int) -> dict:
             "isolated": iso,
             "control_isolated": c,
         }
+        if errs:
+            entry["isolated_errs"] = errs[:3]
         if iso:
             entry["respike_value"] = round(min(iso), 3)
             if c is not None:
@@ -315,7 +334,14 @@ def main() -> None:
             else {}
         )
     finally:
-        _drop_control_worktree()
+        # Drop ONLY if this process created the worktree. The respike
+        # subprocesses re-enter this very main() in BENCH_ONLY mode
+        # with CONTROL=0; an unconditional drop there deletes the
+        # PARENT's live worktree between its `a` and `c` legs — the
+        # actual reason control_isolated was null in r12 AND r13
+        # (FileNotFoundError surfaced by isolated_errs).
+        if control.get("_worktree"):
+            _drop_control_worktree()
     control.pop("_worktree", None)
     extra = {"respike": respike} if respike else {}
 

@@ -10,7 +10,7 @@ import bench
 def test_respike_flags_and_verdicts(monkeypatch):
     calls = []
 
-    def fake_iso(cwd, name, reps=3):
+    def fake_iso(cwd, name, reps=3, errs=None):
         calls.append((cwd, name))
         # current-code isolated runs land back at control speed -> noise
         return 1.0
@@ -34,7 +34,7 @@ def test_respike_flags_and_verdicts(monkeypatch):
 
 
 def test_respike_check_verdict_and_degraded_control(monkeypatch):
-    def fake_iso(cwd, name, reps=3):
+    def fake_iso(cwd, name, reps=3, errs=None):
         return 2.9  # stays ~3x control under isolation -> check
 
     monkeypatch.setattr(bench, "_isolated_query_run", fake_iso)
@@ -51,7 +51,7 @@ def test_respike_check_verdict_and_degraded_control(monkeypatch):
 
 
 def test_respike_check_verdict_with_isolated_control(monkeypatch):
-    def fake_iso(cwd, name, reps=3):
+    def fake_iso(cwd, name, reps=3, errs=None):
         # current code isolated = 2.9, control isolated = 1.0
         return 1.0 if cwd == "/fake/wt" else 2.9
 
