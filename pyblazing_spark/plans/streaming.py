@@ -787,6 +787,158 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_txn_upsert",
+    tags=("streaming", "foreachbatch", "txn", "upsert", "time-travel"),
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, ts, value, event_id % 3 AS b
+  FROM events WHERE event_type = 'purchase'),
+ vers AS (SELECT v FROM (VALUES (1), (2), (3)) t(v)),
+ ranked AS (
+  SELECT v, user_id, event_id, value,
+         row_number() OVER (PARTITION BY v, user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM p JOIN vers ON p.b < v)
+SELECT CAST(v AS INTEGER)             AS version,
+       CAST(user_id % 4 AS BIGINT)    AS cohort,
+       CAST(count(*) AS BIGINT)       AS n_users,
+       CAST(sum(event_id) AS BIGINT)  AS latest_id_sum,
+       round(sum(value) + 1e-4, 2)    AS value_sum
+FROM ranked WHERE rn = 1
+GROUP BY v, user_id % 4
+ORDER BY version, cohort
+""",
+)
+def stream_txn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert INTO the transactional table format — the
+    composition ``stream_foreachbatch_upsert``'s docstring promised
+    ("with Delta/Iceberg the foreachBatch body becomes a MERGE INTO"):
+    each micro-batch reduces to its latest purchase per user, keeps only
+    rows NEWER than the table's current row for that key ((ts, event_id)
+    total order), and MERGEs into a :class:`TxnTable` — so every
+    micro-batch is one snapshot commit and the whole CDC history is
+    TIME-TRAVELABLE. The output reads ALL THREE snapshot versions and
+    rolls each into user_id%4 cohorts; the oracle recomputes version k
+    as "latest purchase per user over batches < k" — a stale overwrite
+    (older row replacing newer), a lost key, OR a merge leaking into an
+    earlier snapshot all flip a row. Exactly-once note: a production
+    foreachBatch records epoch_id in the commit body and skips
+    already-committed epochs on retry; the availableNow drain here runs
+    each epoch once.
+
+    Scale: per batch, one shuffle of the BATCH on user_id (the
+    within-batch latest), one broadcast-size join against current keys,
+    and a file-skipped merge rewrite; the commit log is O(batches)
+    JSON."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyblazing_spark.sources.tables import load_table
+    from pyblazing_spark.sources.txn_table import TxnTable
+    from pyblazing_spark.streaming.ops import read_landing_stream
+
+    base = tempfile.mkdtemp(prefix="stream_txn_upsert_")
+    landing = os.path.join(base, "landing")
+    tpath = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(3):
+            tmp = os.path.join(base, f"b{i}")
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(tmp)
+            dst = os.path.join(landing, f"{i}.parquet")
+            shutil.copyfile(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        state: dict[str, TxnTable | None] = {"t": None}
+
+        def upsert(batch_df, epoch_id):
+            batch = (
+                batch_df.where(F.col("event_type") == "purchase")
+                .select("user_id", "event_id", "ts", "value")
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            t = state["t"]
+            if t is None:
+                state["t"] = TxnTable.create(
+                    batch.sparkSession, tpath, batch, key="user_id"
+                )
+                return
+            cur = t.read().select(
+                "user_id",
+                F.col("ts").alias("__cur_ts"),
+                F.col("event_id").alias("__cur_eid"),
+            )
+            newer = (
+                batch.join(cur, "user_id", "left")
+                .where(
+                    F.col("__cur_ts").isNull()
+                    | (F.col("ts") > F.col("__cur_ts"))
+                    | (
+                        (F.col("ts") == F.col("__cur_ts"))
+                        & (F.col("event_id") > F.col("__cur_eid"))
+                    )
+                )
+                .select("user_id", "event_id", "ts", "value")
+            )
+            t.merge(newer)
+
+        q = (
+            read_landing_stream(spark, landing)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("txn upsert drain did not finish")
+
+        t = state["t"]
+        assert t is not None and t.latest_version() == 3
+        frames = []
+        for v in (1, 2, 3):
+            frames.append(
+                t.read(version=v)
+                .groupBy((F.col("user_id") % 4).alias("cohort"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_users"),
+                    F.sum("event_id").alias("latest_id_sum"),
+                    F.round(F.sum("value") + 1e-4, 2).alias("value_sum"),
+                )
+                .select(
+                    F.lit(v).cast("int").alias("version"),
+                    "cohort",
+                    "n_users",
+                    "latest_id_sum",
+                    "value_sum",
+                )
+            )
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out.orderBy("version", "cohort").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "stream_session_timer",
     tags=("streaming", "applyInPandasWithState", "timer", "sessionize"),
     oracle="""
