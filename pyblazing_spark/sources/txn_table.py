@@ -111,9 +111,10 @@ class TxnTable:
         if t.latest_version() > 0:
             raise ValueError(f"table already exists at {path}")
         adds = t._write_data(df, key) if df is not None else []
+        schema = df.schema.json() if df is not None else None
         t._commit_with_retry(
             lambda snap: {"action": "create", "add": adds, "remove": [],
-                          "key": key},
+                          "key": key, "schema": schema},
             max_retries=0,
         )
         return t
@@ -253,9 +254,10 @@ class TxnTable:
         written once, only the log retries)."""
         key = self.table_key()
         adds = self._write_data(df, key)
+        schema = df.schema.json()
         return self._commit_with_retry(
             lambda snap: {"action": "append", "add": adds, "remove": [],
-                          "key": key}
+                          "key": key, "schema": schema}
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -263,12 +265,14 @@ class TxnTable:
         versions still see their snapshot)."""
         key = self.table_key()
         adds = self._write_data(df, key)
+        schema = df.schema.json()
         return self._commit_with_retry(
             lambda snap: {
                 "action": "overwrite",
                 "add": adds,
                 "remove": [f["path"] for f in self._live_files(snap)],
                 "key": key,
+                "schema": schema,
             }
         )
 
@@ -286,13 +290,14 @@ class TxnTable:
 
         def build(snap: int) -> dict:
             live = self._live_files(snap)
+            schema = source.schema.json()
             row = source.agg(
                 F.min(key).alias("lo"), F.max(key).alias("hi")
             ).collect()[0]
             lo, hi = row["lo"], row["hi"]
             if lo is None:  # empty source: no-op commit
                 return {"action": "merge", "add": [], "remove": [],
-                        "key": key}
+                        "key": key, "schema": schema}
             hit = [
                 f for f in live
                 if "min" not in f or not (f["max"] < lo or f["min"] > hi)
@@ -307,7 +312,7 @@ class TxnTable:
                 out = source
             adds = self._write_data(out, key)
             return {"action": "merge", "add": adds, "remove": hit_paths,
-                    "key": key}
+                    "key": key, "schema": schema}
 
         return self._commit_with_retry(build)
 
@@ -321,9 +326,23 @@ class TxnTable:
             raise ValueError(f"version {version} not in [1, {head}]")
         files = self._live_files(version)
         if not files:
-            raise ValueError(
-                f"snapshot {version or head} is empty (schema unknown "
-                "for an all-removed snapshot)"
+            # empty snapshot (empty create, or everything removed):
+            # return a typed zero-row frame from the last schema the log
+            # recorded at or before this version — "a filter eliminated
+            # everything" is a daily event at scale, not an error.
+            from pyspark.sql.types import StructType
+
+            schema_json = None
+            for entry in self._read_log(version):
+                if entry.get("schema"):
+                    schema_json = entry["schema"]
+            if schema_json is None:
+                raise ValueError(
+                    f"snapshot {version or head} is empty and no commit "
+                    "recorded a schema"
+                )
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
             )
         return self.spark.read.parquet(
             *[os.path.join(self.path, f["path"]) for f in files]

@@ -128,6 +128,25 @@ def test_vacuum_drops_unreferenced_files_only(spark, tmp_path):
         t.read(version=1).collect()  # time travel below cutoff forfeited
 
 
+def test_empty_snapshots_read_as_typed_zero_row_frames(spark, tmp_path):
+    """Empty create / all-removed snapshots must read back as ZERO-ROW
+    frames with the recorded schema (a filter eliminating everything is
+    a daily event at scale, not an error) — caught by the catalog-wide
+    empty-tables gate on stream_txn_upsert."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"),
+        _mk(spark, [], "k long, v string"), key="k",
+    )
+    got = t.read()
+    assert got.columns == ["k", "v"] and got.count() == 0
+    t.merge(_mk(spark, [], "k long, v string"))  # no-op commit
+    assert t.latest_version() == 2
+    assert t.read(version=2).count() == 0
+    t.append(_mk(spark, [(1, "a")]))
+    assert _sorted(t.read()) == [(1, "a")]
+    assert t.read(version=1).count() == 0  # time travel to empty still OK
+
+
 def test_commit_files_are_atomic_json(spark, tmp_path):
     path = str(tmp_path / "t")
     t = TxnTable.create(spark, path, _mk(spark, [(1, "a")]), key="k")
