@@ -19,6 +19,7 @@ Catalyst builtin), and execution are Spark's.
 from __future__ import annotations
 
 import itertools
+import os
 import threading
 import time
 import warnings
@@ -204,7 +205,25 @@ class BlazingContext:
         Routing mirrors reference ``create_table`` (context.py:2079-2577):
         path(s) -> per-format reader with kwarg translation; in-memory
         frames -> direct registration; ``from_sql`` kwargs -> JDBC.
+        Superset: a directory containing a ``_txn`` commit log registers
+        as a TRANSACTIONAL-table snapshot read
+        (:mod:`pyblazing_spark.sources.txn_table`); pass ``version=`` to
+        time-travel the registration.
         """
+        if (
+            isinstance(input, str)
+            and os.path.isdir(os.path.join(input, "_txn"))
+        ):
+            from pyblazing_spark.sources.txn_table import TxnTable
+
+            t = TxnTable(self.spark, input)
+            df = t.read(version=kwargs.pop("version", None))
+            df.createOrReplaceTempView(table_name)
+            self._tables[table_name] = _TableEntry(
+                name=table_name, df=df, source="txn", paths=[input],
+                kwargs=kwargs,
+            )
+            return df
         df, source, paths = read_source(
             self.spark, self._resolve_paths(input), _table_name=table_name, **kwargs
         )

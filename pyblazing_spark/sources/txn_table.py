@@ -304,15 +304,44 @@ class TxnTable:
             ]
             hit_paths = [f["path"] for f in hit]
             if hit_paths:
-                cur = self.spark.read.parquet(
+                cur = self.spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(self.path, p) for p in hit_paths]
                 )
-                out = cur.join(source, key, "left_anti").unionByName(source)
+                # allowMissingColumns: schema evolution — a source batch
+                # carrying a new column upserts with NULLs for kept rows
+                out = cur.join(source, key, "left_anti").unionByName(
+                    source, allowMissingColumns=True
+                )
             else:
                 out = source
             adds = self._write_data(out, key)
             return {"action": "merge", "add": adds, "remove": hit_paths,
                     "key": key, "schema": schema}
+
+        return self._commit_with_retry(build)
+
+    def compact(self, target_files: int = 1) -> int:
+        """OPTIMIZE-style compaction: rewrite the current live file set
+        into ``target_files`` files — same rows, one snapshot commit
+        (action "compact"), so readers at older versions still see the
+        small-files layout and concurrent writers conflict-detect
+        normally. The small-files problem is the tax every streaming
+        ingest pays (one parquet per micro-batch); compaction is how a
+        log-structured table stays scan-efficient at 100 TB."""
+        key = self.table_key()
+
+        def build(snap: int) -> dict:
+            live = self._live_files(snap)
+            if len(live) <= target_files:
+                return {"action": "compact", "add": [], "remove": [],
+                        "key": key}
+            cur = self.spark.read.parquet(
+                *[os.path.join(self.path, f["path"]) for f in live]
+            )
+            adds = self._write_data(cur.coalesce(target_files), key)
+            return {"action": "compact", "add": adds,
+                    "remove": [f["path"] for f in live], "key": key,
+                    "schema": cur.schema.json()}
 
         return self._commit_with_retry(build)
 
@@ -344,7 +373,9 @@ class TxnTable:
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
-        return self.spark.read.parquet(
+        # mergeSchema: live files may span schema evolution (a column
+        # added by a later append/merge) — absent columns read as NULL
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f["path"]) for f in files]
         )
 

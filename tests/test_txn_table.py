@@ -147,6 +147,90 @@ def test_empty_snapshots_read_as_typed_zero_row_frames(spark, tmp_path):
     assert t.read(version=1).count() == 0  # time travel to empty still OK
 
 
+def test_compact_preserves_rows_and_history(spark, tmp_path):
+    """OPTIMIZE-style compaction: fewer live files, identical rows,
+    one commit; older versions still read the pre-compaction layout."""
+    t = TxnTable.create(spark, str(tmp_path / "t"),
+                        _mk(spark, [(1, "a")]).coalesce(1), key="k")
+    for i in range(2, 6):
+        t.append(_mk(spark, [(i, f"v{i}")]).coalesce(1))
+    assert len(t._live_files()) == 5
+    before = _sorted(t.read())
+    v = t.compact(target_files=1)
+    assert v == 6 and len(t._live_files()) == 1
+    assert _sorted(t.read()) == before
+    assert len(t._live_files(version=5)) == 5  # old layout intact
+    assert t.history()[-1]["action"] == "compact"
+    # idempotent when already compact: no-op commit, no rewrites
+    t.compact(target_files=1)
+    assert t.history()[-1]["n_added_files"] == 0
+
+
+def test_schema_evolution_append_and_merge(spark, tmp_path):
+    """A later append/merge may carry a NEW column: snapshot reads
+    mergeSchema across live files (old rows read NULL), and MERGE
+    unions with allowMissingColumns."""
+    t = TxnTable.create(spark, str(tmp_path / "t"),
+                        _mk(spark, [(1, "a"), (2, "b")]), key="k")
+    t.append(_mk(spark, [(3, "c", 30)], "k long, v string, score long"))
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+    t.merge(_mk(spark, [(2, "B", 20), (4, "D", 40)],
+                "k long, v string, score long"))
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 20), 3: ("c", 30), 4: ("D", 40)}
+    # time travel predates the column entirely
+    assert t.read(version=1).columns == ["k", "v"]
+
+
+def test_concurrent_merge_and_append_both_land(spark, tmp_path):
+    """Conflicting DML race: a MERGE (rewrites files) and an APPEND
+    (adds files) run concurrently; optimistic retry must land BOTH —
+    final state shows the merge's upsert AND the appended rows."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"),
+        _mk(spark, [(1, "a"), (2, "b")]).coalesce(1), key="k",
+    )
+    errs: list[Exception] = []
+
+    def do_merge():
+        try:
+            t.merge(_mk(spark, [(2, "B"), (5, "E")]).coalesce(1))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def do_append():
+        try:
+            t.append(_mk(spark, [(9, "z")]).coalesce(1))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    th = [threading.Thread(target=do_merge), threading.Thread(target=do_append)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert t.latest_version() == 3
+    assert _sorted(t.read()) == [(1, "a"), (2, "B"), (5, "E"), (9, "z")]
+
+
+def test_blazing_context_registers_txn_table(spark, tmp_path):
+    """BlazingContext.create_table on a _txn directory registers the
+    snapshot (latest or time-traveled via version=) as a SQL view."""
+    from pyblazing_spark.context import BlazingContext
+
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _mk(spark, [(1, "a"), (2, "b")]), key="k")
+    t.append(_mk(spark, [(3, "c")]))
+    bc = BlazingContext(spark)
+    bc.create_table("tt", path)
+    assert bc.sql("SELECT count(*) AS n FROM tt", eager=True)["n"][0] == 3
+    bc.create_table("tt1", path, version=1)
+    assert bc.sql("SELECT count(*) AS n FROM tt1", eager=True)["n"][0] == 2
+    assert "tt" in bc.list_tables()
+
+
 def test_commit_files_are_atomic_json(spark, tmp_path):
     path = str(tmp_path / "t")
     t = TxnTable.create(spark, path, _mk(spark, [(1, "a")]), key="k")
