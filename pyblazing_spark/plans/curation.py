@@ -367,6 +367,33 @@ def pipeline_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _txn_three_commit_table(spark: SparkSession, sf_dir: str, path: str):
+    """The shared three-commit fixture history: create even-mod-4
+    orders -> append mod-4=1 -> MERGE updating mod-4=0 prices
+    (+100000) and inserting mod-4=2. Used by sink_txn_snapshot_log
+    (snapshot reads) and txn_change_feed (row-level diffs)."""
+    from pyblazing_spark.sources.txn_table import TxnTable
+
+    orders = T(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice"]
+    t = TxnTable.create(
+        spark,
+        path,
+        orders.where(F.col("o_orderkey") % 4 == 0).select(*cols),
+        key="o_orderkey",
+    )
+    t.append(orders.where(F.col("o_orderkey") % 4 == 1).select(*cols))
+    t.merge(
+        orders.where(
+            (F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 4 == 2)
+        ).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 100000).alias("o_totalprice"),
+        )
+    )
+    return t
+
+
 _TXN_ORACLE = """
 WITH v1 AS (
   SELECT o_orderkey AS k, o_totalprice AS p FROM orders
@@ -430,25 +457,9 @@ def sink_txn_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyblazing_spark.session import materialize_bounded
     from pyblazing_spark.sources.txn_table import TxnTable
 
-    orders = T(spark, sf_dir, "orders")
-    cols = ["o_orderkey", "o_totalprice"]
     out_dir = tempfile.mkdtemp(prefix="txn_snapshot_log_")
     try:
-        t = TxnTable.create(
-            spark,
-            os.path.join(out_dir, "t"),
-            orders.where(F.col("o_orderkey") % 4 == 0).select(*cols),
-            key="o_orderkey",
-        )
-        t.append(orders.where(F.col("o_orderkey") % 4 == 1).select(*cols))
-        t.merge(
-            orders.where(
-                (F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 4 == 2)
-            ).select(
-                "o_orderkey",
-                (F.col("o_totalprice") + 100000).alias("o_totalprice"),
-            )
-        )
+        t = _txn_three_commit_table(spark, sf_dir, os.path.join(out_dir, "t"))
         frames = []
         for v in (1, 2, 3):
             cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
@@ -485,6 +496,97 @@ def sink_txn_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         for fdf in frames[1:]:
             out = out.unionByName(fdf)
         return materialize_bounded(out.orderBy("version"))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_CDF_H60 = (
+    "CAST(('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || "
+    "CAST(cents AS VARCHAR)), 3, 15))::BIGINT AS BIGINT)"
+)
+
+
+@register(
+    "txn_change_feed",
+    tags=("sink", "txn", "cdf", "incremental", "superset"),
+    oracle=f"""
+WITH ch AS (
+  SELECT 2 AS version, 'insert' AS change_type,
+         o_orderkey AS k, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 4 = 1
+  UNION ALL
+  SELECT 3, 'update_postimage', o_orderkey, o_totalprice + 100000
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT 3, 'insert', o_orderkey, o_totalprice + 100000
+  FROM orders WHERE o_orderkey % 4 = 2),
+ r AS (SELECT version, change_type, k,
+              CAST(floor(p * 100 + 0.5) AS BIGINT) AS cents
+       FROM ch)
+SELECT CAST(version AS INTEGER) AS version, change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       COALESCE(bit_xor({_CDF_H60}), 0) AS key_xor
+FROM r GROUP BY version, change_type ORDER BY version, change_type
+""",
+)
+def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the transactional table
+    (:meth:`TxnTable.change_feed` — the Delta CDF concept): row-level
+    inserts / update-postimages / deletes per commit version,
+    reconstructed by key-diffing consecutive snapshots of the shared
+    three-commit history. The oracle recomputes every change class as
+    set algebra over ``orders``, so a misclassified change (an update
+    reported as insert, a leaked delete, a wrong postimage price) flips
+    a row. This is the primitive that makes downstream 100-TB
+    pipelines INCREMENTAL: consumers join the feed, not the table.
+
+    Scale: two snapshot scans + one key-join per diffed version; a
+    production write-time CDF (persisting each merge's rewrite delta
+    with the commit) emits the same frame with zero extra scans —
+    documented upgrade path in the operator."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.session import materialize_bounded
+
+    out_dir = tempfile.mkdtemp(prefix="txn_cdf_")
+    try:
+        t = _txn_three_commit_table(spark, sf_dir, os.path.join(out_dir, "t"))
+        feed = t.change_feed(1)
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        rows = feed.select(
+            F.col("_commit_version").alias("version"),
+            F.col("_change_type").alias("change_type"),
+            F.col("o_orderkey").alias("k"),
+            cents.alias("cents"),
+        )
+        h60 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("k").cast("string"),
+                        F.col("cents").cast("string"),
+                    ).cast("binary")
+                ),
+                3,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return materialize_bounded(
+            rows.groupBy("version", "change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+                F.coalesce(F.bit_xor(h60), F.lit(0))
+                .cast("long")
+                .alias("key_xor"),
+            )
+            .orderBy("version", "change_type")
+        )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

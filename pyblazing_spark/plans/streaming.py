@@ -821,10 +821,11 @@ def stream_txn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolls each into user_id%4 cohorts; the oracle recomputes version k
     as "latest purchase per user over batches < k" — a stale overwrite
     (older row replacing newer), a lost key, OR a merge leaking into an
-    earlier snapshot all flip a row. Exactly-once note: a production
-    foreachBatch records epoch_id in the commit body and skips
-    already-committed epochs on retry; the availableNow drain here runs
-    each epoch once.
+    earlier snapshot all flip a row. Exactly-once: each merge commits
+    with ``app_txn_id=f"stream_txn_upsert:{epoch_id}"`` so a REPLAYED
+    micro-batch skips instead of double-applying (the Delta
+    txnAppId/txnVersion idempotent-writes pattern;
+    test_app_txn_id_makes_replays_idempotent pins the primitive).
 
     Scale: per batch, one shuffle of the BATCH on user_id (the
     within-batch latest), one broadcast-size join against current keys,
@@ -897,7 +898,10 @@ def stream_txn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .select("user_id", "event_id", "ts", "value")
             )
-            t.merge(newer)
+            # exactly-once: a replayed epoch is a committed app_txn_id
+            # and skips (TxnTable.committed_app_txn_ids — the Delta
+            # txnAppId/txnVersion idempotent-writes pattern)
+            t.merge(newer, app_txn_id=f"stream_txn_upsert:{epoch_id}")
 
         q = (
             read_landing_stream(spark, landing)

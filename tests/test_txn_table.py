@@ -231,6 +231,61 @@ def test_blazing_context_registers_txn_table(spark, tmp_path):
     assert "tt" in bc.list_tables()
 
 
+def test_app_txn_id_makes_replays_idempotent(spark, tmp_path):
+    """Exactly-once handshake: a foreachBatch retry re-running the same
+    (query, epoch) must be a no-op — same version, same state."""
+    t = TxnTable.create(spark, str(tmp_path / "t"),
+                        _mk(spark, [(1, "a")]), key="k")
+    v = t.merge(_mk(spark, [(2, "b")]), app_txn_id="q1:0")
+    assert v == 2
+    # replay of epoch 0: skipped, version unchanged
+    assert t.merge(_mk(spark, [(2, "DUP")]), app_txn_id="q1:0") == 2
+    assert t.append(_mk(spark, [(9, "x")]), app_txn_id="q1:0") == 2
+    assert _sorted(t.read()) == [(1, "a"), (2, "b")]
+    # a NEW epoch applies normally
+    assert t.merge(_mk(spark, [(3, "c")]), app_txn_id="q1:1") == 3
+    assert t.committed_app_txn_ids() == {"q1:0", "q1:1"}
+
+
+def test_change_feed_insert_update_delete(spark, tmp_path):
+    t = TxnTable.create(spark, str(tmp_path / "t"),
+                        _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), key="k")
+    t.merge(_mk(spark, [(2, "B"), (4, "D")]))           # v2: upd 2, ins 4
+    t.overwrite(_mk(spark, [(1, "a"), (2, "B")]))       # v3: del 3, del 4
+    rows = {
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in t.change_feed(1).collect()
+    }
+    assert rows == {
+        (2, "update_postimage", 2, "B"),
+        (2, "insert", 4, "D"),
+        (3, "delete", 3, "c"),   # deletes carry the pre-image
+        (3, "delete", 4, "D"),
+    }
+    # bounded range: only v2's changes
+    assert {r["_commit_version"] for r in t.change_feed(1, 2).collect()} == {2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.change_feed(3)  # empty range
+
+
+def test_vacuum_orphans_respects_grace(spark, tmp_path):
+    import os as _os
+
+    path = str(tmp_path / "t")
+    t = TxnTable.create(spark, path, _mk(spark, [(1, "a")]), key="k")
+    # simulate a lost commit race: staged data dir, never committed
+    t._write_data(_mk(spark, [(9, "orphan")]), "k")
+    n_before = sum(len(fs) for _, _, fs in _os.walk(_os.path.join(path, "data")))
+    assert t.vacuum(1, orphans=True, orphan_grace_sec=3600) == []  # too young
+    dropped = t.vacuum(1, orphans=True, orphan_grace_sec=0.0)
+    assert dropped  # orphan gone once past grace
+    assert _sorted(t.read()) == [(1, "a")]  # committed data intact
+    n_after = sum(len(fs) for _, _, fs in _os.walk(_os.path.join(path, "data")))
+    assert n_after < n_before
+
+
 def test_commit_files_are_atomic_json(spark, tmp_path):
     path = str(tmp_path / "t")
     t = TxnTable.create(spark, path, _mk(spark, [(1, "a")]), key="k")
