@@ -101,20 +101,25 @@ class TxnTable:
         path: str,
         df: DataFrame | None = None,
         key: str | None = None,
+        n_buckets: int | None = None,
     ) -> "TxnTable":
         """Initialize the table (version 1 = empty create or the given
         frame). ``key`` designates the stats/merge column recorded per
-        data file."""
+        data file; ``n_buckets`` fixes a hash-bucketed layout for the
+        table's lifetime (see :meth:`_write_data`)."""
+        if n_buckets is not None and key is None:
+            raise ValueError("n_buckets requires a key column")
         t = cls(spark, path)
         os.makedirs(t._log, exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         if t.latest_version() > 0:
             raise ValueError(f"table already exists at {path}")
-        adds = t._write_data(df, key) if df is not None else []
+        adds = t._write_data(df, key, n_buckets) if df is not None else []
         schema = df.schema.json() if df is not None else None
         t._commit_with_retry(
             lambda snap: {"action": "create", "add": adds, "remove": [],
-                          "key": key, "schema": schema},
+                          "key": key, "schema": schema,
+                          "n_buckets": n_buckets},
             max_retries=0,
         )
         return t
@@ -173,18 +178,52 @@ class TxnTable:
         log = self._read_log()
         return log[0].get("key") if log else None
 
+    def table_buckets(self) -> int | None:
+        log = self._read_log()
+        return log[0].get("n_buckets") if log else None
+
     # ----------------------------------------------------------- data
-    def _write_data(self, df: DataFrame, key: str | None) -> list[dict]:
+    def _write_data(
+        self, df: DataFrame, key: str | None, n_buckets: int | None = None
+    ) -> list[dict]:
         """Write a frame as immutable parquet under ``data/<uuid>/``;
         return add-entries with per-file row counts and key min/max
-        stats from the parquet footers (pyarrow — no data read)."""
+        stats from the parquet footers (pyarrow — no data read).
+
+        ``n_buckets``: hash-bucketed LAYOUT — rows land in
+        ``__bucket=pmod(xxhash64(key), n)`` partition dirs and each
+        manifest entry records its bucket. Range stats skip files for
+        time-clustered keys; buckets skip files for UNIFORM keys (a
+        small merge batch touches at most |batch| buckets), the
+        complementary half of write-amplification control."""
         import pyarrow.parquet as pq
 
         sub = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         out_dir = os.path.join(self.path, sub)
-        df.write.parquet(out_dir)
+        if n_buckets and key is not None:
+            from pyspark.sql import functions as F
+
+            (
+                df.withColumn(
+                    "__bucket",
+                    F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)),
+                )
+                .write.partitionBy("__bucket")
+                .parquet(out_dir)
+            )
+            parts = []
+            for d in sorted(os.listdir(out_dir)):
+                if d.startswith("__bucket="):
+                    b = int(d.split("=", 1)[1])
+                    for f in sorted(
+                        os.listdir(os.path.join(out_dir, d))
+                    ):
+                        parts.append((os.path.join(d, f), b))
+        else:
+            df.write.parquet(out_dir)
+            parts = [(f, None) for f in sorted(os.listdir(out_dir))]
         adds = []
-        for f in sorted(os.listdir(out_dir)):
+        for f, bucket in parts:
             if not f.endswith(".parquet"):
                 continue
             rel = os.path.join(sub, f)
@@ -195,6 +234,8 @@ class TxnTable:
                 os.unlink(os.path.join(self.path, rel))
                 continue
             entry: dict = {"path": rel, "rows": meta.num_rows}
+            if bucket is not None:
+                entry["bucket"] = bucket
             if key is not None and meta.num_rows:
                 idx = {
                     meta.schema.column(i).name: i
@@ -270,7 +311,7 @@ class TxnTable:
         if app_txn_id is not None and app_txn_id in self.committed_app_txn_ids():
             return self.latest_version()
         key = self.table_key()
-        adds = self._write_data(df, key)
+        adds = self._write_data(df, key, self.table_buckets())
         schema = df.schema.json()
         return self._commit_with_retry(
             lambda snap: {"action": "append", "add": adds, "remove": [],
@@ -282,7 +323,7 @@ class TxnTable:
         """Replace the table contents atomically (readers at older
         versions still see their snapshot)."""
         key = self.table_key()
-        adds = self._write_data(df, key)
+        adds = self._write_data(df, key, self.table_buckets())
         schema = df.schema.json()
         return self._commit_with_retry(
             lambda snap: {
@@ -303,8 +344,11 @@ class TxnTable:
         """MERGE upsert: target rows whose key matches a source row are
         replaced by the source row; unmatched source rows insert;
         everything else is untouched. File-skipping: only live files
-        whose [min,max] key range intersects the source's range are
-        rewritten — disjoint files cannot contain a matched key.
+        whose [min,max] key range intersects the source's range AND
+        (for a bucketed table) whose hash bucket appears in the source
+        are rewritten — range stats prune for time-clustered keys,
+        buckets prune for uniform keys; together write amplification is
+        bounded by the SMALLER of key clustering and batch cardinality.
         ``app_txn_id``: exactly-once skip, see :meth:`append`."""
         from pyspark.sql import functions as F
 
@@ -325,9 +369,30 @@ class TxnTable:
                 return {"action": "merge", "add": [], "remove": [],
                         "key": key, "schema": schema,
                         "app_txn_id": app_txn_id}
+            n_buckets = self.table_buckets()
+            src_buckets: set[int] | None = None
+            if n_buckets:
+                # bucket pruning for UNIFORM keys: a source key's file
+                # can only live in that key's hash bucket, so files in
+                # other buckets survive by reference. The distinct-
+                # bucket collect is bounded by n_buckets.
+                src_buckets = {
+                    r["b"]
+                    for r in source.select(
+                        F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
             hit = [
                 f for f in live
-                if "min" not in f or not (f["max"] < lo or f["min"] > hi)
+                if ("min" not in f or not (f["max"] < lo or f["min"] > hi))
+                and (
+                    src_buckets is None
+                    or "bucket" not in f
+                    or f["bucket"] in src_buckets
+                )
             ]
             hit_paths = [f["path"] for f in hit]
             if hit_paths:
@@ -341,7 +406,7 @@ class TxnTable:
                 )
             else:
                 out = source
-            adds = self._write_data(out, key)
+            adds = self._write_data(out, key, n_buckets)
             return {"action": "merge", "add": adds, "remove": hit_paths,
                     "key": key, "schema": schema,
                     "app_txn_id": app_txn_id}
@@ -363,10 +428,12 @@ class TxnTable:
             if len(live) <= target_files:
                 return {"action": "compact", "add": [], "remove": [],
                         "key": key}
-            cur = self.spark.read.parquet(
+            cur = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, f["path"]) for f in live]
             )
-            adds = self._write_data(cur.coalesce(target_files), key)
+            adds = self._write_data(
+                cur.coalesce(target_files), key, self.table_buckets()
+            )
             return {"action": "compact", "add": adds,
                     "remove": [f["path"] for f in live], "key": key,
                     "schema": cur.schema.json()}

@@ -231,6 +231,36 @@ def test_blazing_context_registers_txn_table(spark, tmp_path):
     assert "tt" in bc.list_tables()
 
 
+def test_bucketed_layout_prunes_uniform_key_merges(spark, tmp_path):
+    """Hash-bucketed layout (n_buckets=): with UNIFORM keys — the worst
+    case for range-stat skipping, where every file overlaps every
+    batch — a small merge batch rewrites only the buckets its keys
+    hash into; all other bucket files survive BY REFERENCE."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"),
+        _mk(spark, [(i, f"v{i}") for i in range(200)]),
+        key="k", n_buckets=8,
+    )
+    before = {f["path"]: f for f in t._live_files()}
+    assert all("bucket" in f for f in before.values())
+    assert len({f["bucket"] for f in before.values()}) == 8
+    t.merge(_mk(spark, [(7, "SEVEN"), (8, "EIGHT")]))
+    after = {f["path"] for f in t._live_files()}
+    rewritten_buckets = {
+        before[p]["bucket"] for p in set(before) - after
+    }
+    assert len(rewritten_buckets) <= 2  # two keys -> at most two buckets
+    # every file in an untouched bucket survived BY REFERENCE
+    for p, f in before.items():
+        if f["bucket"] not in rewritten_buckets:
+            assert p in after, (p, f)
+    got = dict(_sorted(t.read()))
+    assert got[7] == "SEVEN" and got[8] == "EIGHT" and got[9] == "v9"
+    assert len(got) == 200
+    # history + time travel still exact
+    assert _sorted(t.read(version=1))[:2] == [(0, "v0"), (1, "v1")]
+
+
 def test_app_txn_id_makes_replays_idempotent(spark, tmp_path):
     """Exactly-once handshake: a foreachBatch retry re-running the same
     (query, epoch) must be a no-op — same version, same state."""
@@ -284,6 +314,55 @@ def test_vacuum_orphans_respects_grace(spark, tmp_path):
     assert _sorted(t.read()) == [(1, "a")]  # committed data intact
     n_after = sum(len(fs) for _, _, fs in _os.walk(_os.path.join(path, "data")))
     assert n_after < n_before
+
+
+def test_randomized_dml_sequences_match_dict_model(spark, tmp_path):
+    """Model-based check: random create/append/merge/overwrite/compact
+    sequences (bucketed and not) must track a plain Python dict model
+    after EVERY commit, and every historical version must time-travel
+    to its recorded model snapshot at the end."""
+    import random
+
+    rng = random.Random(1307)
+    for case in range(4):
+        n_buckets = rng.choice([None, 4])
+        path = str(tmp_path / f"m{case}")
+        rows = [(k, f"c{case}_{k}") for k in rng.sample(range(50), 8)]
+        t = TxnTable.create(spark, path, _mk(spark, rows), key="k",
+                            n_buckets=n_buckets)
+        model = dict(rows)
+        snapshots = {1: dict(model)}
+        for _ in range(6):
+            op = rng.choice(["append", "merge", "overwrite", "compact"])
+            if op == "append":
+                new = [
+                    (k, f"a{k}")
+                    for k in rng.sample(range(100, 200), rng.randint(1, 5))
+                    if k not in model
+                ]
+                v = t.append(_mk(spark, new or [(999, "pad")]))
+                for k, s in new or [(999, "pad")]:
+                    model[k] = s
+            elif op == "merge":
+                batch = [
+                    (k, f"m{k}")
+                    for k in rng.sample(range(60), rng.randint(0, 6))
+                ]
+                v = t.merge(_mk(spark, batch))
+                model.update(batch)
+            elif op == "overwrite":
+                batch = [
+                    (k, f"o{k}") for k in rng.sample(range(40), rng.randint(1, 6))
+                ]
+                v = t.overwrite(_mk(spark, batch))
+                model = dict(batch)
+            else:
+                v = t.compact(target_files=1)
+            snapshots[v] = dict(model)
+            got = dict(_sorted(t.read()))
+            assert got == model, (case, op, v)
+        for v, want in snapshots.items():
+            assert dict(_sorted(t.read(version=v))) == want, (case, v)
 
 
 def test_commit_files_are_atomic_json(spark, tmp_path):
