@@ -208,6 +208,11 @@ class TxnTable:
                     "__bucket",
                     F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)),
                 )
+                # repartition ON the bucket column first: without it,
+                # partitionBy splits EVERY upstream task per bucket —
+                # tasks x buckets files (measured 64x64=4096 on a 15M-row
+                # create); with it, one file per non-empty bucket.
+                .repartition(n_buckets, "__bucket")
                 .write.partitionBy("__bucket")
                 .parquet(out_dir)
             )
