@@ -943,6 +943,97 @@ def stream_txn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_txn_source",
+    tags=("streaming", "txn", "source", "datasource", "superset"),
+    oracle="""
+WITH rows_ AS (
+  SELECT CAST(o_orderkey % 3 + 1 AS INTEGER) AS version,
+         o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       COALESCE(bit_xor(CAST(('0x' || substring(
+           md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)),
+           3, 15))::BIGINT AS BIGINT)), 0) AS key_xor
+FROM rows_ GROUP BY version ORDER BY version
+""",
+)
+def stream_txn_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING READ FROM the transactional table — the commit log as
+    a Structured Streaming source (:mod:`sources/txn_stream`, a Spark 4
+    Python ``DataSourceStreamReader``): offsets are commit versions,
+    partitions are each commit's added parquet files (one executor task
+    per file; the driver lists only the JSON log), rows arrive tagged
+    ``_commit_version``/``_commit_action``. An append-only three-commit
+    history built from ``orders`` (mod-3 split) streams through a
+    per-version aggregation; the oracle recomputes each version's row
+    set from scratch, so a dropped file, a version misattribution, or a
+    double-read flips the checksum. Merge/overwrite commits follow
+    Delta's documented ignoreChanges caveat (rewritten rows re-emit);
+    update-heavy consumers use ``TxnTable.change_feed`` instead."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.sources.tables import load_table
+    from pyblazing_spark.sources.txn_table import TxnTable
+    from pyblazing_spark.sources.txn_stream import TxnStreamDataSource
+    from pyblazing_spark.streaming.ops import run_available_now
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="stream_txn_source_")
+    try:
+        path = os.path.join(base, "t")
+        t = TxnTable.create(
+            spark, path, orders.where(F.col("o_orderkey") % 3 == 0),
+            key="o_orderkey",
+        )
+        t.append(orders.where(F.col("o_orderkey") % 3 == 1))
+        t.append(orders.where(F.col("o_orderkey") % 3 == 2))
+        spark.dataSource.register(TxnStreamDataSource)
+        sdf = (
+            spark.readStream.format("txn_table_stream")
+            .option("path", path)
+            .load()
+        )
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        h60 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("cents").cast("string"),
+                    ).cast("binary")
+                ),
+                3,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        agg = (
+            sdf.select("o_orderkey", "_commit_version", cents.alias("cents"))
+            .groupBy(F.col("_commit_version").alias("version"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+                F.coalesce(F.bit_xor(h60), F.lit(0))
+                .cast("long")
+                .alias("key_xor"),
+            )
+        )
+        out = run_available_now(agg, output_mode="complete")
+        return out.orderBy("version").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "stream_session_timer",
     tags=("streaming", "applyInPandasWithState", "timer", "sessionize"),
     oracle="""

@@ -362,6 +362,20 @@ class TxnTable:
         key = key or self.table_key()
         if key is None:
             raise ValueError("merge needs a key column (create(..., key=))")
+        # align the source key dtype with the table's recorded type:
+        # xxhash64 bucketing is TYPE-sensitive (an int32 batch key would
+        # hash into the wrong bucket and the prune would MISS the
+        # rewrite — a lost update, not a slow one)
+        from pyspark.sql.types import StructType
+
+        ktype = None
+        for entry in self._read_log():
+            if entry.get("schema"):
+                st = StructType.fromJson(json.loads(entry["schema"]))
+                if key in st.fieldNames():
+                    ktype = st[key].dataType
+        if ktype is not None and source.schema[key].dataType != ktype:
+            source = source.withColumn(key, F.col(key).cast(ktype))
 
         def build(snap: int) -> dict:
             live = self._live_files(snap)
@@ -446,14 +460,68 @@ class TxnTable:
         return self._commit_with_retry(build)
 
     # ----------------------------------------------------------- read
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (latest, or time travel to ``version``)."""
+    def read(
+        self,
+        version: int | None = None,
+        key_between: tuple | None = None,
+    ) -> DataFrame:
+        """Snapshot read (latest, or time travel to ``version``).
+
+        ``key_between=(lo, hi)``: MANIFEST-level data skipping — files
+        whose recorded [min,max] key range (and hash bucket, when lo ==
+        hi on a bucketed table) cannot contain the range are excluded
+        BEFORE Spark ever lists them, then the residual predicate is
+        applied row-wise (parquet row-group pruning still applies
+        inside surviving files). This is the Delta data-skipping read
+        path: at 100 TB the manifest prune is the difference between
+        opening thousands of files and opening three."""
         head = self.latest_version()
         if head == 0:
             raise ValueError(f"no table at {self.path}")
         if version is not None and not 1 <= version <= head:
             raise ValueError(f"version {version} not in [1, {head}]")
         files = self._live_files(version)
+        key = self.table_key()
+        if key_between is not None:
+            if key is None:
+                raise ValueError("key_between needs a key column")
+            lo, hi = key_between
+            files = [
+                f for f in files
+                if "min" not in f or not (f["max"] < lo or f["min"] > hi)
+            ]
+            n_buckets = self.table_buckets()
+            if n_buckets and lo == hi:
+                # point lookup on a bucketed table: only the key's own
+                # hash bucket can hold it. xxhash64 is TYPE-sensitive
+                # (int32 vs int64 literals hash differently), so the
+                # literal must carry the key column's recorded type.
+                from pyspark.sql import functions as F
+                from pyspark.sql.types import StructType
+
+                ktype = None
+                for entry in self._read_log(version):
+                    if entry.get("schema"):
+                        st = StructType.fromJson(
+                            json.loads(entry["schema"])
+                        )
+                        if key in st.fieldNames():
+                            ktype = st[key].dataType
+                if ktype is not None:
+                    b = (
+                        self.spark.range(1)
+                        .select(
+                            F.pmod(
+                                F.xxhash64(F.lit(lo).cast(ktype)),
+                                F.lit(n_buckets),
+                            ).alias("b")
+                        )
+                        .collect()[0]["b"]
+                    )
+                    files = [
+                        f for f in files
+                        if "bucket" not in f or f["bucket"] == b
+                    ]
         if not files:
             # empty snapshot (empty create, or everything removed):
             # return a typed zero-row frame from the last schema the log
@@ -470,14 +538,24 @@ class TxnTable:
                     f"snapshot {version or head} is empty and no commit "
                     "recorded a schema"
                 )
-            return self.spark.createDataFrame(
+            out = self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
             )
-        # mergeSchema: live files may span schema evolution (a column
-        # added by a later append/merge) — absent columns read as NULL
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, f["path"]) for f in files]
-        )
+        else:
+            # mergeSchema: live files may span schema evolution (a column
+            # added by a later append/merge) — absent columns read as NULL
+            out = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f["path"]) for f in files]
+            )
+        if key_between is not None:
+            from pyspark.sql import functions as F
+
+            # residual row-wise bound: surviving files may hold rows
+            # outside the range (pushed into the parquet scan)
+            out = out.where(
+                F.col(key).between(key_between[0], key_between[1])
+            )
+        return out
 
     def change_feed(
         self, from_version: int, to_version: int | None = None

@@ -316,6 +316,34 @@ def test_vacuum_orphans_respects_grace(spark, tmp_path):
     assert n_after < n_before
 
 
+def test_read_key_between_prunes_manifest_files(spark, tmp_path):
+    """Manifest-level data skipping: read(key_between=) must exclude
+    range-disjoint files BEFORE Spark lists them, and (point lookup on
+    a bucketed table) everything outside the key's hash bucket — while
+    returning exactly the rows in range."""
+    path = str(tmp_path / "t")
+    low = _mk(spark, [(i, "low") for i in range(10)]).coalesce(1)
+    high = _mk(spark, [(i, "high") for i in range(1000, 1010)]).coalesce(1)
+    t = TxnTable.create(spark, path, low, key="k")
+    t.append(high)
+    pruned = t.read(key_between=(1002, 1004))
+    # the scan's file list excludes the low-range file entirely
+    scanned = pruned.inputFiles()
+    assert len(scanned) == 1 and "low" not in str(
+        _sorted(pruned)
+    ), scanned
+    assert _sorted(pruned) == [(1002, "high"), (1003, "high"), (1004, "high")]
+    # bucketed point lookup: exactly one bucket's file scanned
+    tb = TxnTable.create(
+        spark, str(tmp_path / "tb"),
+        _mk(spark, [(i, f"v{i}") for i in range(100)]),
+        key="k", n_buckets=8,
+    )
+    got = tb.read(key_between=(42, 42))
+    assert len(got.inputFiles()) == 1
+    assert _sorted(got) == [(42, "v42")]
+
+
 def test_randomized_dml_sequences_match_dict_model(spark, tmp_path):
     """Model-based check: random create/append/merge/overwrite/compact
     sequences (bucketed and not) must track a plain Python dict model
