@@ -592,6 +592,128 @@ def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_data_skipping",
+    tags=("sink", "txn", "data-skipping", "superset"),
+    oracle="""
+WITH probe AS (
+  SELECT 'max_key' AS probe, o_orderkey AS k, o_totalprice AS p
+  FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 'min_key', o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+  UNION ALL
+  SELECT 'range', o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000),
+ r AS (SELECT probe, k, CAST(floor(p * 100 + 0.5) AS BIGINT) AS cents
+       FROM probe)
+SELECT probe,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       COALESCE(bit_xor(CAST(('0x' || substring(
+           md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)),
+           3, 15))::BIGINT AS BIGINT)), 0) AS key_xor
+FROM r GROUP BY probe ORDER BY probe
+""",
+)
+def txn_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-level data skipping on the transactional table
+    (``TxnTable.read(key_between=)``): a RANGE-CLUSTERED layout
+    (repartitionByRange write → tight per-file [min,max]) serves a
+    key-range read from a strict subset of its files, and a
+    HASH-BUCKETED layout serves point lookups from exactly ONE file —
+    both pruned from the manifest BEFORE Spark lists a single path.
+    The entry RAISES if the prune did not actually skip files (the
+    100-TB property is part of the contract, not a comment), then
+    value-compares all three probes against plain filters over
+    ``orders``. Probe keys (min/max) are bounded scalar collects the
+    oracle re-derives in SQL."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.session import materialize_bounded
+    from pyblazing_spark.sources.txn_table import TxnTable
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    row = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    kmin, kmax = int(row["lo"]), int(row["hi"])
+    base = tempfile.mkdtemp(prefix="txn_skip_")
+    try:
+        # range-clustered table: 8 files, each a tight key slice
+        tr = TxnTable.create(
+            spark,
+            os.path.join(base, "ranged"),
+            orders.repartitionByRange(8, "o_orderkey"),
+            key="o_orderkey",
+        )
+        # hash-bucketed table: one file per bucket
+        tb = TxnTable.create(
+            spark,
+            os.path.join(base, "bucketed"),
+            orders,
+            key="o_orderkey",
+            n_buckets=8,
+        )
+        ranged = tr.read(key_between=(1000, 5000))
+        if not len(ranged.inputFiles()) < len(tr._live_files()):
+            raise AssertionError(
+                "range prune scanned every file "
+                f"({len(ranged.inputFiles())}/{len(tr._live_files())})"
+            )
+        probes = []
+        for label, frame in (
+            ("range", ranged),
+            ("min_key", tb.read(key_between=(kmin, kmin))),
+            ("max_key", tb.read(key_between=(kmax, kmax))),
+        ):
+            if label != "range" and len(frame.inputFiles()) != 1:
+                raise AssertionError(
+                    f"{label}: bucket point lookup scanned "
+                    f"{len(frame.inputFiles())} files, expected 1"
+                )
+            cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            probes.append(
+                frame.select(
+                    F.lit(label).alias("probe"),
+                    F.col("o_orderkey").alias("k"),
+                    cents.alias("cents"),
+                )
+            )
+        rows = probes[0]
+        for p in probes[1:]:
+            rows = rows.unionByName(p)
+        h60 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("k").cast("string"),
+                        F.col("cents").cast("string"),
+                    ).cast("binary")
+                ),
+                3,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return materialize_bounded(
+            rows.groupBy("probe")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+                F.coalesce(F.bit_xor(h60), F.lit(0))
+                .cast("long")
+                .alias("key_xor"),
+            )
+            .orderBy("probe")
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "pipeline_scd2",
     tags=("pipeline", "warehouse", "scd2", "window"),
     oracle="""
