@@ -637,6 +637,11 @@ def txn_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = orders.agg(
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
     ).collect()[0]
+    if row["lo"] is None:  # empty table: stable schema, zero rows
+        return spark.createDataFrame(
+            [],
+            "probe string, n_rows long, total_cents long, key_xor long",
+        )
     kmin, kmax = int(row["lo"]), int(row["hi"])
     base = tempfile.mkdtemp(prefix="txn_skip_")
     try:
