@@ -391,6 +391,30 @@ def test_randomized_dml_sequences_match_dict_model(spark, tmp_path):
             assert got == model, (case, op, v)
         for v, want in snapshots.items():
             assert dict(_sorted(t.read(version=v))) == want, (case, v)
+        # change_feed must equal the model's snapshot diffs, version
+        # by version (inserts/updates/deletes incl. pre-image deletes)
+        head = t.latest_version()
+        feed: dict[int, set] = {v: set() for v in range(2, head + 1)}
+        for r in t.change_feed(1).collect():
+            feed[r["_commit_version"]].add(
+                (r["_change_type"], r["k"], r["v"])
+            )
+        for v in range(2, head + 1):
+            prev, cur = snapshots[v - 1], snapshots[v]
+            want_changes = (
+                {("insert", k, s) for k, s in cur.items() if k not in prev}
+                | {
+                    ("update_postimage", k, s)
+                    for k, s in cur.items()
+                    if k in prev and prev[k] != s
+                }
+                | {
+                    ("delete", k, s)
+                    for k, s in prev.items()
+                    if k not in cur
+                }
+            )
+            assert feed[v] == want_changes, (case, v)
 
 
 def test_commit_files_are_atomic_json(spark, tmp_path):
