@@ -802,3 +802,200 @@ def dedup_semantic_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------- persisted IVF-Flat index
+def _ivf_persisted_oracle() -> str:
+    """Full-replay oracle for the persisted IVF index lifecycle: frozen
+    coarse quantizer (one Lloyd step from c0 = vec_id % K over the BASE
+    corpus), MERGE of a delta (new vectors + re-embedded updates),
+    nprobe=1 probe assignment, exact cosine re-rank — every stage the
+    same rounded-d2 / rounded-cos conventions as vector_kmeans /
+    ann_ivf (the Spark side persists and re-reads the index through a
+    TxnTable; the math is identical, so the value-compare proves the
+    persisted index answers EQUAL the in-run IVF path)."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id >= 5 AND vec_id % 10 != 7),
+ init AS MATERIALIZED (
+  SELECT vec_id, v, CAST(vec_id % {_K} AS INTEGER) AS c0 FROM base),
+ cent AS (
+  SELECT c0, i, avg(v[i]) AS m
+  FROM init JOIN generate_series(1, 64) t(i) ON true GROUP BY c0, i),
+ cl AS MATERIALIZED (
+  SELECT c0 AS cand, list(m ORDER BY i) AS cv FROM cent GROUP BY c0),
+ delta AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id >= 5 AND vec_id % 10 = 7
+  UNION ALL
+  SELECT vec_id,
+         [0.0] || list_transform(embedding, x -> CAST(x AS DOUBLE))[2:64]
+  FROM embeddings WHERE vec_id >= 5 AND vec_id % 20 = 4),
+ merged AS MATERIALIZED (
+  SELECT vec_id, v FROM base
+  WHERE vec_id NOT IN (SELECT vec_id FROM delta)
+  UNION ALL SELECT vec_id, v FROM delta),
+ assign AS MATERIALIZED (
+  SELECT vec_id, v, cand AS list_id FROM (
+    SELECT m.vec_id, m.v, c.cand,
+           row_number() OVER (PARTITION BY m.vec_id
+                              ORDER BY {_sql_d2('m', 'c')}, c.cand) AS rn
+    FROM merged m CROSS JOIN cl c) WHERE rn = 1),
+ q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 5),
+ qprobe AS (
+  SELECT query_id, v AS qv, cand AS list_id FROM (
+    SELECT q.query_id, q.v, c.cand,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_d2('q', 'c')}, c.cand) AS rn
+    FROM q CROSS JOIN cl c) WHERE rn = 1),
+ scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, a.v) + 1e-9, 4) AS cos
+  FROM qprobe p JOIN assign a USING (list_id)),
+ ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ann_ivf_persisted",
+    tags=("llm", "ann", "ivf", "txn", "index", "superset"),
+    oracle=_ivf_persisted_oracle(),
+)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED, incrementally-maintained IVF-Flat ANN index (VERDICT
+    r13 #4 — every other ANN entry rebuilds its index per run; a real
+    100-TB similarity pipeline builds ONCE and merges deltas). Composes
+    the two r13/r14 axes:
+
+    - the index — (vec_id, embedding, list_id) with a FROZEN coarse
+      quantizer (one distributed Lloyd step from ``c0 = vec_id % K``
+      over the base corpus, the vector_kmeans machinery) — lives in a
+      :class:`TxnTable` (sources/txn_table.py), range-clustered on
+      ``list_id`` so each parquet file covers a tight list slice;
+    - a delta batch (held-out NEW vectors + UPDATED re-embeddings of
+      every 20th id, assigned by the frozen quantizer — production
+      retrain cadence is a separate rebuild, as for FAISS/Delta) lands
+      via MERGE on vec_id; ``compact(cluster_by="list_id")`` then
+      re-clusters the live set (OPTIMIZE ZORDER-lite) because merge
+      output scatters list ranges across files;
+    - queries (nprobe=1, the classic IVF fast path) are answered FROM
+      THE PERSISTED INDEX ONLY: ``read(where={"list_id": ...})`` serves
+      each probed list from a manifest-pruned file subset — the entry
+      RAISES if the prune did not skip files (the 100-TB property is
+      part of the contract), then exact-cosine re-ranks list members.
+
+    The oracle replays the whole lifecycle (frozen quantizer, delta
+    upsert, probe, re-rank) in DuckDB, so index persistence must be
+    VALUE-invisible: a wrong merge, a stale list assignment, or a
+    mis-pruned file flips rows. Scale shape: quantizer build is one
+    k x dim partial-sum shuffle; assignment is a broadcast-closure numpy
+    kernel; query cost is |probed lists| files, never the corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.operators.similarity import (
+        centroid_assign_with_dist,
+        centroid_means,
+    )
+    from pyblazing_spark.session import loop_shuffle_confs, scoped_conf
+    from pyblazing_spark.sources.txn_table import TxnTable
+
+    out_schema = "query_id long, neighbor_id long, cos double, rank int"
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") % 10 != 7))
+    init = base.withColumn("c0", (F.col("vec_id") % _K).cast("int"))
+    with scoped_conf(spark, loop_shuffle_confs(spark)):
+        ids, C = centroid_means(init, "embedding", "c0")
+    if C.size == 0:  # empty corpus: typed zero-row contract
+        return spark.createDataFrame([], out_schema)
+
+    def assigned(df: DataFrame) -> DataFrame:
+        a = centroid_assign_with_dist(
+            F.col("embedding"), C, cluster_ids=ids
+        )
+        return df.select("vec_id", "embedding", a.alias("__a")).select(
+            "vec_id", "embedding", F.col("__a.cluster").alias("list_id")
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="ann_ivf_persisted_")
+    try:
+        t = TxnTable.create(
+            spark,
+            os.path.join(out_dir, "ivf"),
+            assigned(base).repartitionByRange(_K, "list_id"),
+            key="vec_id",
+        )
+        new_v = emb.where(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") % 10 == 7)
+        )
+        upd_v = emb.where(
+            (F.col("vec_id") >= 5) & (F.col("vec_id") % 20 == 4)
+        ).select(
+            "vec_id",
+            F.concat(
+                F.array(F.lit(0.0).cast("float")),
+                F.slice("embedding", 2, 63),
+            ).alias("embedding"),
+        )
+        t.merge(assigned(new_v.unionByName(upd_v)))
+        t.compact(target_files=_K, cluster_by="list_id")
+        qp = assigned(
+            emb.where(F.col("vec_id") < 5).select(
+                F.col("vec_id"), "embedding"
+            )
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+            "list_id",
+        )
+        probe_lists = sorted(
+            r["list_id"]
+            for r in qp.select("list_id").distinct().collect()
+        )  # bounded: <= 5 queries
+        if not probe_lists:
+            return spark.createDataFrame([], out_schema)
+        live = t._live_files()
+        parts, touched = [], 0
+        for lid in probe_lists:
+            fr = t.read(where={"list_id": (lid, lid)})
+            touched += len(fr.inputFiles())
+            parts.append(fr)
+        if len(live) > len(probe_lists) and touched >= len(live):
+            raise AssertionError(
+                f"probe reads scanned every file ({touched}/{len(live)}) "
+                "— the persisted index's manifest prune is broken"
+            )
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        scored = cand.join(F.broadcast(qp), "list_id").select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            VEC.nudge_round(
+                VEC.cosine_udf(F.col("__qv"), F.col("embedding")), 4
+            ).alias("cos"),
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.col("neighbor_id")
+        )
+        return materialize_bounded(
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "cos", "rank")
+            .orderBy("query_id", "rank")
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -14,8 +14,9 @@ Protocol
 ::
 
     table/
-      _txn/v00000001.json     one JSON commit per snapshot
-      data/<uuid>/part-*.parquet   immutable data files
+      _txn/v00000001.json        one JSON commit per snapshot
+      _txn/ckpt-v00000010.json   periodic checkpoint (log INDEX)
+      data/<uuid>/part-*.parquet immutable data files
 
 - **Atomic publication**: a commit is a single JSON file named by its
   version, created with POSIX put-if-absent (``os.link`` of a temp
@@ -31,18 +32,30 @@ Protocol
   merge/overwrite recompute from the fresh snapshot.
 - **Immutability**: commits never rewrite parquet — they add and
   remove *references*. Time travel is replaying the log prefix.
-- **File skipping**: each added file carries row count and min/max
-  stats of a designated key column (read from the parquet footers via
-  pyarrow). MERGE rewrites ONLY files whose key range intersects the
-  source batch's range — a file whose [min,max] is disjoint from the
-  source's [min,max] cannot contain any matched key, so it survives
-  untouched (Delta-style data skipping applied to write amplification).
-  At 100 TB with time-clustered ingest keys this turns a full-table
-  rewrite into a few-file rewrite.
+- **Checkpointing** (the Delta ``_last_checkpoint`` pattern): every
+  ``checkpoint_interval`` commits the writer publishes
+  ``ckpt-v%08d.json`` holding the live-file set, accumulated
+  ``app_txn_id`` set, and latest schema at that version. Snapshot
+  state is then (newest checkpoint <= target) + replay of the SUFFIX
+  only — O(interval) JSON reads per snapshot instead of O(commits),
+  and a streaming writer's idempotence check stops being
+  O(commits^2) over its lifetime. Checkpoints are an INDEX, never a
+  truncation: raw commit files are kept, so time travel below (or
+  without) any checkpoint still replays from v1.
+- **File skipping**: each added file carries a row count plus min/max
+  stats read from the parquet footers via pyarrow — for the designated
+  key column (legacy ``min``/``max`` fields) AND for every leaf scalar
+  column (the ``stats`` map, Delta's per-column dataSkippingNumIndexedCols
+  concept, capped at :data:`_MAX_STATS_COLS`). MERGE rewrites ONLY
+  files whose key range intersects the source batch's range, and
+  ``read(where=...)`` serves range predicates on ANY stats column from
+  a manifest-pruned file subset. At 100 TB with time-clustered ingest
+  keys this turns a full-table rewrite into a few-file rewrite and a
+  full-table scan into a few-file scan.
 
-Scale notes: the log is O(commits) tiny JSON; reads list one directory
-and load K parquet path lists — no driver-side data. All data movement
-is ``spark.read.parquet(paths)`` / ``df.write.parquet`` (distributed,
+Scale notes: reads list one directory and load one checkpoint + a
+bounded commit suffix — no driver-side data. All data movement is
+``spark.read.parquet(paths)`` / ``df.write.parquet`` (distributed,
 columnar, predicate-pushdown preserved). ``vacuum`` deletes data files
 unreferenced by any snapshot >= a cutoff (time travel below the cutoff
 is forfeited, as in Delta VACUUM).
@@ -50,6 +63,8 @@ is forfeited, as in Delta VACUUM).
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
@@ -60,6 +75,16 @@ from pyspark.sql import DataFrame, SparkSession
 _LOG_DIR = "_txn"
 _DATA_DIR = "data"
 _V_FMT = "v%08d.json"
+_CKPT_FMT = "ckpt-v%08d.json"
+#: Per-column stats are recorded for at most this many leading leaf
+#: scalar columns (Delta's dataSkippingNumIndexedCols default is 32) —
+#: bounds manifest JSON size on wide tables.
+_MAX_STATS_COLS = 32
+#: String stats longer than this are DROPPED: parquet writers may
+#: truncate long binary statistics, and a truncated *max* under-states
+#: the real maximum, which would over-prune (silent wrong answers).
+#: Dropping the stat is always safe — the file merely survives pruning.
+_MAX_STAT_STR = 60
 
 
 class CommitConflict(Exception):
@@ -68,13 +93,56 @@ class CommitConflict(Exception):
 
 
 def _json_scalar(v):
-    """Parquet-footer stat -> JSON-safe scalar (bytes decode, dates
-    stringify); None passes through."""
+    """Stat / bound -> JSON-safe scalar in a form whose ordering matches
+    the source type's ordering, so persisted stats compare correctly
+    against live values after a JSON round trip:
+
+    - bytes: utf-8 decode (byte order == code-point order for utf-8);
+    - datetime: fixed-width ISO ``YYYY-MM-DD HH:MM:SS.ffffff`` (lexical
+      order == temporal order only at FIXED width). Parquet footer
+      stats arrive tz-AWARE (UTC) while Spark collects naive
+      session-local values — aware values are normalized to naive UTC
+      first, which matches exactly under a UTC session timezone (the
+      repo/driver default; a non-UTC session merely weakens pruning to
+      a constant offset, never correctness, because the residual
+      row-wise filter always reapplies the bound);
+    - date: ISO ``YYYY-MM-DD`` (fixed width already);
+    - Decimal: float (order-preserving within double precision — the
+      lexical order of decimal STRINGS is wrong: '9.5' > '10.2');
+    - int / float / str / bool / None: pass through.
+    """
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
-    if isinstance(v, (int, float, str)) or v is None:
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bool, int, float, str)) or v is None:
         return v
     return str(v)
+
+
+def _ranges_disjoint(stat_min, stat_max, lo, hi) -> bool:
+    """True iff the persisted [stat_min, stat_max] cannot intersect the
+    query bound [lo, hi]. Bounds are canonicalized through
+    :func:`_json_scalar` (ADVICE r13: a date/timestamp bound used to
+    TypeError against the stringified stat); a residual str-vs-numeric
+    mismatch is a caller type error and raises with guidance instead of
+    silently mis-pruning."""
+    lo, hi = _json_scalar(lo), _json_scalar(hi)
+    for bound in (lo, hi):
+        if isinstance(stat_min, str) != isinstance(bound, str):
+            raise ValueError(
+                f"bound {bound!r} ({type(bound).__name__}) is not "
+                f"comparable with recorded file stats "
+                f"({type(stat_min).__name__}) — pass the column's own "
+                "type (int/float/str/date/timestamp)"
+            )
+    return stat_max < lo or stat_min > hi
 
 
 class TxnTable:
@@ -85,12 +153,22 @@ class TxnTable:
     >>> t.merge(updates)            # snapshot 3 (upsert on the key)
     >>> t.read()                    # latest
     >>> t.read(version=1)           # time travel
+    >>> t.read(where={"price": (10, 20)})   # any-stats-column prune
     >>> t.history()                 # [{'version': 1, 'action': ...}]
-    """
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``checkpoint_interval``: publish a log checkpoint every N commits
+    (0 disables — every read then replays the full log, the pre-r14
+    behavior kept for A/B probes)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_interval: int = 10,
+    ):
         self.spark = spark
         self.path = path
+        self.checkpoint_interval = checkpoint_interval
         self._log = os.path.join(path, _LOG_DIR)
 
     # ---------------------------------------------------------- setup
@@ -102,6 +180,7 @@ class TxnTable:
         df: DataFrame | None = None,
         key: str | None = None,
         n_buckets: int | None = None,
+        checkpoint_interval: int = 10,
     ) -> "TxnTable":
         """Initialize the table (version 1 = empty create or the given
         frame). ``key`` designates the stats/merge column recorded per
@@ -109,7 +188,7 @@ class TxnTable:
         table's lifetime (see :meth:`_write_data`)."""
         if n_buckets is not None and key is None:
             raise ValueError("n_buckets requires a key column")
-        t = cls(spark, path)
+        t = cls(spark, path, checkpoint_interval=checkpoint_interval)
         os.makedirs(t._log, exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         if t.latest_version() > 0:
@@ -136,32 +215,117 @@ class TxnTable:
             return 0
         return max(vs, default=0)
 
-    def _read_log(self, version: int | None = None) -> list[dict]:
-        head = self.latest_version() if version is None else version
-        out = []
-        for v in range(1, head + 1):
-            p = os.path.join(self._log, _V_FMT % v)
-            try:
-                with open(p) as fh:
-                    out.append(json.load(fh))
-            except FileNotFoundError:
-                raise ValueError(
-                    f"version {v} missing from log at {self._log} "
-                    f"(requested snapshot {head})"
-                ) from None
-        return out
+    def _load_commit(self, v: int) -> dict:
+        p = os.path.join(self._log, _V_FMT % v)
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {v} missing from log at {self._log}"
+            ) from None
 
-    def _live_files(self, version: int | None = None) -> list[dict]:
-        live: dict[str, dict] = {}
-        for entry in self._read_log(version):
+    def _read_log(self, version: int | None = None) -> list[dict]:
+        """FULL commit replay from v1 — used only by the full-history
+        APIs (:meth:`history`, :meth:`vacuum`); snapshot state goes
+        through the checkpointed :meth:`_state_at` instead."""
+        head = self.latest_version() if version is None else version
+        return [self._load_commit(v) for v in range(1, head + 1)]
+
+    def _latest_checkpoint(self, max_version: int) -> dict | None:
+        """Newest published checkpoint at or below ``max_version``."""
+        try:
+            names = os.listdir(self._log)
+        except FileNotFoundError:
+            return None
+        best = 0
+        for f in names:
+            if f.startswith("ckpt-v") and f.endswith(".json"):
+                v = int(f[6:14])
+                if best < v <= max_version:
+                    best = v
+        if not best:
+            return None
+        try:
+            with open(os.path.join(self._log, _CKPT_FMT % best)) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            # a torn/garbage checkpoint must never break reads: fall
+            # back to full replay (checkpoints are an index, not truth)
+            return None
+
+    def _state_at(self, version: int | None = None) -> dict:
+        """Snapshot state {version, live, app_txn_ids, schema, key,
+        n_buckets} = newest checkpoint <= target + SUFFIX replay —
+        O(checkpoint_interval) commit reads instead of O(commits)."""
+        head = self.latest_version() if version is None else version
+        ckpt = self._latest_checkpoint(head)
+        if ckpt is not None:
+            live = {f["path"]: f for f in ckpt["live"]}
+            txids = set(ckpt.get("app_txn_ids", []))
+            state = {
+                "schema": ckpt.get("schema"),
+                "key": ckpt.get("key"),
+                "n_buckets": ckpt.get("n_buckets"),
+            }
+            start = ckpt["version"] + 1
+        else:
+            live, txids = {}, set()
+            state = {"schema": None, "key": None, "n_buckets": None}
+            start = 1
+        for v in range(start, head + 1):
+            entry = self._load_commit(v)
             for rel in entry.get("remove", []):
                 live.pop(rel, None)
             for add in entry.get("add", []):
                 live[add["path"]] = add
-        return list(live.values())
+            if entry.get("app_txn_id") is not None:
+                txids.add(entry["app_txn_id"])
+            if entry.get("schema"):
+                state["schema"] = entry["schema"]
+            if v == 1:
+                state["key"] = entry.get("key")
+                state["n_buckets"] = entry.get("n_buckets")
+        state.update(version=head, live=live, app_txn_ids=txids)
+        return state
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Publish the checkpoint for ``version`` (put-if-absent like a
+        commit; a concurrent writer's duplicate attempt is benign —
+        the state is a deterministic function of the log). Failure is
+        non-fatal by design: the commit already succeeded and the next
+        multiple of the interval will try again."""
+        try:
+            st = self._state_at(version)
+            body = {
+                "version": version,
+                "live": sorted(st["live"].values(), key=lambda f: f["path"]),
+                "app_txn_ids": sorted(st["app_txn_ids"]),
+                "schema": st["schema"],
+                "key": st["key"],
+                "n_buckets": st["n_buckets"],
+            }
+            tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}")
+            final = os.path.join(self._log, _CKPT_FMT % version)
+            with open(tmp, "w") as fh:
+                json.dump(body, fh, sort_keys=True)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                pass
+            finally:
+                os.unlink(tmp)
+        except OSError:
+            pass
+
+    def _live_files(self, version: int | None = None) -> list[dict]:
+        return list(self._state_at(version)["live"].values())
 
     def history(self) -> list[dict]:
-        """Commit metadata per version (action, file/row deltas, key)."""
+        """Commit metadata per version (action, file/row deltas, key).
+        Full-history API: replays every commit by definition."""
         return [
             {
                 "version": e["version"],
@@ -175,20 +339,31 @@ class TxnTable:
         ]
 
     def table_key(self) -> str | None:
-        log = self._read_log()
-        return log[0].get("key") if log else None
+        # key/n_buckets are fixed at create: one O(1) commit read
+        return self._load_commit(1).get("key") if self.latest_version() else None
 
     def table_buckets(self) -> int | None:
-        log = self._read_log()
-        return log[0].get("n_buckets") if log else None
+        if not self.latest_version():
+            return None
+        return self._load_commit(1).get("n_buckets")
+
+    def _schema_at(self, version: int | None = None):
+        """Latest recorded Spark schema at or before ``version`` (None
+        when no commit carried one)."""
+        from pyspark.sql.types import StructType
+
+        sj = self._state_at(version)["schema"]
+        return StructType.fromJson(json.loads(sj)) if sj else None
 
     # ----------------------------------------------------------- data
     def _write_data(
         self, df: DataFrame, key: str | None, n_buckets: int | None = None
     ) -> list[dict]:
         """Write a frame as immutable parquet under ``data/<uuid>/``;
-        return add-entries with per-file row counts and key min/max
-        stats from the parquet footers (pyarrow — no data read).
+        return add-entries with per-file row counts, key min/max (from
+        the parquet footers — no data read), and a per-column ``stats``
+        map over the leading :data:`_MAX_STATS_COLS` leaf scalar
+        columns (the generalized data-skipping index).
 
         ``n_buckets``: hash-bucketed LAYOUT — rows land in
         ``__bucket=pmod(xxhash64(key), n)`` partition dirs and each
@@ -196,10 +371,41 @@ class TxnTable:
         time-clustered keys; buckets skip files for UNIFORM keys (a
         small merge batch touches at most |batch| buckets), the
         complementary half of write-amplification control."""
-        import pyarrow.parquet as pq
+        from pyspark.sql.types import TimestampNTZType, TimestampType
 
         sub = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         out_dir = os.path.join(self.path, sub)
+        # Spark's default INT96 timestamps carry NO parquet statistics —
+        # write the modern TIMESTAMP_MICROS encoding (readers handle
+        # both) whenever the frame has a timestamp column, or timestamp
+        # keys silently lose all data skipping. Scoped set/restore: the
+        # flip only changes physical encoding, so a concurrent writer
+        # observing it mid-flight is benign.
+        _ts_conf = "spark.sql.parquet.outputTimestampType"
+        has_ts = any(
+            isinstance(f.dataType, (TimestampType, TimestampNTZType))
+            for f in df.schema.fields
+        )
+        prev_ts = self.spark.conf.get(_ts_conf) if has_ts else None
+        if has_ts:
+            self.spark.conf.set(_ts_conf, "TIMESTAMP_MICROS")
+        try:
+            adds = self._write_files(df, key, n_buckets, sub, out_dir)
+        finally:
+            if has_ts:
+                self.spark.conf.set(_ts_conf, prev_ts)
+        return adds
+
+    def _write_files(
+        self,
+        df: DataFrame,
+        key: str | None,
+        n_buckets: int | None,
+        sub: str,
+        out_dir: str,
+    ) -> list[dict]:
+        import pyarrow.parquet as pq
+
         if n_buckets and key is not None:
             from pyspark.sql import functions as F
 
@@ -241,23 +447,38 @@ class TxnTable:
             entry: dict = {"path": rel, "rows": meta.num_rows}
             if bucket is not None:
                 entry["bucket"] = bucket
-            if key is not None and meta.num_rows:
-                idx = {
-                    meta.schema.column(i).name: i
-                    for i in range(meta.num_columns)
-                }.get(key)
-                if idx is not None:
-                    mins, maxs = [], []
-                    for rg in range(meta.num_row_groups):
-                        st = meta.row_group(rg).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            mins, maxs = [], []
-                            break
-                        mins.append(st.min)
-                        maxs.append(st.max)
-                    if mins:
-                        entry["min"] = _json_scalar(min(mins))
-                        entry["max"] = _json_scalar(max(maxs))
+            col_idx = {
+                meta.schema.column(i).name: i
+                for i in range(meta.num_columns)
+                # leaf scalar columns only: nested fields arrive as
+                # dotted paths ("emb.list.element") — not prunable here
+                if "." not in meta.schema.column(i).name
+            }
+            stats: dict[str, dict] = {}
+            for name, idx in list(col_idx.items())[:_MAX_STATS_COLS]:
+                mins, maxs = [], []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        mins, maxs = [], []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if not mins:
+                    continue
+                mn, mx = _json_scalar(min(mins)), _json_scalar(max(maxs))
+                if any(
+                    isinstance(v, str) and len(v) >= _MAX_STAT_STR
+                    for v in (mn, mx)
+                ):
+                    continue  # possible writer-side truncation: unsafe
+                stats[name] = {"min": mn, "max": mx}
+            if stats:
+                entry["stats"] = stats
+            if key is not None and key in stats:
+                # legacy key-stat fields (r13 manifests / merge prune)
+                entry["min"] = stats[key]["min"]
+                entry["max"] = stats[key]["max"]
             adds.append(entry)
         return adds
 
@@ -280,15 +501,24 @@ class TxnTable:
 
     def _commit_with_retry(self, build, max_retries: int = 10) -> int:
         """Optimistic-concurrency loop: ``build(snapshot_version)``
-        returns the commit body computed AGAINST that snapshot; losing
-        the publication race re-reads the log and rebuilds. Returns the
-        committed version."""
+        returns the commit body computed AGAINST that snapshot — or
+        ``None`` to abort as a no-op (e.g. an app_txn_id found already
+        committed on revalidation); losing the publication race
+        re-reads the log and rebuilds. Returns the committed (or, on a
+        no-op, the observed) version."""
         for _ in range(max_retries + 1):
             snap = self.latest_version()
             body = build(snap)
+            if body is None:
+                return snap
             body["version"] = snap + 1
             body["parent"] = snap
             if self._try_publish(snap + 1, body):
+                if (
+                    self.checkpoint_interval
+                    and (snap + 1) % self.checkpoint_interval == 0
+                ):
+                    self._write_checkpoint(snap + 1)
                 return snap + 1
         raise CommitConflict(
             f"lost the commit race {max_retries + 1} times at {self.path}"
@@ -300,29 +530,36 @@ class TxnTable:
         ``app_txn_id=f"{query_id}:{epoch_id}"`` and SKIPS batches whose
         id is already committed, so a micro-batch REPLAY after a
         failure cannot double-apply (the Delta idempotent-writes
-        txnAppId/txnVersion pattern)."""
-        return {
-            e["app_txn_id"]
-            for e in self._read_log()
-            if e.get("app_txn_id") is not None
-        }
+        txnAppId/txnVersion pattern). Checkpointed: cost is the ckpt
+        load + suffix, not the writer-lifetime O(commits^2)."""
+        return self._state_at()["app_txn_ids"]
 
     # ------------------------------------------------------------ DML
     def append(self, df: DataFrame, app_txn_id: str | None = None) -> int:
         """Add rows; commutes with concurrent appends (data files are
         written once, only the log retries). ``app_txn_id``: skip (and
         return the current version) if this application transaction is
-        already committed — see :meth:`committed_app_txn_ids`."""
+        already committed — see :meth:`committed_app_txn_ids`. The id
+        is REVALIDATED against each retry's fresh snapshot, so two
+        concurrent writers replaying the same epoch cannot both apply
+        (ADVICE r13)."""
         if app_txn_id is not None and app_txn_id in self.committed_app_txn_ids():
             return self.latest_version()
         key = self.table_key()
         adds = self._write_data(df, key, self.table_buckets())
         schema = df.schema.json()
-        return self._commit_with_retry(
-            lambda snap: {"action": "append", "add": adds, "remove": [],
-                          "key": key, "schema": schema,
-                          "app_txn_id": app_txn_id}
-        )
+
+        def build(snap: int) -> dict | None:
+            if (
+                app_txn_id is not None
+                and app_txn_id in self._state_at(snap)["app_txn_ids"]
+            ):
+                return None
+            return {"action": "append", "add": adds, "remove": [],
+                    "key": key, "schema": schema,
+                    "app_txn_id": app_txn_id}
+
+        return self._commit_with_retry(build)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents atomically (readers at older
@@ -354,7 +591,8 @@ class TxnTable:
         are rewritten — range stats prune for time-clustered keys,
         buckets prune for uniform keys; together write amplification is
         bounded by the SMALLER of key clustering and batch cardinality.
-        ``app_txn_id``: exactly-once skip, see :meth:`append`."""
+        ``app_txn_id``: exactly-once skip, revalidated per retry — see
+        :meth:`append`."""
         from pyspark.sql import functions as F
 
         if app_txn_id is not None and app_txn_id in self.committed_app_txn_ids():
@@ -366,19 +604,19 @@ class TxnTable:
         # xxhash64 bucketing is TYPE-sensitive (an int32 batch key would
         # hash into the wrong bucket and the prune would MISS the
         # rewrite — a lost update, not a slow one)
-        from pyspark.sql.types import StructType
-
-        ktype = None
-        for entry in self._read_log():
-            if entry.get("schema"):
-                st = StructType.fromJson(json.loads(entry["schema"]))
-                if key in st.fieldNames():
-                    ktype = st[key].dataType
+        st = self._schema_at()
+        ktype = st[key].dataType if st is not None and key in st.fieldNames() else None
         if ktype is not None and source.schema[key].dataType != ktype:
             source = source.withColumn(key, F.col(key).cast(ktype))
 
-        def build(snap: int) -> dict:
-            live = self._live_files(snap)
+        def build(snap: int) -> dict | None:
+            state = self._state_at(snap)
+            if (
+                app_txn_id is not None
+                and app_txn_id in state["app_txn_ids"]
+            ):
+                return None
+            live = list(state["live"].values())
             schema = source.schema.json()
             row = source.agg(
                 F.min(key).alias("lo"), F.max(key).alias("hi")
@@ -406,7 +644,10 @@ class TxnTable:
                 }
             hit = [
                 f for f in live
-                if ("min" not in f or not (f["max"] < lo or f["min"] > hi))
+                if (
+                    "min" not in f
+                    or not _ranges_disjoint(f["min"], f["max"], lo, hi)
+                )
                 and (
                     src_buckets is None
                     or "bucket" not in f
@@ -432,27 +673,39 @@ class TxnTable:
 
         return self._commit_with_retry(build)
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(
+        self, target_files: int = 1, cluster_by: str | None = None
+    ) -> int:
         """OPTIMIZE-style compaction: rewrite the current live file set
         into ``target_files`` files — same rows, one snapshot commit
         (action "compact"), so readers at older versions still see the
         small-files layout and concurrent writers conflict-detect
         normally. The small-files problem is the tax every streaming
         ingest pays (one parquet per micro-batch); compaction is how a
-        log-structured table stays scan-efficient at 100 TB."""
+        log-structured table stays scan-efficient at 100 TB.
+
+        ``cluster_by``: range-cluster the rewrite on that column
+        (``repartitionByRange``) so each output file covers a tight
+        value slice — the OPTIMIZE ZORDER-lite that RESTORES per-column
+        data-skipping locality after merges scatter it. With
+        ``cluster_by`` the rewrite is never skipped (re-clustering the
+        same file count is the point)."""
         key = self.table_key()
 
         def build(snap: int) -> dict:
             live = self._live_files(snap)
-            if len(live) <= target_files:
+            if len(live) <= target_files and cluster_by is None:
                 return {"action": "compact", "add": [], "remove": [],
                         "key": key}
             cur = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, f["path"]) for f in live]
             )
-            adds = self._write_data(
-                cur.coalesce(target_files), key, self.table_buckets()
+            shaped = (
+                cur.repartitionByRange(target_files, cluster_by)
+                if cluster_by is not None
+                else cur.coalesce(target_files)
             )
+            adds = self._write_data(shaped, key, self.table_buckets())
             return {"action": "compact", "add": adds,
                     "remove": [f["path"] for f in live], "key": key,
                     "schema": cur.schema.json()}
@@ -464,17 +717,23 @@ class TxnTable:
         self,
         version: int | None = None,
         key_between: tuple | None = None,
+        where: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read (latest, or time travel to ``version``).
 
-        ``key_between=(lo, hi)``: MANIFEST-level data skipping — files
-        whose recorded [min,max] key range (and hash bucket, when lo ==
-        hi on a bucketed table) cannot contain the range are excluded
-        BEFORE Spark ever lists them, then the residual predicate is
-        applied row-wise (parquet row-group pruning still applies
-        inside surviving files). This is the Delta data-skipping read
-        path: at 100 TB the manifest prune is the difference between
-        opening thousands of files and opening three."""
+        ``key_between=(lo, hi)``: MANIFEST-level data skipping on the
+        designated key — files whose recorded [min,max] key range (and
+        hash bucket, when lo == hi on a bucketed table) cannot contain
+        the range are excluded BEFORE Spark ever lists them, then the
+        residual predicate is applied row-wise (parquet row-group
+        pruning still applies inside surviving files).
+
+        ``where={col: (lo, hi), ...}``: the same prune generalized to
+        ANY column with recorded per-file stats (files without stats
+        for a column always survive — stats are an index, not truth).
+        This is the Delta data-skipping read path: at 100 TB the
+        manifest prune is the difference between opening thousands of
+        files and opening three."""
         head = self.latest_version()
         if head == 0:
             raise ValueError(f"no table at {self.path}")
@@ -482,14 +741,19 @@ class TxnTable:
             raise ValueError(f"version {version} not in [1, {head}]")
         files = self._live_files(version)
         key = self.table_key()
+        bounds: dict[str, tuple] = dict(where or {})
         if key_between is not None:
             if key is None:
                 raise ValueError("key_between needs a key column")
-            lo, hi = key_between
+            bounds[key] = key_between
+        for col, (lo, hi) in bounds.items():
             files = [
                 f for f in files
-                if "min" not in f or not (f["max"] < lo or f["min"] > hi)
+                if _stats_of(f, col, key) is None
+                or not _ranges_disjoint(*_stats_of(f, col, key), lo, hi)
             ]
+        if key_between is not None:
+            lo, hi = key_between
             n_buckets = self.table_buckets()
             if n_buckets and lo == hi:
                 # point lookup on a bucketed table: only the key's own
@@ -497,16 +761,13 @@ class TxnTable:
                 # (int32 vs int64 literals hash differently), so the
                 # literal must carry the key column's recorded type.
                 from pyspark.sql import functions as F
-                from pyspark.sql.types import StructType
 
-                ktype = None
-                for entry in self._read_log(version):
-                    if entry.get("schema"):
-                        st = StructType.fromJson(
-                            json.loads(entry["schema"])
-                        )
-                        if key in st.fieldNames():
-                            ktype = st[key].dataType
+                st = self._schema_at(version)
+                ktype = (
+                    st[key].dataType
+                    if st is not None and key in st.fieldNames()
+                    else None
+                )
                 if ktype is not None:
                     b = (
                         self.spark.range(1)
@@ -523,38 +784,31 @@ class TxnTable:
                         if "bucket" not in f or f["bucket"] == b
                     ]
         if not files:
-            # empty snapshot (empty create, or everything removed):
-            # return a typed zero-row frame from the last schema the log
-            # recorded at or before this version — "a filter eliminated
-            # everything" is a daily event at scale, not an error.
-            from pyspark.sql.types import StructType
-
-            schema_json = None
-            for entry in self._read_log(version):
-                if entry.get("schema"):
-                    schema_json = entry["schema"]
-            if schema_json is None:
+            # empty snapshot (empty create, everything removed, or the
+            # prune excluded every file): return a typed zero-row frame
+            # from the last schema the log recorded at or before this
+            # version — "a filter eliminated everything" is a daily
+            # event at scale, not an error.
+            st = self._schema_at(version)
+            if st is None:
                 raise ValueError(
                     f"snapshot {version or head} is empty and no commit "
                     "recorded a schema"
                 )
-            out = self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(schema_json))
-            )
+            out = self.spark.createDataFrame([], st)
         else:
             # mergeSchema: live files may span schema evolution (a column
             # added by a later append/merge) — absent columns read as NULL
             out = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, f["path"]) for f in files]
             )
-        if key_between is not None:
+        if bounds:
             from pyspark.sql import functions as F
 
             # residual row-wise bound: surviving files may hold rows
             # outside the range (pushed into the parquet scan)
-            out = out.where(
-                F.col(key).between(key_between[0], key_between[1])
-            )
+            for col, (lo, hi) in bounds.items():
+                out = out.where(F.col(col).between(lo, hi))
         return out
 
     def change_feed(
@@ -568,11 +822,13 @@ class TxnTable:
         pre-image) and ``_commit_version``. Downstream incremental
         consumers process ONLY what changed instead of rescanning the
         table — the property that makes a 100-TB nightly pipeline
-        incremental. This implementation reconstructs changes from
-        snapshots (two scans per version, key-join); a write-time CDF
-        (persisting each merge's rewrite delta alongside the commit)
-        gives the same frame for free and is the production upgrade
-        path."""
+        incremental. Update detection is an OR of per-column
+        null-safe inequality (``eqNullSafe``) — collision-free and
+        immune to the hash-skips-NULL column-swap trap (ADVICE r13).
+        This implementation reconstructs changes from snapshots (two
+        scans per version, key-join); a write-time CDF (persisting each
+        merge's rewrite delta alongside the commit) gives the same
+        frame for free and is the production upgrade path."""
         from pyspark.sql import functions as F
 
         key = self.table_key()
@@ -605,9 +861,11 @@ class TxnTable:
                 F.col("__c_k").eqNullSafe(F.col("__p_k")),
                 "full_outer",
             )
-            changed = F.xxhash64(
-                *[F.col(f"__c_{c}") for c in cols]
-            ) != F.xxhash64(*[F.col(f"__p_{c}") for c in cols])
+            changed = F.lit(False)
+            for c in cols:
+                changed = changed | ~F.col(f"__c_{c}").eqNullSafe(
+                    F.col(f"__p_{c}")
+                )
             typed = j.withColumn(
                 "_change_type",
                 F.when(F.col("__p_k").isNull(), F.lit("insert"))
@@ -642,21 +900,32 @@ class TxnTable:
         orphan_grace_sec: float = 3600.0,
     ) -> list[str]:
         """Delete data files not referenced by ANY snapshot >=
-        ``retain_from_version`` (nor by the latest). Time travel below
-        the cutoff is forfeited — exactly Delta VACUUM's trade. Returns
-        the deleted relative paths.
+        ``retain_from_version`` (the latest snapshot is ALWAYS
+        retained — ``retain_from_version`` above the head is rejected,
+        ADVICE r13). Time travel below the cutoff is forfeited —
+        exactly Delta VACUUM's trade. Returns the deleted relative
+        paths.
 
         ``orphans=True`` additionally removes data files referenced by
         NO log entry at all — the staged-but-never-committed leftovers
         of lost commit races — but only those older than
         ``orphan_grace_sec`` (a concurrent writer's staged files look
         identical until its commit publishes; the grace window is the
-        standard uncommitted-file retention guard)."""
+        standard uncommitted-file retention guard). Empty data dirs are
+        pruned under the SAME guard: only with ``orphans=True``, only
+        past the grace window, and never while a ``_temporary`` dir
+        shows an in-flight Spark write (ADVICE r13 — the unconditional
+        prune could destroy a racing writer's staged output)."""
         import time as _time
 
         head = self.latest_version()
-        keep: set[str] = set()
-        for v in range(max(1, retain_from_version), head + 1):
+        if not 1 <= retain_from_version <= head:
+            raise ValueError(
+                f"retain_from_version {retain_from_version} not in "
+                f"[1, {head}] — the latest snapshot is always retained"
+            )
+        keep: set[str] = {f["path"] for f in self._live_files(head)}
+        for v in range(retain_from_version, head + 1):
             keep.update(f["path"] for f in self._live_files(v))
         dropped = []
         for entry in self._read_log():
@@ -667,13 +936,13 @@ class TxnTable:
                     if os.path.exists(p):
                         os.unlink(p)
                         dropped.append(rel)
+        droot = os.path.join(self.path, _DATA_DIR)
         if orphans:
             referenced = {
                 add["path"]
                 for e in self._read_log()
                 for add in e.get("add", [])
             }
-            droot = os.path.join(self.path, _DATA_DIR)
             now = _time.time()
             for d in sorted(os.listdir(droot)):
                 full = os.path.join(droot, d)
@@ -689,12 +958,28 @@ class TxnTable:
                     ):
                         os.unlink(p)
                         dropped.append(rel)
-        # prune now-empty data dirs
-        droot = os.path.join(self.path, _DATA_DIR)
-        for d in os.listdir(droot):
-            full = os.path.join(droot, d)
-            if os.path.isdir(full) and not any(
-                f.endswith(".parquet") for f in os.listdir(full)
-            ):
-                shutil.rmtree(full, ignore_errors=True)
+            # prune now-empty data dirs — orphan rules apply verbatim
+            for d in os.listdir(droot):
+                full = os.path.join(droot, d)
+                if (
+                    os.path.isdir(full)
+                    and not any(
+                        f.endswith(".parquet") or f == "_temporary"
+                        for f in os.listdir(full)
+                    )
+                    and now - os.path.getmtime(full) >= orphan_grace_sec
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
         return sorted(dropped)
+
+
+def _stats_of(f: dict, col: str, key: str | None):
+    """(min, max) recorded for ``col`` in a manifest entry, falling back
+    to the legacy key-stat fields for r13-era manifests; None = no
+    stats (the file always survives pruning)."""
+    s = f.get("stats", {}).get(col)
+    if s is not None:
+        return s["min"], s["max"]
+    if col == key and "min" in f:
+        return f["min"], f["max"]
+    return None

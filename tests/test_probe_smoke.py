@@ -88,3 +88,13 @@ def test_concurrent_probe_smoke():
 def test_bpe_byte_vocab_probe_smoke():
     out = _run(["scripts/bpe_byte_vocab_probe.py", "--smoke"])
     assert "PROBE OK" in out
+
+
+def test_txn_ckpt_probe_smoke():
+    out = _run(["scripts/txn_ckpt_probe.py", "--smoke"])
+    assert "FLAT" in out and "GROWING" not in out
+
+
+def test_txn_race_probe_smoke():
+    out = _run(["scripts/txn_race_probe.py", "--smoke"], timeout=600)
+    assert "RACE OK" in out
