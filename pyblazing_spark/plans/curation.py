@@ -593,6 +593,7 @@ def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_data_skipping",
+    bench=True,  # r14: the txn family's perf tracker (VERDICT r13 #5)
     tags=("sink", "txn", "data-skipping", "superset"),
     oracle="""
 WITH probe AS (

@@ -204,7 +204,31 @@ class TxnTable:
         return t
 
     # ------------------------------------------------------------ log
+    def _ckpt_hint(self) -> int:
+        """Advisory pointer to the newest checkpoint (the Delta
+        ``_last_checkpoint`` file): lets head discovery and checkpoint
+        lookup skip the O(commits) directory listing. Purely a hint —
+        stale or missing values only cost speed, never correctness."""
+        try:
+            with open(os.path.join(self._log, "_last_ckpt.json")) as fh:
+                return int(json.load(fh)["version"])
+        except (FileNotFoundError, ValueError, KeyError,
+                json.JSONDecodeError):
+            return 0
+
     def latest_version(self) -> int:
+        # O(suffix) head discovery: start at the newest checkpoint and
+        # stat forward — commit files are contiguous by construction (a
+        # writer can only publish v+1 after observing v). Without a
+        # hint, fall back to the full listing.
+        hint = self._ckpt_hint()
+        if hint and os.path.exists(os.path.join(self._log, _V_FMT % hint)):
+            v = hint
+            while os.path.exists(
+                os.path.join(self._log, _V_FMT % (v + 1))
+            ):
+                v += 1
+            return v
         try:
             vs = [
                 int(f[1:9])
@@ -233,17 +257,24 @@ class TxnTable:
         return [self._load_commit(v) for v in range(1, head + 1)]
 
     def _latest_checkpoint(self, max_version: int) -> dict | None:
-        """Newest published checkpoint at or below ``max_version``."""
-        try:
-            names = os.listdir(self._log)
-        except FileNotFoundError:
-            return None
+        """Newest published checkpoint at or below ``max_version``:
+        O(1) via the ``_last_ckpt`` hint when it applies (every
+        head-snapshot read); directory listing only for time travel
+        BELOW the hinted checkpoint."""
         best = 0
-        for f in names:
-            if f.startswith("ckpt-v") and f.endswith(".json"):
-                v = int(f[6:14])
-                if best < v <= max_version:
-                    best = v
+        hint = self._ckpt_hint()
+        if 0 < hint <= max_version:
+            best = hint
+        else:
+            try:
+                names = os.listdir(self._log)
+            except FileNotFoundError:
+                return None
+            for f in names:
+                if f.startswith("ckpt-v") and f.endswith(".json"):
+                    v = int(f[6:14])
+                    if best < v <= max_version:
+                        best = v
         if not best:
             return None
         try:
@@ -317,6 +348,16 @@ class TxnTable:
                 pass
             finally:
                 os.unlink(tmp)
+            # advance the _last_ckpt hint (monotone; os.replace is
+            # atomic). A lost race between two pointers only leaves a
+            # slightly stale hint — advisory by contract.
+            if self._ckpt_hint() < version:
+                htmp = os.path.join(
+                    self._log, f".tmp-hint-{uuid.uuid4().hex}"
+                )
+                with open(htmp, "w") as fh:
+                    json.dump({"version": version}, fh)
+                os.replace(htmp, os.path.join(self._log, "_last_ckpt.json"))
         except OSError:
             pass
 

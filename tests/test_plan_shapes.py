@@ -72,6 +72,11 @@ EXPECTED_SHAPES: dict[str, dict[str, int]] = {
     # vocab pass / piece aggregation / Viterbi kernel shapes are covered
     # by the oracle and tests/test_unigram.py instead.
     "text_unigram_tokenize": dict(exch=0, scans=0, py=0, smj=0),
+    # round-14 bench addition (txn-family perf tracker): materializes
+    # via materialize_bounded; the property that matters — manifest
+    # prune actually skipping files — is asserted INSIDE the entry
+    # (raises on a no-skip read) and in tests/test_txn_table.py.
+    "txn_data_skipping": dict(exch=0, scans=0, py=0, smj=0),
 }
 
 
