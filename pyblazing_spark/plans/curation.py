@@ -367,11 +367,14 @@ def pipeline_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _txn_three_commit_table(spark: SparkSession, sf_dir: str, path: str):
+def _txn_three_commit_table(
+    spark: SparkSession, sf_dir: str, path: str, cdf: bool = False
+):
     """The shared three-commit fixture history: create even-mod-4
     orders -> append mod-4=1 -> MERGE updating mod-4=0 prices
     (+100000) and inserting mod-4=2. Used by sink_txn_snapshot_log
-    (snapshot reads) and txn_change_feed (row-level diffs)."""
+    (snapshot reads), txn_change_feed (row-level diffs), and — with
+    ``cdf=True`` — txn_change_feed_written (write-time CDF)."""
     from pyblazing_spark.sources.txn_table import TxnTable
 
     orders = T(spark, sf_dir, "orders")
@@ -381,6 +384,7 @@ def _txn_three_commit_table(spark: SparkSession, sf_dir: str, path: str):
         path,
         orders.where(F.col("o_orderkey") % 4 == 0).select(*cols),
         key="o_orderkey",
+        cdf=cdf,
     )
     t.append(orders.where(F.col("o_orderkey") % 4 == 1).select(*cols))
     t.merge(
@@ -506,10 +510,7 @@ _CDF_H60 = (
 )
 
 
-@register(
-    "txn_change_feed",
-    tags=("sink", "txn", "cdf", "incremental", "superset"),
-    oracle=f"""
+_CDF_FEED_ORACLE = f"""
 WITH ch AS (
   SELECT 2 AS version, 'insert' AS change_type,
          o_orderkey AS k, o_totalprice AS p
@@ -528,7 +529,52 @@ SELECT CAST(version AS INTEGER) AS version, change_type,
        CAST(sum(cents) AS BIGINT) AS total_cents,
        COALESCE(bit_xor({_CDF_H60}), 0) AS key_xor
 FROM r GROUP BY version, change_type ORDER BY version, change_type
-""",
+"""
+
+
+def _cdf_feed_rollup(feed: DataFrame) -> DataFrame:
+    """Shared (version, change_type) rollup both change-feed entries
+    aggregate their row-level feed into: count, cents mass, md5-h60
+    key⊕cents XOR — proves the exact change-row SET per class."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    rows = feed.select(
+        F.col("_commit_version").alias("version"),
+        F.col("_change_type").alias("change_type"),
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents"),
+    )
+    h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("k").cast("string"),
+                    F.col("cents").cast("string"),
+                ).cast("binary")
+            ),
+            3,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        rows.groupBy("version", "change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.coalesce(F.bit_xor(h60), F.lit(0))
+            .cast("long")
+            .alias("key_xor"),
+        )
+        .orderBy("version", "change_type")
+    )
+
+
+@register(
+    "txn_change_feed",
+    tags=("sink", "txn", "cdf", "incremental", "superset"),
+    oracle=_CDF_FEED_ORACLE,
 )
 def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED over the transactional table
@@ -553,40 +599,69 @@ def txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="txn_cdf_")
     try:
         t = _txn_three_commit_table(spark, sf_dir, os.path.join(out_dir, "t"))
+        return materialize_bounded(_cdf_feed_rollup(t.change_feed(1)))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@register(
+    "txn_change_feed_written",
+    tags=("sink", "txn", "cdf", "incremental", "write-time", "superset"),
+    oracle=_CDF_FEED_ORACLE,
+)
+def txn_change_feed_written(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-TIME change data feed (Delta's enableChangeDataFeed —
+    ``TxnTable.create(..., cdf=True)``): the same three-commit history
+    and the same oracle as ``txn_change_feed``, but every commit
+    PERSISTED its change rows at write time (``cdf_add`` manifests /
+    insert-only add derivation), so the feed is a plain parquet read of
+    exactly the change rows — zero snapshot scans, zero key-joins at
+    read time. The entry asserts that contract structurally (every
+    post-create commit carries CDF metadata; the feed's scan set is the
+    change/add files only) and the shared oracle then proves the
+    persisted rows are VALUE-identical to the reconstructed diff: a
+    wrong write-time classification (an unchanged upsert emitted, a
+    missed update, a lost delete pre-image) flips a checksum.
+
+    Scale: this closes change_feed's documented O(2 scans + join per
+    version) reader cost — at 100 TB the feed reader touches only
+    change-row parquet, and the writer pays one diff-join against the
+    files it was already rewriting."""
+    import shutil
+    import tempfile
+
+    from pyblazing_spark.session import materialize_bounded
+
+    out_dir = tempfile.mkdtemp(prefix="txn_cdf_written_")
+    try:
+        t = _txn_three_commit_table(
+            spark, sf_dir, os.path.join(out_dir, "t"), cdf=True
+        )
+        head = t.latest_version()
+        for v in range(2, head + 1):
+            e = t._load_commit(v)
+            if not ("cdf_add" in e or e.get("cdf_from_add")):
+                raise AssertionError(
+                    f"commit {v} lacks write-time CDF metadata"
+                )
         feed = t.change_feed(1)
-        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-        rows = feed.select(
-            F.col("_commit_version").alias("version"),
-            F.col("_change_type").alias("change_type"),
-            F.col("o_orderkey").alias("k"),
-            cents.alias("cents"),
-        )
-        h60 = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("k").cast("string"),
-                        F.col("cents").cast("string"),
-                    ).cast("binary")
-                ),
-                3,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        return materialize_bounded(
-            rows.groupBy("version", "change_type")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum("cents").cast("long").alias("total_cents"),
-                F.coalesce(F.bit_xor(h60), F.lit(0))
-                .cast("long")
-                .alias("key_xor"),
+        allowed = set()
+        for v in range(2, head + 1):
+            e = t._load_commit(v)
+            entries = e["cdf_add"] if "cdf_add" in e else e["add"]
+            allowed.update(
+                os.path.join(t.path, a["path"]) for a in entries
             )
-            .orderBy("version", "change_type")
-        )
+        scanned = {
+            f.replace("file://", "", 1) if f.startswith("file://") else f
+            for f in feed.inputFiles()
+        }
+        if not scanned <= allowed:
+            raise AssertionError(
+                "write-time feed scanned snapshot files: "
+                f"{sorted(scanned - allowed)[:3]}"
+            )
+        return materialize_bounded(_cdf_feed_rollup(feed))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -17,9 +17,12 @@ Semantics (same contract as Delta's table-as-a-source):
 - offsets are ``{"version": N}``; a restart resumes from the last
   committed version (Spark's offset log stores the dict);
 - **admission control**: ``maxVersionsPerTrigger`` caps how many
-  commit versions one micro-batch may ingest (the Delta
-  maxFilesPerTrigger concept) — without it a cold start or backfill
-  lands the entire table history as ONE batch (VERDICT r13 #2). The
+  commit versions one micro-batch may ingest, and
+  ``maxFilesPerTrigger`` caps the batch by ADDED-FILE count (whole
+  versions only; at least one version always admitted so an oversized
+  commit cannot stall the stream — Delta's approximate semantics).
+  Without them a cold start or backfill lands the entire table history
+  as ONE batch (VERDICT r13 #2). The
   Python ``latestOffset()`` receives no start offset, so the cap is
   relative to a reader-tracked base, safe in BOTH lifecycles
   (call-order traced empirically on 4.1):
@@ -134,6 +137,7 @@ class TxnStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.start_version = int(options.get("fromversion", 0))
         self.max_versions = int(options.get("maxversionspertrigger", 0))
+        self.max_files = int(options.get("maxfilespertrigger", 0))
         #: highest offset this reader instance knows was handed to the
         #: engine — the admission-control base. None only before any
         #: call; a restart seeds it through the engine's WAL-batch
@@ -153,18 +157,33 @@ class TxnStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = _latest_version(self.path)
+        # base = last engine-visible offset; on a true cold start
+        # (nothing seeded — nothing committed) the stream begins at
+        # start_version. Never regress below the base: emitting an
+        # offset under the engine's committed one would rewind the
+        # stream into duplicates.
+        base = (
+            self._last_seen
+            if self._last_seen is not None
+            else self.start_version
+        )
         if self.max_versions:
-            # base = last engine-visible offset; on a true cold start
-            # (nothing seeded — nothing committed) the stream begins at
-            # start_version. Never regress below the base: emitting an
-            # offset under the engine's committed one would rewind the
-            # stream into duplicates.
-            base = (
-                self._last_seen
-                if self._last_seen is not None
-                else self.start_version
-            )
             head = max(min(head, base + self.max_versions), base)
+        if self.max_files and head > base:
+            # admit whole versions until the NEXT one would overflow the
+            # file budget; always admit at least one version so a single
+            # oversized commit cannot stall the stream (Delta's
+            # maxFilesPerTrigger is approximate in exactly this way)
+            total, v = 0, base
+            while v < head:
+                n = len(
+                    _log_entries(self.path, v, v + 1)[0].get("add", [])
+                )
+                if total and total + n > self.max_files:
+                    break
+                total += n
+                v += 1
+            head = v
         self._last_seen = max(self._last_seen or 0, head)
         return {"version": head}
 

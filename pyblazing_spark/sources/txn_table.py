@@ -181,13 +181,22 @@ class TxnTable:
         key: str | None = None,
         n_buckets: int | None = None,
         checkpoint_interval: int = 10,
+        cdf: bool = False,
     ) -> "TxnTable":
         """Initialize the table (version 1 = empty create or the given
         frame). ``key`` designates the stats/merge column recorded per
         data file; ``n_buckets`` fixes a hash-bucketed layout for the
-        table's lifetime (see :meth:`_write_data`)."""
+        table's lifetime (see :meth:`_write_data`); ``cdf=True`` turns
+        on WRITE-TIME change data feed (Delta's enableChangeDataFeed):
+        every DML commit persists its own change rows (``cdf_add``
+        manifest entries) so :meth:`change_feed` reads them back
+        directly instead of re-diffing snapshots. Requires ``key``
+        (changes are classified per key; appends assume key-unique
+        batches, as in Delta CDC)."""
         if n_buckets is not None and key is None:
             raise ValueError("n_buckets requires a key column")
+        if cdf and key is None:
+            raise ValueError("cdf requires a key column")
         t = cls(spark, path, checkpoint_interval=checkpoint_interval)
         os.makedirs(t._log, exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
@@ -198,7 +207,7 @@ class TxnTable:
         t._commit_with_retry(
             lambda snap: {"action": "create", "add": adds, "remove": [],
                           "key": key, "schema": schema,
-                          "n_buckets": n_buckets},
+                          "n_buckets": n_buckets, "cdf": cdf},
             max_retries=0,
         )
         return t
@@ -387,6 +396,12 @@ class TxnTable:
         if not self.latest_version():
             return None
         return self._load_commit(1).get("n_buckets")
+
+    def table_cdf(self) -> bool:
+        """Whether write-time change data feed is on (fixed at create)."""
+        if not self.latest_version():
+            return False
+        return bool(self._load_commit(1).get("cdf"))
 
     def _schema_at(self, version: int | None = None):
         """Latest recorded Spark schema at or before ``version`` (None
@@ -590,33 +605,54 @@ class TxnTable:
         adds = self._write_data(df, key, self.table_buckets())
         schema = df.schema.json()
 
+        cdf = self.table_cdf()
+
         def build(snap: int) -> dict | None:
             if (
                 app_txn_id is not None
                 and app_txn_id in self._state_at(snap)["app_txn_ids"]
             ):
                 return None
-            return {"action": "append", "add": adds, "remove": [],
+            body = {"action": "append", "add": adds, "remove": [],
                     "key": key, "schema": schema,
                     "app_txn_id": app_txn_id}
+            if cdf:
+                # insert-only commit: the change rows ARE the add files
+                # (Delta CDC's insert-only derivation — no extra copy).
+                # Contract: cdf appends are key-unique batches of NEW
+                # keys; re-appending a live key is a merge's job.
+                body["cdf_from_add"] = True
+            return body
 
         return self._commit_with_retry(build)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents atomically (readers at older
-        versions still see their snapshot)."""
+        versions still see their snapshot). On a ``cdf=True`` table the
+        commit also persists its change rows — the full key-diff of the
+        replaced snapshot vs the new contents, computed ONCE at write
+        time instead of by every downstream feed reader."""
         key = self.table_key()
         adds = self._write_data(df, key, self.table_buckets())
         schema = df.schema.json()
-        return self._commit_with_retry(
-            lambda snap: {
+        cdf = self.table_cdf()
+
+        def build(snap: int) -> dict:
+            body = {
                 "action": "overwrite",
                 "add": adds,
                 "remove": [f["path"] for f in self._live_files(snap)],
                 "key": key,
                 "schema": schema,
             }
-        )
+            if cdf:
+                body["cdf_add"] = self._write_data(
+                    self._diff_frames(self.read(version=snap), df, key),
+                    None, None,
+                )
+            return body
+
+        return self._commit_with_retry(build)
 
     def merge(
         self,
@@ -663,10 +699,14 @@ class TxnTable:
                 F.min(key).alias("lo"), F.max(key).alias("hi")
             ).collect()[0]
             lo, hi = row["lo"], row["hi"]
+            cdf = self.table_cdf()
             if lo is None:  # empty source: no-op commit
-                return {"action": "merge", "add": [], "remove": [],
+                body = {"action": "merge", "add": [], "remove": [],
                         "key": key, "schema": schema,
                         "app_txn_id": app_txn_id}
+                if cdf:
+                    body["cdf_add"] = []
+                return body
             n_buckets = self.table_buckets()
             src_buckets: set[int] | None = None
             if n_buckets:
@@ -708,9 +748,19 @@ class TxnTable:
             else:
                 out = source
             adds = self._write_data(out, key, n_buckets)
-            return {"action": "merge", "add": adds, "remove": hit_paths,
+            body = {"action": "merge", "add": adds, "remove": hit_paths,
                     "key": key, "schema": schema,
                     "app_txn_id": app_txn_id}
+            if cdf:
+                # write-time CDF: the merge already holds both row sets
+                # (pre-image = the hit files, post-image = the rewrite),
+                # so the change rows cost one extra diff-join at write
+                # time and ZERO snapshot scans for every feed reader.
+                prev_scope = cur if hit_paths else source.limit(0)
+                body["cdf_add"] = self._write_data(
+                    self._diff_frames(prev_scope, out, key), None, None
+                )
+            return body
 
         return self._commit_with_retry(build)
 
@@ -733,23 +783,31 @@ class TxnTable:
         same file count is the point)."""
         key = self.table_key()
 
+        cdf = self.table_cdf()
+
         def build(snap: int) -> dict:
             live = self._live_files(snap)
             if len(live) <= target_files and cluster_by is None:
-                return {"action": "compact", "add": [], "remove": [],
+                body = {"action": "compact", "add": [], "remove": [],
                         "key": key}
-            cur = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f["path"]) for f in live]
-            )
-            shaped = (
-                cur.repartitionByRange(target_files, cluster_by)
-                if cluster_by is not None
-                else cur.coalesce(target_files)
-            )
-            adds = self._write_data(shaped, key, self.table_buckets())
-            return {"action": "compact", "add": adds,
-                    "remove": [f["path"] for f in live], "key": key,
-                    "schema": cur.schema.json()}
+            else:
+                cur = self.spark.read.option(
+                    "mergeSchema", "true"
+                ).parquet(
+                    *[os.path.join(self.path, f["path"]) for f in live]
+                )
+                shaped = (
+                    cur.repartitionByRange(target_files, cluster_by)
+                    if cluster_by is not None
+                    else cur.coalesce(target_files)
+                )
+                adds = self._write_data(shaped, key, self.table_buckets())
+                body = {"action": "compact", "add": adds,
+                        "remove": [f["path"] for f in live], "key": key,
+                        "schema": cur.schema.json()}
+            if cdf:
+                body["cdf_add"] = []  # layout-only commit: zero changes
+            return body
 
         return self._commit_with_retry(build)
 
@@ -852,24 +910,87 @@ class TxnTable:
                 out = out.where(F.col(col).between(lo, hi))
         return out
 
+    def _diff_frames(
+        self, prev: DataFrame, cur: DataFrame, key: str
+    ) -> DataFrame:
+        """Key-diff two row sets into change rows ``(key, *cols,
+        _change_type)``: ``insert`` / ``update_postimage`` / ``delete``
+        (deletes carry the pre-image). Update detection is an OR of
+        per-column null-safe inequality (``eqNullSafe``) —
+        collision-free and immune to the hash-skips-NULL column-swap
+        trap (ADVICE r13). Shared by snapshot-diff :meth:`change_feed`
+        and the write-time CDF persisted at commit time."""
+        from pyspark.sql import functions as F
+
+        cols = sorted((set(prev.columns) | set(cur.columns)) - {key})
+        # dtype per column from whichever side has it: evolution-null
+        # columns must be TYPED (an untyped NullType column cannot be
+        # persisted to parquet by the write-time CDF)
+        dtypes = {}
+        for side in (prev, cur):
+            for f in side.schema.fields:
+                dtypes.setdefault(f.name, f.dataType)
+
+        def norm(df, tag):
+            out = df
+            for c in cols:
+                if c not in df.columns:
+                    out = out.withColumn(c, F.lit(None).cast(dtypes[c]))
+            return out.select(
+                F.col(key).alias(f"__{tag}_k"),
+                *[F.col(c).alias(f"__{tag}_{c}") for c in cols],
+            )
+
+        j = norm(cur, "c").join(
+            norm(prev, "p"),
+            F.col("__c_k").eqNullSafe(F.col("__p_k")),
+            "full_outer",
+        )
+        changed = F.lit(False)
+        for c in cols:
+            changed = changed | ~F.col(f"__c_{c}").eqNullSafe(
+                F.col(f"__p_{c}")
+            )
+        typed = j.withColumn(
+            "_change_type",
+            F.when(F.col("__p_k").isNull(), F.lit("insert"))
+            .when(F.col("__c_k").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update_postimage")),
+        ).where(F.col("_change_type").isNotNull())
+        # deletes carry the pre-image; inserts/updates the post-image
+        pick = [
+            F.coalesce(F.col("__c_k"), F.col("__p_k")).alias(key),
+            *[
+                F.when(
+                    F.col("_change_type") == "delete", F.col(f"__p_{c}")
+                )
+                .otherwise(F.col(f"__c_{c}"))
+                .alias(c)
+                for c in cols
+            ],
+            "_change_type",
+        ]
+        return typed.select(*pick)
+
     def change_feed(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
         """Row-level CHANGE DATA FEED between snapshots (the Delta CDF
-        concept): for each version v in (from_version, to_version],
-        diff snapshot v against v-1 on the table key and emit one row
-        per change with ``_change_type`` (``insert`` /
+        concept): one row per change in versions (from_version,
+        to_version] with ``_change_type`` (``insert`` /
         ``update_postimage`` / ``delete`` — deletes carry the
         pre-image) and ``_commit_version``. Downstream incremental
         consumers process ONLY what changed instead of rescanning the
         table — the property that makes a 100-TB nightly pipeline
-        incremental. Update detection is an OR of per-column
-        null-safe inequality (``eqNullSafe``) — collision-free and
-        immune to the hash-skips-NULL column-swap trap (ADVICE r13).
-        This implementation reconstructs changes from snapshots (two
-        scans per version, key-join); a write-time CDF (persisting each
-        merge's rewrite delta alongside the commit) gives the same
-        frame for free and is the production upgrade path."""
+        incremental.
+
+        Two sources, per version: a ``cdf=True`` table PERSISTED its
+        change rows at commit time (``cdf_add`` manifest entries —
+        Delta's enableChangeDataFeed), so the feed is a plain parquet
+        read of exactly the change rows; otherwise the version is
+        reconstructed by key-diffing its snapshot against the previous
+        one (two scans + a key-join — correct but the expensive path,
+        which is why cdf=True is the production mode)."""
         from pyspark.sql import functions as F
 
         key = self.table_key()
@@ -884,53 +1005,62 @@ class TxnTable:
             )
         frames = []
         for v in range(from_version + 1, to_version + 1):
-            prev, cur = self.read(version=v - 1), self.read(version=v)
-            cols = sorted((set(prev.columns) | set(cur.columns)) - {key})
-
-            def norm(df, tag):
-                out = df
-                for c in cols:
-                    if c not in df.columns:
-                        out = out.withColumn(c, F.lit(None))
-                return out.select(
-                    F.col(key).alias(f"__{tag}_k"),
-                    *[F.col(c).alias(f"__{tag}_{c}") for c in cols],
+            entry = self._load_commit(v)
+            if entry.get("cdf_from_add"):
+                # insert-only commit: change rows derived from the add
+                # files themselves (no persisted copy needed)
+                paths = [
+                    os.path.join(self.path, a["path"])
+                    for a in entry.get("add", [])
+                ]
+                if not paths:
+                    continue
+                fdf = self.spark.read.option(
+                    "mergeSchema", "true"
+                ).parquet(*paths).withColumn(
+                    "_change_type", F.lit("insert")
                 )
-
-            j = norm(cur, "c").join(
-                norm(prev, "p"),
-                F.col("__c_k").eqNullSafe(F.col("__p_k")),
-                "full_outer",
+            elif "cdf_add" in entry:
+                paths = [
+                    os.path.join(self.path, a["path"])
+                    for a in entry["cdf_add"]
+                ]
+                if not paths:
+                    continue  # commit recorded zero changes (compact)
+                fdf = self.spark.read.option(
+                    "mergeSchema", "true"
+                ).parquet(*paths)
+            else:
+                fdf = self._diff_frames(
+                    self.read(version=v - 1), self.read(version=v), key
+                )
+            frames.append(
+                fdf.withColumn(
+                    "_commit_version", F.lit(v).cast("int")
+                )
             )
-            changed = F.lit(False)
-            for c in cols:
-                changed = changed | ~F.col(f"__c_{c}").eqNullSafe(
-                    F.col(f"__p_{c}")
-                )
-            typed = j.withColumn(
-                "_change_type",
-                F.when(F.col("__p_k").isNull(), F.lit("insert"))
-                .when(F.col("__c_k").isNull(), F.lit("delete"))
-                .when(changed, F.lit("update_postimage")),
-            ).where(F.col("_change_type").isNotNull())
-            # deletes carry the pre-image; inserts/updates the post-image
-            pick = [
-                F.coalesce(F.col("__c_k"), F.col("__p_k")).alias(key),
-                *[
-                    F.when(
-                        F.col("_change_type") == "delete", F.col(f"__p_{c}")
-                    )
-                    .otherwise(F.col(f"__c_{c}"))
-                    .alias(c)
-                    for c in cols
-                ],
-                "_change_type",
-                F.lit(v).cast("int").alias("_commit_version"),
-            ]
-            frames.append(typed.select(*pick))
+        if not frames:
+            from pyspark.sql.types import (
+                IntegerType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            st = self._schema_at(to_version) or StructType([])
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    st.fields
+                    + [
+                        StructField("_change_type", StringType()),
+                        StructField("_commit_version", IntegerType()),
+                    ]
+                ),
+            )
         out = frames[0]
         for fdf in frames[1:]:
-            out = out.unionByName(fdf)
+            out = out.unionByName(fdf, allowMissingColumns=True)
         return out
 
     # --------------------------------------------------------- vacuum
@@ -970,7 +1100,13 @@ class TxnTable:
             keep.update(f["path"] for f in self._live_files(v))
         dropped = []
         for entry in self._read_log():
-            for add in entry.get("add", []):
+            if entry["version"] >= retain_from_version:
+                # retained versions keep their persisted change rows
+                # (the feed below the cutoff is forfeited with the
+                # snapshots, exactly like time travel)
+                keep.update(a["path"] for a in entry.get("cdf_add", []))
+        for entry in self._read_log():
+            for add in entry.get("add", []) + entry.get("cdf_add", []):
                 rel = add["path"]
                 if rel not in keep:
                     p = os.path.join(self.path, rel)
@@ -982,7 +1118,7 @@ class TxnTable:
             referenced = {
                 add["path"]
                 for e in self._read_log()
-                for add in e.get("add", [])
+                for add in e.get("add", []) + e.get("cdf_add", [])
             }
             now = _time.time()
             for d in sorted(os.listdir(droot)):

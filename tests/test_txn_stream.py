@@ -241,3 +241,53 @@ def test_max_versions_cap_holds_across_restart(spark, tmp_path):
         assert 0 < v - prev <= 2, offs
         prev = v
     assert prev == 8
+
+
+def test_max_files_per_trigger_caps_by_added_files(spark, tmp_path):
+    """maxFilesPerTrigger admits whole versions until the next would
+    overflow the file budget: 2-file commits under a 3-file cap drain
+    one version per micro-batch."""
+    import time
+
+    tpath, out, ckpt = (str(tmp_path / "t"), str(tmp_path / "sink"),
+                        str(tmp_path / "ckpt"))
+    t = TxnTable.create(
+        spark, tpath,
+        _mk(spark, [(0, "a"), (1, "b")]).repartition(2), key="k")
+    for i in range(1, 4):
+        t.append(_mk(spark, [(10 * i, "x"), (10 * i + 1, "y")])
+                 .repartition(2))
+    assert all(
+        len(t._load_commit(v).get("add", [])) == 2
+        for v in range(1, 5)
+    )
+    spark.dataSource.register(TxnStreamDataSource)
+    q = (
+        spark.readStream.format("txn_table_stream")
+        .option("path", tpath)
+        .option("maxFilesPerTrigger", "3")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 8:
+                    break
+            except Exception:  # noqa: BLE001
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    rows = spark.read.parquet(out)
+    assert rows.count() == 8
+    offs = _offset_versions(ckpt)
+    drain = offs[: next(i for i, v in enumerate(offs) if v == 4) + 1]
+    assert drain == [1, 2, 3, 4]  # one 2-file version per batch

@@ -352,7 +352,9 @@ def test_randomized_dml_sequences_match_dict_model(spark, tmp_path):
     forces every 7-commit sequence ACROSS >=2 checkpoint boundaries
     (VERDICT r14 #1): per-commit reads, end-state time travel (above,
     at, and below a checkpoint) and the change feed all run through
-    the ckpt + suffix-replay path."""
+    the ckpt + suffix-replay path. Odd cases run with cdf=True, so the
+    WRITE-TIME change feed is validated against the same model diffs
+    as the snapshot-reconstruction feed."""
     import random
 
     rng = random.Random(1307)
@@ -361,10 +363,11 @@ def test_randomized_dml_sequences_match_dict_model(spark, tmp_path):
         path = str(tmp_path / f"m{case}")
         rows = [(k, f"c{case}_{k}") for k in rng.sample(range(50), 8)]
         t = TxnTable.create(spark, path, _mk(spark, rows), key="k",
-                            n_buckets=n_buckets, checkpoint_interval=3)
+                            n_buckets=n_buckets, checkpoint_interval=3,
+                            cdf=bool(case % 2))
         model = dict(rows)
         snapshots = {1: dict(model)}
-        for _ in range(6):
+        for i_op in range(6):
             op = rng.choice(["append", "merge", "overwrite", "compact"])
             if op == "append":
                 new = [
@@ -372,8 +375,13 @@ def test_randomized_dml_sequences_match_dict_model(spark, tmp_path):
                     for k in rng.sample(range(100, 200), rng.randint(1, 5))
                     if k not in model
                 ]
-                v = t.append(_mk(spark, new or [(999, "pad")]))
-                for k, s in new or [(999, "pad")]:
+                # fallback key is unique per (case, op): appends must
+                # stay key-fresh (the cdf=True insert-only derivation
+                # assumes it, and re-appending a live key would put two
+                # rows behind one model key anyway)
+                fallback = [(900 + case * 10 + i_op, "pad")]
+                v = t.append(_mk(spark, new or fallback))
+                for k, s in new or fallback:
                     model[k] = s
             elif op == "merge":
                 batch = [
@@ -749,3 +757,110 @@ def test_two_process_commit_race_is_serializable(tmp_path):
     vs = sorted(int(f[1:9]) for f in os.listdir(t0._log)
                 if f.startswith("v") and f.endswith(".json"))
     assert vs == list(range(1, 42))
+
+
+# ------------------------------------------------ r14: write-time CDF
+def test_write_time_cdf_equals_snapshot_diff_and_reads_no_snapshots(
+    spark, tmp_path
+):
+    """cdf=True persists change rows at commit time (Delta's
+    enableChangeDataFeed): the feed must be VALUE-identical to the
+    snapshot-reconstruction feed over the same DML history, and must be
+    served entirely from cdf/add files — never from a snapshot diff."""
+    seq = [
+        ("create", [(1, "a"), (2, "b"), (3, "c")]),
+        ("append", [(10, "j"), (11, "k")]),
+        ("merge", [(2, "B"), (4, "D"), (10, "j")]),  # upd, ins, no-change
+        ("overwrite", [(1, "a"), (2, "X"), (5, "e")]),  # del 3/4/10/11
+        ("compact", None),
+    ]
+
+    def run(path, cdf):
+        t = None
+        for op, rows in seq:
+            if op == "create":
+                t = TxnTable.create(spark, path, _mk(spark, rows),
+                                    key="k", cdf=cdf)
+            elif op == "append":
+                t.append(_mk(spark, rows))
+            elif op == "merge":
+                t.merge(_mk(spark, rows))
+            elif op == "overwrite":
+                t.overwrite(_mk(spark, rows))
+            else:
+                t.compact(target_files=1)
+        return t
+
+    t_diff = run(str(tmp_path / "plain"), cdf=False)
+    t_cdf = run(str(tmp_path / "cdf"), cdf=True)
+    assert not t_diff.table_cdf() and t_cdf.table_cdf()
+
+    def feed_set(t):
+        return {
+            (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in t.change_feed(1).collect()
+        }
+
+    want = feed_set(t_diff)
+    assert feed_set(t_cdf) == want
+    assert (2, "insert", 10, "j") in want
+    assert (3, "update_postimage", 2, "B") in want
+    assert (4, "delete", 10, "j") in want  # pre-image
+    assert not any(v == 5 for v, *_ in want)  # compact: zero changes
+    # every commit after create carries write-time CDF metadata
+    for v in range(2, t_cdf.latest_version() + 1):
+        e = t_cdf._load_commit(v)
+        assert "cdf_add" in e or e.get("cdf_from_add"), v
+    # the feed's scan set is cdf_add files + insert-only add files:
+    # NO file that a snapshot diff would read (the removed pre-images)
+    allowed = set()
+    for v in range(2, t_cdf.latest_version() + 1):
+        e = t_cdf._load_commit(v)
+        entries = e["cdf_add"] if "cdf_add" in e else e["add"]
+        allowed.update(
+            os.path.join(t_cdf.path, a["path"]) for a in entries
+        )
+    got_files = {
+        f.replace("file://", "", 1) if f.startswith("file://") else f
+        for f in t_cdf.change_feed(1).inputFiles()
+    }
+    assert got_files <= allowed, got_files - allowed
+    # bounded range + persisted path agree too
+    assert {r["_commit_version"]
+            for r in t_cdf.change_feed(2, 4).collect()} == {3, 4}
+
+
+def test_cdf_files_survive_vacuum_within_retention(spark, tmp_path):
+    t = TxnTable.create(spark, str(tmp_path / "t"),
+                        _mk(spark, [(1, "a")]), key="k", cdf=True)
+    t.merge(_mk(spark, [(1, "A"), (2, "b")]))      # v2: upd + ins
+    t.overwrite(_mk(spark, [(9, "z")]))            # v3: dels + ins
+    t.merge(_mk(spark, [(9, "Z")]))                # v4: upd
+    dropped = t.vacuum(retain_from_version=3, orphans=True,
+                       orphan_grace_sec=0.0)
+    # v2's snapshot data below the cutoff may go; the RETAINED feed
+    # (v3, v4) must still serve from persisted change rows
+    rows = {
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in t.change_feed(2).collect()
+    }
+    assert rows == {(3, "delete", 1), (3, "delete", 2), (3, "insert", 9),
+                    (4, "update_postimage", 9)}
+    assert _sorted(t.read()) == [(9, "Z")]
+    assert dropped  # something below the cutoff was reclaimed
+
+
+def test_cdf_with_schema_evolution_merge(spark, tmp_path):
+    """Evolution-null columns in the write-time diff must be TYPED
+    (untyped NullType cannot be written to parquet)."""
+    t = TxnTable.create(spark, str(tmp_path / "t"),
+                        _mk(spark, [(1, "a"), (2, "b")]), key="k",
+                        cdf=True)
+    t.merge(_mk(spark, [(2, "B", 20), (4, "D", 40)],
+                "k long, v string, score long"))
+    rows = {
+        (r["_change_type"], r["k"], r["v"], r["score"])
+        for r in t.change_feed(1).collect()
+    }
+    assert rows == {("update_postimage", 2, "B", 20),
+                    ("insert", 4, "D", 40)}
