@@ -220,6 +220,13 @@ def main() -> int:
         "setop_bag_semantics", "join_edit_distance", "win_median_frame",
         "sample_weighted_reservoir", "stream_stream_join",
         "events_gap_fill_linear", "text_hash_classifier", "expr_math",
+        # round-13/14: transactional table family (snapshot log, CDF both
+        # modes, streaming source/sink) + the persisted IVF index — the
+        # components whose write amplification / manifest pruning /
+        # probe-read shapes are exactly what 10x stresses.
+        "sink_txn_snapshot_log", "txn_change_feed",
+        "txn_change_feed_written", "stream_txn_upsert",
+        "stream_txn_source", "ann_ivf_persisted",
     }
     timings: dict[str, float] = {}
     n_ok = n_bad = 0
