@@ -14,8 +14,11 @@ two-phase trick:
    the per-bucket offsets) would disagree;
 2. compute the window LOCALLY per bucket
    (``Window.partitionBy(bucket)``),
-3. broadcast tiny per-bucket aggregates (row counts / partial sums)
-   and add each bucket's prefix offset.
+3. collect the tiny per-bucket aggregates (row counts / partial sums —
+   bounded: one row per bucket) to the driver and fold each bucket's
+   prefix offset into the plan as a LITERAL array lookup (r14: this
+   replaced a second scan + 32-row window + broadcast hash join that
+   every fact row probed — see :func:`_pid_offsets`).
 
 Shuffle cost equals a plain ``orderBy``; the window itself never
 serializes onto one executor. Results are identical to the
@@ -91,6 +94,38 @@ def _range_bucket(
     return pid
 
 
+def _pid_offsets(
+    tagged: DataFrame, *aggs: Column
+) -> list[tuple]:
+    """Collect the per-bucket aggregates (count / sum) to the DRIVER and
+    return ``[(pid, agg0, agg1, ...), ...]`` sorted by pid.
+
+    Bounded by construction: one row per range bucket (≤ ``partitions``,
+    default 32) — the same cost class as the boundary-literal sample.
+    r14 optimization (guide §1.2 "don't compute things twice", §7.2
+    duplicated subtrees): the previous shape kept the counts as a PLAN
+    BRANCH — a second full scan + boundary-CASE evaluation + partial
+    aggregation feeding a 32-row window and a broadcast hash join that
+    every fact row then probed. Catalyst cannot share the exchange
+    between the two branches (column pruning narrows the counts branch's
+    exchange, and there is no ReusedExchange across a Window), so the
+    branch always re-read the input. Collecting the ≤32-row aggregate
+    once and folding the offsets into LITERALS removes the second
+    window, the broadcast exchange, and the per-row join probe — the
+    fact-side plan becomes exchange → sort → window → project.
+    Cross-engine float note: offsets are accumulated in ascending pid
+    order, exactly the order the old single-task unbounded-preceding
+    window summed them in, so double results are bit-identical."""
+    rows = tagged.groupBy("__pid").agg(*aggs).collect()
+    return sorted((tuple(r) for r in rows), key=lambda t: t[0])
+
+
+def _offset_lit(per_pid: dict[int, object], max_pid: int, zero):
+    """Array literal ``offsets[pid + 1]`` lookup column (pids are dense
+    0..max_pid by construction; buckets with no rows never probe it)."""
+    return F.lit([per_pid.get(p, zero) for p in range(max_pid + 1)])
+
+
 def global_row_number(
     df: DataFrame, order_cols: list[str], out_col: str = "rn", partitions: int = 32
 ) -> DataFrame:
@@ -99,19 +134,24 @@ def global_row_number(
     (``monotonically_increasing_id`` is NOT contiguous; a bare
     ``row_number().over(orderBy)`` is single-task. This is both.)"""
     tagged = df.withColumn("__pid", _range_bucket(df, order_cols, partitions))
+    counts = _pid_offsets(tagged, F.count(F.lit(1)).alias("__n"))
+    offs: dict[int, int] = {}
+    acc = 0
+    for pid, n in counts:
+        offs[pid] = acc
+        acc += n
+    max_pid = counts[-1][0] if counts else 0
     local_w = W.partitionBy("__pid").orderBy(*order_cols)
-    local = tagged.withColumn("__local_rn", F.row_number().over(local_w))
-    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    offsets = counts.select(
-        "__pid",
-        (
-            F.sum("__n").over(W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1))
-        ).alias("__offset"),
-    ).fillna({"__offset": 0})
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, (F.col("__offset") + F.col("__local_rn")).cast("long"))
-        .drop("__pid", "__local_rn", "__offset")
+        tagged.withColumn("__local_rn", F.row_number().over(local_w))
+        .withColumn(
+            out_col,
+            (
+                F.element_at(_offset_lit(offs, max_pid, 0), F.col("__pid") + 1)
+                + F.col("__local_rn")
+            ).cast("long"),
+        )
+        .drop("__pid", "__local_rn")
     )
 
 
@@ -127,21 +167,25 @@ def global_running_sum(
     without the single-task collapse."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     tagged = df.withColumn("__pid", _range_bucket(df, order_cols, partitions))
+    totals = _pid_offsets(tagged, F.sum(value).alias("__total"))
+    offs: dict[int, float] = {}
+    acc = 0.0
+    for pid, t in totals:
+        offs[pid] = acc
+        if t is not None:  # SQL window sum skips NULL totals too
+            acc += t
+    max_pid = totals[-1][0] if totals else 0
     local_w = W.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    local = tagged.withColumn("__local_sum", F.sum(value).over(local_w))
-    totals = tagged.groupBy("__pid").agg(F.sum(value).alias("__total"))
-    offsets = totals.select(
-        "__pid",
-        (
-            F.sum("__total").over(W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1))
-        ).alias("__offset"),
-    ).fillna({"__offset": 0.0})
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__offset") + F.col("__local_sum"))
-        .drop("__pid", "__local_sum", "__offset")
+        tagged.withColumn("__local_sum", F.sum(value).over(local_w))
+        .withColumn(
+            out_col,
+            F.element_at(_offset_lit(offs, max_pid, 0.0), F.col("__pid") + 1)
+            + F.col("__local_sum"),
+        )
+        .drop("__pid", "__local_sum")
     )
 
 
@@ -165,25 +209,37 @@ def global_prefix_stats(
     instead of two."""
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     tagged = df.withColumn("__pid", _range_bucket(df, order_cols, partitions))
+    agg = _pid_offsets(
+        tagged, F.count(F.lit(1)).alias("__n"), F.sum(value).alias("__t")
+    )
+    noffs: dict[int, int] = {}
+    toffs: dict[int, float] = {}
+    nacc, tacc = 0, 0.0
+    for pid, n, t in agg:
+        noffs[pid], toffs[pid] = nacc, tacc
+        nacc += n
+        if t is not None:
+            tacc += t
+    max_pid = agg[-1][0] if agg else 0
     rank_w = W.partitionBy("__pid").orderBy(*order_cols)
     sum_w = rank_w.rowsBetween(W.unboundedPreceding, W.currentRow)
     local = tagged.withColumn("__lrn", F.row_number().over(rank_w)).withColumn(
         "__lsum", F.sum(value).over(sum_w)
     )
-    agg = tagged.groupBy("__pid").agg(
-        F.count(F.lit(1)).alias("__n"), F.sum(value).alias("__t")
-    )
-    off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = agg.select(
-        "__pid",
-        F.sum("__n").over(off_w).alias("__noff"),
-        F.sum("__t").over(off_w).alias("__toff"),
-    ).fillna({"__noff": 0, "__toff": 0.0})
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(rn_col, (F.col("__noff") + F.col("__lrn")).cast("long"))
-        .withColumn(sum_col, F.col("__toff") + F.col("__lsum"))
-        .drop("__pid", "__lrn", "__lsum", "__noff", "__toff")
+        local.withColumn(
+            rn_col,
+            (
+                F.element_at(_offset_lit(noffs, max_pid, 0), F.col("__pid") + 1)
+                + F.col("__lrn")
+            ).cast("long"),
+        )
+        .withColumn(
+            sum_col,
+            F.element_at(_offset_lit(toffs, max_pid, 0.0), F.col("__pid") + 1)
+            + F.col("__lsum"),
+        )
+        .drop("__pid", "__lrn", "__lsum")
     )
 
 
@@ -206,40 +262,37 @@ def global_ntile(
                     r + (i - (q+1)*r - 1) div q + 1         otherwise
 
     which is exactly how ntile splits remainders (verified against
-    DuckDB/Spark ntile in the sort_zorder_cluster oracle). The total
-    ``n`` rides in the same ≤``partitions``-row broadcast as the prefix
-    offsets, so no extra scan and no driver round-trip: the data path
-    is one range-style shuffle plus a per-bucket local window."""
+    DuckDB/Spark ntile in the sort_zorder_cluster oracle). Counts,
+    offsets, ``n``, ``q``, ``r`` all fold into literals via the bounded
+    ≤``partitions``-row driver collect (see :func:`_pid_offsets`), so
+    the data path is one range-style shuffle plus a per-bucket local
+    window — no broadcast join, no per-row remainder arithmetic on
+    anything but the rank itself."""
     tagged = df.withColumn("__pid", _range_bucket(df, order_cols, partitions))
-    local_w = W.partitionBy("__pid").orderBy(*order_cols)
-    local = tagged.withColumn("__lrn", F.row_number().over(local_w))
-    # Per-bucket counts are a SECOND aggregation over ``tagged`` (scan +
-    # map-side partial + a 32-row shuffle), not max(__lrn) over the
-    # windowed branch: the latter was measured — Catalyst does not
-    # ReusedExchange across the Window here, so it paid the full
-    # shuffle+sort+window twice, while this branch's shuffle carries
-    # only ``partitions`` pre-aggregated rows.
-    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    off_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-    tot_w = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    offsets = counts.select(
-        "__pid",
-        F.sum("__n").over(off_w).alias("__offset"),
-        F.sum("__n").over(tot_w).alias("__total"),
-    ).fillna({"__offset": 0})
+    counts = _pid_offsets(tagged, F.count(F.lit(1)).alias("__n"))
+    offs: dict[int, int] = {}
+    total = 0
+    for pid, n in counts:
+        offs[pid] = total
+        total += n
+    max_pid = counts[-1][0] if counts else 0
     k = int(n_buckets)
-    ranked = local.join(F.broadcast(offsets), "__pid").withColumn(
-        "__rank", F.col("__offset") + F.col("__lrn")
-    )
-    q = F.expr(f"__total div {k}")
-    r = F.col("__total") % k
+    q, r = total // k, total % k
     head = (q + 1) * r  # rows living in the (q+1)-sized buckets
-    bucket = (
-        F.when(F.col("__rank") <= head, F.expr(f"(__rank - 1) div (__total div {k} + 1) + 1"))
-        # CASE evaluates lazily, so the `div q` here never sees q = 0
-        # (q = 0 implies every row ranks <= head = n).
-        .otherwise(r + F.expr(f"(__rank - (__total div {k} + 1) * (__total % {k}) - 1) div (__total div {k}) + 1"))
+    local_w = W.partitionBy("__pid").orderBy(*order_cols)
+    ranked = tagged.withColumn("__lrn", F.row_number().over(local_w)).withColumn(
+        "__rank",
+        F.element_at(_offset_lit(offs, max_pid, 0), F.col("__pid") + 1)
+        + F.col("__lrn"),
+    )
+    bucket = F.when(
+        F.col("__rank") <= F.lit(head), F.expr(f"(__rank - 1) div {q + 1} + 1")
+    ).otherwise(
+        # q = 0 implies every row ranks <= head = n, so the lazy CASE
+        # never divides by zero — max(q, 1) keeps the printed plan
+        # well-formed anyway.
+        F.lit(r) + F.expr(f"(__rank - {(q + 1) * r} - 1) div {max(q, 1)} + 1")
     )
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
-        "__pid", "__lrn", "__offset", "__total", "__rank"
+        "__pid", "__lrn", "__rank"
     )
