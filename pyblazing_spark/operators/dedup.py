@@ -235,18 +235,33 @@ def minhash_pairs_from_hashed(
     threshold: float = 0.7,
     star_above: int = STAR_ABOVE,
     hubs: int = 1,
+    materialize=None,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` from pre-hashed shingle rows
     (id, __h) — the composition entry point for pipelines that already
     hold hashed windows (from persisted token arrays via
     :func:`_hashed_windows_from_tokens`), with identical semantics and
-    plan shape from the signature aggregation onward."""
+    plan shape from the signature aggregation onward.
+
+    ``materialize``: optional ``DataFrame -> DataFrame`` truncation hook
+    for the shared signature frame; defaults to an eager
+    ``localCheckpoint``. Reliable-checkpoint pipelines (corpus e2e)
+    pass their own ``ckpt`` so executor loss mid-dedup stays
+    recoverable from the FS snapshot."""
     rows = num_hashes // bands
     # ONE aggregation produces both the signature and the exact shingle
-    # set: the two consumers below (banding, Jaccard verify) then share
-    # an identical exchange subtree, so Spark's ReusedExchange runs the
-    # expensive explode+hash+partial-agg pass over raw shingles once
-    # (two separate groupBys = two full passes over the corpus).
+    # set, MATERIALIZED once (r14 optimization, guide §7.2 duplicated
+    # subtrees): the three consumers below (banding, and the Jaccard
+    # verify joining it twice as id_a/id_b) previously planned three
+    # separate branches — column pruning gave each a different exchange
+    # (the verify branches drop the 32 min-hash partials), so
+    # ReusedExchange never fired and the corpus was scanned, exploded
+    # and collect_set-aggregated three times. Checkpointing the per-doc
+    # frame (|docs| rows of 32 longs + the shingle-hash set — the same
+    # bytes the three exchanges each carried anyway) makes it one scan,
+    # one shuffle at any scale. RDD-keyed truncation, not plan-keyed
+    # persist(): every fresh invocation recomputes from the source
+    # (no cross-run result caching).
     combined = hashed.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("__h"), F.lit(s))).alias(f"__m{s}")
@@ -254,6 +269,10 @@ def minhash_pairs_from_hashed(
         ],
         F.collect_set("__h").alias("__sh"),
     )
+    if materialize is None:
+        combined = combined.localCheckpoint(eager=True)
+    else:
+        combined = materialize(combined)
     bucket_arr = F.array(
         *[
             F.xxhash64(F.lit(b), *[F.col(f"__m{b * rows + j}") for j in range(rows)])

@@ -2111,6 +2111,9 @@ def _corpus_e2e_build(
         _hashed_windows_from_tokens(d2, "doc_id", "__toks", 3),
         "doc_id",
         threshold=0.5,
+        # the shared signature frame truncates through THIS pipeline's
+        # checkpoint mode, so reliable mode stays kill-recoverable
+        materialize=lambda d: ckpt(d, eager=True),
     )
     losers = ckpt(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(), eager=True
