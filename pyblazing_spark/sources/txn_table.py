@@ -126,6 +126,91 @@ def _json_scalar(v):
     return str(v)
 
 
+# --------------------------------------------------------------- xxh64
+# Spark-compatible XxHash64 for SCALAR LITERALS, from the public XXH64
+# spec (Cyan4973/xxHash) + Spark's per-type dispatch (seed 42; ints and
+# date-days take the 4-byte path, longs and timestamp-micros the 8-byte
+# path). r14 optimization: the bucketed point-lookup prune previously
+# hashed its ONE literal by running a `spark.range(1)` JOB per read —
+# a full scheduler round-trip to hash eight bytes. Pinned against
+# F.xxhash64 across types in tests/test_txn_table.py.
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_long(value: int, seed: int = 42) -> int:
+    """Spark XXH64.hashLong (signed 64-bit result)."""
+    value &= _M64
+    h = (seed + _XXH_P5 + 8) & _M64
+    h ^= (_xxh_rotl((value * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+    h = (_xxh_rotl(h, 27) * _XXH_P1 + _XXH_P4) & _M64
+    h = _xxh_fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _xxh64_int(value: int, seed: int = 42) -> int:
+    """Spark XXH64.hashInt (signed 64-bit result)."""
+    value &= 0xFFFFFFFF
+    h = (seed + _XXH_P5 + 4) & _M64
+    h ^= (value * _XXH_P1) & _M64
+    h = (_xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3) & _M64
+    h = _xxh_fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _bucket_of_literal(value, ktype, n_buckets: int) -> int | None:
+    """``pmod(xxhash64(lit(value) cast ktype), n_buckets)`` computed
+    driver-side, or None when the type needs the Spark fallback.
+    Python ``%`` of a signed int by a positive modulus IS pmod."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(ktype, LongType) and isinstance(value, int):
+        return _xxh64_long(value) % n_buckets
+    if isinstance(ktype, (IntegerType, ShortType, ByteType)) and isinstance(
+        value, int
+    ):
+        return _xxh64_int(value) % n_buckets
+    if isinstance(ktype, DateType):
+        if isinstance(value, _dt.datetime):
+            value = value.date()
+        if isinstance(value, _dt.date):
+            return _xxh64_int((value - _dt.date(1970, 1, 1)).days) % n_buckets
+    if isinstance(ktype, (TimestampType, TimestampNTZType)) and isinstance(
+        value, _dt.datetime
+    ):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        micros = round((value - epoch).total_seconds() * 1_000_000)
+        return _xxh64_long(micros) % n_buckets
+    return None
+
+
 def _ranges_disjoint(stat_min, stat_max, lo, hi) -> bool:
     """True iff the persisted [stat_min, stat_max] cannot intersect the
     query bound [lo, hi]. Bounds are canonicalized through
@@ -868,16 +953,20 @@ class TxnTable:
                     else None
                 )
                 if ktype is not None:
-                    b = (
-                        self.spark.range(1)
-                        .select(
-                            F.pmod(
-                                F.xxhash64(F.lit(lo).cast(ktype)),
-                                F.lit(n_buckets),
-                            ).alias("b")
+                    # driver-side Spark-compatible xxh64 (no job); the
+                    # spark.range(1) fallback covers exotic key types
+                    b = _bucket_of_literal(lo, ktype, n_buckets)
+                    if b is None:
+                        b = (
+                            self.spark.range(1)
+                            .select(
+                                F.pmod(
+                                    F.xxhash64(F.lit(lo).cast(ktype)),
+                                    F.lit(n_buckets),
+                                ).alias("b")
+                            )
+                            .collect()[0]["b"]
                         )
-                        .collect()[0]["b"]
-                    )
                     files = [
                         f for f in files
                         if "bucket" not in f or f["bucket"] == b

@@ -864,3 +864,56 @@ def test_cdf_with_schema_evolution_merge(spark, tmp_path):
     }
     assert rows == {("update_postimage", 2, "B", 20),
                     ("insert", 4, "D", 40)}
+
+
+def test_literal_bucket_hash_matches_spark(spark):
+    """The driver-side XXH64 used by the bucketed point-lookup prune
+    (r14: replaced a spark.range(1) JOB per read) must equal Spark's
+    pmod(xxhash64(lit cast ktype), n) for every supported key type —
+    a divergence silently reads the WRONG bucket's single file."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DateType,
+        IntegerType,
+        LongType,
+        StringType,
+        TimestampNTZType,
+    )
+
+    from pyblazing_spark.sources.txn_table import _bucket_of_literal
+
+    rng = random.Random(42)
+    cases = []
+    for _ in range(12):
+        cases.append((rng.randint(-2**63, 2**63 - 1), LongType()))
+        cases.append((rng.randint(-2**31, 2**31 - 1), IntegerType()))
+        cases.append(
+            (
+                datetime.date(1970, 1, 1)
+                + datetime.timedelta(days=rng.randint(-20000, 20000)),
+                DateType(),
+            )
+        )
+        cases.append(
+            (
+                datetime.datetime(2020, 1, 1)
+                + datetime.timedelta(
+                    seconds=rng.randint(0, 10**8),
+                    microseconds=rng.randint(0, 999999),
+                ),
+                TimestampNTZType(),
+            )
+        )
+    exprs, expected = [], []
+    for i, (v, t) in enumerate(cases):
+        exprs.append(
+            F.pmod(F.xxhash64(F.lit(v).cast(t)), F.lit(257)).alias(f"b{i}")
+        )
+        expected.append(_bucket_of_literal(v, t, 257))
+    row = spark.range(1).select(*exprs).collect()[0]
+    assert [row[f"b{i}"] for i in range(len(cases))] == expected
+    # unsupported types must route to the Spark fallback, never a wrong int
+    assert _bucket_of_literal("abc", StringType(), 257) is None
