@@ -243,6 +243,25 @@ def global_prefix_stats(
     )
 
 
+def ranked_topk(df: DataFrame, k: int, *order, out_col: str = "rank") -> DataFrame:
+    """Top-``k`` rows of the global ``order`` with a contiguous 1-based
+    ``out_col`` rank (int).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
+    (per-partition top-k, driver merge of k rows per partition), so the
+    unpartitioned rank window only ever sees k rows. The pattern it
+    replaces — ``row_number().over(W.orderBy(...))`` then
+    ``where(rank <= k)`` — collapsed the ENTIRE input (vocab token
+    stats, per-doc BM25/cosine scores: bounded but potentially
+    millions of rows) onto one window task before throwing away all
+    but k rows (r14 optimization; guide §2 top-k doctrine). ``order``
+    must be a deterministic total order so limit and rank agree."""
+    top = df.orderBy(*order).limit(k)
+    return top.withColumn(
+        out_col, F.row_number().over(W.orderBy(*order)).cast("int")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: list[str],

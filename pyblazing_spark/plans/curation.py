@@ -181,8 +181,11 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab/BPE-prep shape). Word-count plan: explode is map-side, the
     groupBy does partial aggregation before the shuffle, so only
     (token, partial count) pairs cross the wire — never text. The final
-    top-k is a single-partition window over the aggregated (tiny)
-    token set."""
+    top-k is TakeOrderedAndProject over the aggregated token set plus a
+    rank window over the surviving 20 rows (never a full-vocab window
+    task — r14)."""
+    from pyblazing_spark.operators.global_window import ranked_topk
+
     docs = T(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -192,10 +195,8 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    w = W.orderBy(F.desc("n_occurrences"), F.col("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 20)
+        ranked_topk(counts, 20, F.desc("n_occurrences"), F.col("token"))
         .select("rank", "token", "n_occurrences", "n_docs")
         .orderBy("rank")
     )

@@ -37,6 +37,9 @@ from pyblazing_spark.plans.tpch import ratio
 from pyblazing_spark.session import materialize_bounded
 from pyblazing_spark.sources.tables import load_table as T
 
+
+from pyblazing_spark.operators.global_window import ranked_topk as _ranked_topk
+
 # Shared SQL fragments mirroring functions/text.py (kept in lockstep).
 _SQL_NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
@@ -2161,14 +2164,9 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     pairs2 = pair_counts(vocab2)
 
-    from pyspark.sql import Window as W
-
     def ranked(p: DataFrame, rnd: int) -> DataFrame:
-        w = W.orderBy(F.desc("weight"), "p1", "p2")
-        return (
-            p.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= 5)
-            .select(F.lit(rnd).cast("int").alias("round"), "rank", "p1", "p2", "weight")
+        return _ranked_topk(p, 5, F.desc("weight"), "p1", "p2").select(
+            F.lit(rnd).cast("int").alias("round"), "rank", "p1", "p2", "weight"
         )
 
     return materialize_bounded(
@@ -2346,14 +2344,7 @@ def _bpe_encode_pipeline(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         F.countDistinct("word").alias("n_words"),
         F.sum("w").cast("long").alias("total_count"),
     )
-    from pyspark.sql import Window as W
-
-    ranked = stats.withColumn(
-        "rank",
-        F.row_number()
-        .over(W.orderBy(F.desc("total_count"), "token"))
-        .cast("int"),
-    ).where(F.col("rank") <= 20)
+    ranked = _ranked_topk(stats, 20, F.desc("total_count"), "token")
     return materialize_bounded(
         ranked.select("rank", "token", "n_words", "total_count").orderBy("rank")
     )
@@ -2515,14 +2506,7 @@ def text_bpe_byte_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("word").alias("n_words"),
         F.sum("w").cast("long").alias("total_count"),
     ).withColumn("n_bytes", (F.length("token_hex") / 2).cast("long"))
-    from pyspark.sql import Window as W
-
-    ranked = stats.withColumn(
-        "rank",
-        F.row_number()
-        .over(W.orderBy(F.desc("total_count"), "token_hex"))
-        .cast("int"),
-    ).where(F.col("rank") <= 20)
+    ranked = _ranked_topk(stats, 20, F.desc("total_count"), "token_hex")
     return materialize_bounded(
         ranked.select(
             "rank", "token_hex", "n_bytes", "n_words", "total_count"
@@ -4124,14 +4108,7 @@ def text_unigram_em_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("piece")
         .agg(F.sum("used").cast("long").alias("total_used"))
     )
-    from pyspark.sql import Window as W
-
-    ranked = used.withColumn(
-        "rank",
-        F.row_number()
-        .over(W.orderBy(F.desc("total_used"), "piece"))
-        .cast("int"),
-    ).where(F.col("rank") <= 20)
+    ranked = _ranked_topk(used, 20, F.desc("total_used"), "piece")
     return materialize_bounded(
         ranked.select("rank", "piece", "total_used").orderBy("rank")
     )

@@ -136,10 +136,10 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_terms", F.round(F.col("raw") + 1e-9, 4).alias("score")
         )
     )
-    w = W.orderBy(F.desc("score"), F.col("doc_id"))
+    from pyblazing_spark.operators.global_window import ranked_topk
+
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 15)
+        ranked_topk(scored, 15, F.desc("score"), F.col("doc_id"))
         .select("rank", "doc_id", "n_terms", "score")
         .orderBy(F.desc("score"), "doc_id")
     )
@@ -297,32 +297,27 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    lex = (
-        bm.withColumn(
-            "lex_rank",
-            F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).cast("long"),
-        )
-        .where(F.col("lex_rank") <= _RRF_LIST)
-        .select("doc_id", "lex_rank")
-    )
+    from pyblazing_spark.operators.global_window import ranked_topk
+
+    lex = ranked_topk(
+        bm, _RRF_LIST, F.desc("score"), "doc_id", out_col="lex_rank"
+    ).select("doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
     from pyblazing_spark.functions.vectors import cosine_udf, nudge_round
 
     emb = T(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    vec = (
+    vec = ranked_topk(
         emb.where(F.col("vec_id") >= 1)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
             nudge_round(cosine_udf(F.col("embedding"), F.col("qv")), 4).alias("cos"),
-        )
-        .withColumn(
-            "vec_rank",
-            F.row_number().over(W.orderBy(F.desc("cos"), "doc_id")).cast("long"),
-        )
-        .where(F.col("vec_rank") <= _RRF_LIST)
-        .select("doc_id", "vec_rank")
-    )
+        ),
+        _RRF_LIST,
+        F.desc("cos"),
+        "doc_id",
+        out_col="vec_rank",
+    ).select("doc_id", F.col("vec_rank").cast("long").alias("vec_rank"))
     fused = (
         lex.join(vec, "doc_id", "full")
         .select(
@@ -338,10 +333,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return materialize_bounded(
-        fused.withColumn(
-            "rank", F.row_number().over(W.orderBy(F.desc("rrf"), "doc_id")).cast("int")
-        )
-        .where(F.col("rank") <= 10)
+        ranked_topk(fused, 10, F.desc("rrf"), "doc_id")
         .select("rank", "doc_id", "lex_rank", "vec_rank", "rrf")
         .orderBy("rank")
     )
@@ -1072,11 +1064,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pernode.agg(
         F.expr("sum(n_triangles) div 3").alias("total_triangles")
     ).crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
-    w = W.orderBy(F.desc("n_triangles"), "node")
+    from pyblazing_spark.operators.global_window import ranked_topk
+
     return materialize_bounded(
-        pernode.crossJoin(F.broadcast(tot))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 5)
+        ranked_topk(
+            pernode.crossJoin(F.broadcast(tot)), 5, F.desc("n_triangles"), "node"
+        )
         .select(
             "rank",
             F.col("node").alias("suppkey"),
@@ -1764,35 +1757,29 @@ def retrieval_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    lex = (
-        bm.withColumn(
-            "lex_rank",
-            F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).cast("long"),
-        )
-        .where(F.col("lex_rank") <= _RRF_LIST)
-        .select("doc_id", "lex_rank")
-    )
+    from pyblazing_spark.operators.global_window import ranked_topk
+
+    lex = ranked_topk(
+        bm, _RRF_LIST, F.desc("score"), "doc_id", out_col="lex_rank"
+    ).select("doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
     emb = T(spark, sf_dir, "embeddings")
     base_emb = emb.where(F.col("vec_id") >= 1).select("vec_id", "embedding")
     emb2 = base_emb.unionAll(
         base_emb.select((F.col("vec_id") + _CTX_OFF).alias("vec_id"), "embedding")
     )
     qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    vec = (
-        emb2.crossJoin(F.broadcast(qv))
-        .select(
+    vec = ranked_topk(
+        emb2.crossJoin(F.broadcast(qv)).select(
             F.col("vec_id").alias("doc_id"),
             nudge_round(cosine_udf(F.col("embedding"), F.col("qv")), 4).alias(
                 "cos"
             ),
-        )
-        .withColumn(
-            "vec_rank",
-            F.row_number().over(W.orderBy(F.desc("cos"), "doc_id")).cast("long"),
-        )
-        .where(F.col("vec_rank") <= _RRF_LIST)
-        .select("doc_id", "vec_rank")
-    )
+        ),
+        _RRF_LIST,
+        F.desc("cos"),
+        "doc_id",
+        out_col="vec_rank",
+    ).select("doc_id", F.col("vec_rank").cast("long").alias("vec_rank"))
     fused = lex.join(vec, "doc_id", "full").select(
         "doc_id",
         F.round(
@@ -1802,13 +1789,8 @@ def retrieval_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf"),
     )
-    ranked = (
-        fused.withColumn(
-            "rank",
-            F.row_number().over(W.orderBy(F.desc("rrf"), "doc_id")).cast("long"),
-        )
-        .where(F.col("rank") <= _RRF_LIST)
-        .select("rank", "doc_id")
+    ranked = ranked_topk(fused, _RRF_LIST, F.desc("rrf"), "doc_id").select(
+        F.col("rank").cast("long").alias("rank"), "doc_id"
     )
     enrich = ranked.join(docs2, "doc_id").select(
         "rank",

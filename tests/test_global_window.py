@@ -142,6 +142,37 @@ def test_global_two_phase_property(spark):
         assert got_sum == serial_sum, f"sum trial={trial}"
 
 
+def test_ranked_topk_matches_full_window(spark):
+    """ranked_topk (orderBy.limit -> TakeOrderedAndProject + k-row rank
+    window) must equal the row_number-then-filter pattern it replaced,
+    for a deterministic total order with heavy ties on the lead key."""
+    rows = [(i, (i * 7) % 5, float((i * 13) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp long, score double")
+    order = [F.desc("score"), F.col("id")]
+    for k in (1, 5, 20, 300):  # incl. k > n
+        exp = {
+            (r.id, r.rank)
+            for r in df.withColumn(
+                "rank", F.row_number().over(W.orderBy(F.desc("score"), "id")).cast("int")
+            )
+            .where(F.col("rank") <= k)
+            .collect()
+        }
+        got = {(r.id, r.rank) for r in GW.ranked_topk(df, k, *order).collect()}
+        assert got == exp, f"k={k}"
+
+
+def test_ranked_topk_plans_as_take_ordered(spark):
+    """The pre-rank cut must compile to TakeOrderedAndProject (per-
+    partition top-k), never a full-input single-task window."""
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 17).alias("score")
+    )
+    out = GW.ranked_topk(df, 10, F.desc("score"), F.col("id"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_range_bucket_huge_int64_with_nulls(spark):
     """Boundary sampling must keep int64 keys EXACT when NULLs are
     present (ADVICE r5 #3: toPandas coerced nullable int64 to float64,
