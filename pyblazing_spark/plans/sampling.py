@@ -348,10 +348,10 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         (F.log(u) / F.col("o_totalprice")).alias("logkey"),
     )
-    w = W.orderBy(F.desc("logkey"), F.col("o_orderkey"))
+    from pyblazing_spark.operators.global_window import ranked_topk
+
     return (
-        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 20)
+        ranked_topk(keyed, 20, F.desc("logkey"), F.col("o_orderkey"))
         .select(
             "rank",
             "o_orderkey",

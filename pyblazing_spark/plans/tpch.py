@@ -209,24 +209,54 @@ ORDER BY revenue DESC, n_name
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local supplier volume: 6-table join through the dimension chain.
 
-    Scale: region/nation/supplier are explicitly broadcast, so the only
-    shuffles are fact-fact (orders x lineitem on orderkey, customer x
-    orders on custkey). Catalyst + AQE order the joins.
+    Scale: the ASIA region restriction is resolved driver-side first
+    (region x nation is a bounded 5-row dimension — the same
+    literal-fold class as the global-window offsets), so the customer
+    scan carries a pushed-down ``In(c_nationkey, ...)`` predicate and
+    lineitem is pruned to ASIA suppliers by the broadcast supplier
+    join BEFORE the orderkey shuffle — both fact shuffles move ~1/|R|
+    of the rows the naive join order ships (r14; guide §2.3/§3.2:
+    pre-filter the big side before the exchange). The only shuffles
+    remain fact-fact (customer x orders on custkey, their result x
+    pruned lineitem on orderkey); the nation name rides a literal map,
+    never a join.
     """
-    re = F.broadcast(T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
-    na = F.broadcast(T(spark, sf_dir, "nation"))
-    su = F.broadcast(T(spark, sf_dir, "supplier"))
-    cu = T(spark, sf_dir, "customer")
+    from itertools import chain
+
+    re = T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    na = T(spark, sf_dir, "nation")
+    # bounded driver collect: |nations in region| <= 25 by schema
+    asia = {
+        r["n_nationkey"]: r["n_name"]
+        for r in na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("n_nationkey", "n_name")
+        .collect()
+    }
+    keys = sorted(asia)
+    name_map = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable((k, asia[k]) for k in keys)]
+    )
+    su = (
+        T(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey").isin(keys))
+        .select(
+            "s_suppkey", "s_nationkey", name_map[F.col("s_nationkey")].alias("n_name")
+        )
+    )
+    cu = T(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(keys))
     od = T(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1998-01-01"))
     )
-    li = T(spark, sf_dir, "lineitem")
+    li_f = T(spark, sf_dir, "lineitem").join(
+        F.broadcast(su), F.col("l_suppkey") == su.s_suppkey
+    )
     return (
         cu.join(od, cu.c_custkey == od.o_custkey)
-        .join(li, od.o_orderkey == li.l_orderkey)
-        .join(su, (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey))
-        .join(na, su.s_nationkey == na.n_nationkey)
-        .join(re, na.n_regionkey == re.r_regionkey)
+        .join(
+            li_f,
+            (F.col("o_orderkey") == li_f.l_orderkey)
+            & (F.col("c_nationkey") == li_f.s_nationkey),
+        )
         .groupBy("n_name")
         .agg(money(F.sum(_revenue())).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
