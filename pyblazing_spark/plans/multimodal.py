@@ -25,6 +25,17 @@ def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.attach_blob(T(spark, sf_dir, "documents"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a NARROW projection to full parallelism before an
+    expensive per-row Python codec kernel (the r8 multimodal_video_frames
+    pattern): file-split parallelism follows input BYTES, so a ~48 B/doc
+    payload collapses to a couple of partitions and most cores idle
+    through the CPU-bound encode/decode. Only worth it when the kernel
+    dominates the ~0.2 s shuffle — cheap numpy/stdlib kernels measured
+    SLOWER with it (see "Measured and REJECTED", OPTIMIZATION_r14.md)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 @register(
     "multimodal_features",
     bench=True,
@@ -267,7 +278,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "ok"])
             rows = []
 
-    scored = payload.mapInPandas(rt, schema="doc_id bigint, ok int")
+    scored = _spread(payload).mapInPandas(rt, schema="doc_id bigint, ok int")
     return scored.agg(
         F.count(F.lit(1)).alias("n_blobs"),
         F.sum("ok").cast("long").alias("n_ok"),
@@ -1060,7 +1071,7 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    blobs = payload.mapInPandas(enc, schema="doc_id bigint, content binary")
+    blobs = _spread(payload).mapInPandas(enc, schema="doc_id bigint, content binary")
     return MM.decode_image(blobs).orderBy("doc_id")
 
 
