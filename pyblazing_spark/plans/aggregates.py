@@ -291,13 +291,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate (rsd=0.02) landed within 5% — DuckDB recomputes the exact
     side and expects TRUE. (rsd=0.01 costs ~5x the runtime for register
     arrays 4x larger; measured error at sf0.001/0.01/0.1 with rsd=0.02
-    is 0.2-3.3%, so the 5% bound holds with margin.)"""
+    is 0.2-3.3%, so the 5% bound holds with margin.)
+
+    Plan note (r14): mixing countDistinct with approx_count_distinct in
+    ONE agg makes Catalyst key the partial HLL by (group, orderkey) — a
+    ~3.3 KB register array PER DISTINCT KEY shuffled (~500 MB at sf0.1,
+    measured 4.4-17 s). Deduplicate (flag, orderkey) first, then run
+    BOTH aggregates over the deduped keys: HLL is duplicate-insensitive
+    (same hash -> same register update), so the estimate is
+    bit-identical, and count(non-null key) over the deduped frame IS
+    countDistinct. The shuffle narrows to 16-byte key rows."""
     li = T(spark, sf_dir, "lineitem")
+    dedup = li.select("l_returnflag", "l_orderkey").distinct()
     return (
-        li.groupBy("l_returnflag")
+        dedup.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__approx"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.count("l_orderkey").alias("exact_orders"),
         )
         .select(
             "l_returnflag",
