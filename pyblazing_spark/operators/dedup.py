@@ -380,15 +380,28 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     token_hash=None,
+    materialize=None,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
     Pigeonhole: split the bits into max_hamming+1 chunks; any pair within
     distance d agrees on >=1 chunk — join only on chunk equality, then
-    verify with xor bit_count (exact)."""
+    verify with xor bit_count (exact).
+
+    The signature frame is MATERIALIZED once (r14, guide §7.2 duplicated
+    subtrees): the chunk self-join references it as both sides, so
+    without truncation the whole scan -> token explode -> per-token hash
+    -> ``bits``-sum majority aggregation plans and runs TWICE
+    (interleaved A/B at sf0.1: min 8.4 s -> 5.8 s, and 2x -> 1x corpus
+    bytes scanned/aggregated). ``materialize`` overrides the default
+    eager ``localCheckpoint`` for reliable-checkpoint pipelines."""
     chunks = max_hamming + 1
     width = bits // chunks
     sig = simhash(df, text_col, id_col, bits=bits, token_hash=token_hash)
+    if materialize is None:
+        sig = sig.localCheckpoint(eager=True)
+    else:
+        sig = materialize(sig)
 
     def _chunk(i: int) -> Column:
         shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
