@@ -233,15 +233,20 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     keys = sorted(asia)
-    name_map = F.create_map(
-        *[F.lit(x) for x in chain.from_iterable((k, asia[k]) for k in keys)]
+    # create_map() with zero entries is VOID-typed and cannot be indexed
+    # by an INT key — on empty dimensions (no ASIA nations) the name is
+    # vacuously NULL because the isin() filter admits no rows.
+    name_expr = (
+        F.create_map(
+            *[F.lit(x) for x in chain.from_iterable((k, asia[k]) for k in keys)]
+        )[F.col("s_nationkey")]
+        if keys
+        else F.lit(None).cast("string")
     )
     su = (
         T(spark, sf_dir, "supplier")
         .where(F.col("s_nationkey").isin(keys))
-        .select(
-            "s_suppkey", "s_nationkey", name_map[F.col("s_nationkey")].alias("n_name")
-        )
+        .select("s_suppkey", "s_nationkey", name_expr.alias("n_name"))
     )
     cu = T(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(keys))
     od = T(spark, sf_dir, "orders").where(
