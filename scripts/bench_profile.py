@@ -52,6 +52,12 @@ def main() -> None:
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--only", default="")
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument(
+        "--catalog",
+        action="store_true",
+        help="profile the FULL registry (all 304 entries), not just the bench set",
+    )
+    ap.add_argument("--no-warm", action="store_true", help="skip the sf0.001 warm run")
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -69,9 +75,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from pyblazing_spark.plans import bench_queries
+    from pyblazing_spark.plans.registry import REGISTRY
     from pyblazing_spark.sources.tables import TABLES, load_table
 
-    qs = bench_queries()
+    qs = (
+        {name: spec.fn for name, spec in REGISTRY.items()}
+        if args.catalog
+        else bench_queries()
+    )
     if args.only:
         keep = set(args.only.split(","))
         qs = {n: f for n, f in qs.items() if n in keep}
@@ -91,7 +102,8 @@ def main() -> None:
     for name in sorted(qs):
         spark.sparkContext.setJobDescription(f"profile:{name}")
         try:
-            qs[name](spark, warm_dir).collect()  # warm codegen
+            if not args.no_warm:
+                qs[name](spark, warm_dir).collect()  # warm codegen
             jobs_before = len(tracker.getJobIdsForGroup(None) or [])
             t_ids0 = tracker.getJobIdsForGroup  # noqa: F841
             runs = []
