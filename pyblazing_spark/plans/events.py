@@ -225,13 +225,26 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase (union + carry-forward window — one shuffle on user_id;
     DuckDB's native ASOF JOIN is the oracle).
 
-    See :func:`pyblazing_spark.operators.temporal.asof_join`."""
+    See :func:`pyblazing_spark.operators.temporal.asof_join`.
+
+    Plan notes (r14): one output row per click + trailing ORDER BY
+    user_id, event_id LIMIT 2000 means the survivors are exactly the
+    top-2000 clicks ((user_id, event_id) is unique — event_id is the
+    event PK). Take them FIRST (TakeOrderedAndProject) and as-of join
+    only those, semi-filtering purchases to the surviving users, so
+    the union+window shuffle moves thousands of rows instead of every
+    click and purchase (guide §5 / §2.4: never move rows a limit will
+    discard — the join_asof_cogroup rewrite, same argument)."""
     from pyblazing_spark.operators.temporal import asof_join
 
     ev = T(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
     buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
-    out = asof_join(clicks, buys, on="user_id", right_cols=["value"])
+    top = materialize_bounded(clicks.orderBy("user_id", "event_id").limit(2000))
+    buys_f = buys.join(
+        F.broadcast(top.select("user_id").distinct()), "user_id", "left_semi"
+    )
+    out = asof_join(top, buys_f, on="user_id", right_cols=["value"])
     return (
         out.select(
             "user_id", "event_id", "ts", "ts_right",
@@ -976,13 +989,21 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry-BACKWARD window, one shuffle on user_id; DuckDB's native
     forward ASOF (``l.ts <= r.ts``) is the oracle.
 
-    See :func:`pyblazing_spark.operators.temporal.asof_join_forward`."""
+    See :func:`pyblazing_spark.operators.temporal.asof_join_forward`.
+
+    Plan notes (r14): same limit-pushdown as :func:`join_asof` — the
+    top-2000 clicks are taken first and purchases semi-filtered to the
+    surviving users before the union+window shuffle."""
     from pyblazing_spark.operators.temporal import asof_join_forward
 
     ev = T(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
     buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
-    out = asof_join_forward(clicks, buys, on="user_id", right_cols=["value"])
+    top = materialize_bounded(clicks.orderBy("user_id", "event_id").limit(2000))
+    buys_f = buys.join(
+        F.broadcast(top.select("user_id").distinct()), "user_id", "left_semi"
+    )
+    out = asof_join_forward(top, buys_f, on="user_id", right_cols=["value"])
     return (
         out.select(
             "user_id", "event_id", "ts", "ts_right",
