@@ -1226,31 +1226,47 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase range-partitioned rank, NOT an unpartitioned ntile window
     (which would serialize all users through one task) — over
     users-sized (three-long) rows. The oracle uses plain ntile, proving
-    the two-phase form exact."""
+    the two-phase form exact.
+
+    Plan notes (r14): each ``global_ntile`` call runs a boundary-sample
+    job and a counts job over its INPUT plan, so the naive 3-deep chain
+    (plus a separate gmax branch) re-executed the fact scan+aggregation
+    ~8x per run. The per-user frame is eagerly materialized once (fact
+    scanned exactly once; RDD-keyed per invocation, no cross-run
+    caching), the global max timestamp folds into a literal from a
+    1-row bounded collect, and each ntile stage is materialized before
+    feeding the next so every stage executes once (guide §7.2 — the
+    minhash/simhash doctrine)."""
     from pyblazing_spark.operators.global_window import global_ntile
 
     ev = T(spark, sf_dir, "events")
     purch = ev.where(F.col("event_type") == "purchase")
-    gmax = purch.agg(F.max("ts").alias("gts"))
-    per_user = (
-        purch.groupBy("user_id")
-        .agg(
+    pu = materialize_bounded(
+        purch.groupBy("user_id").agg(
             F.max("ts").alias("last_ts"),
             F.count(F.lit(1)).alias("freq"),
             F.round(F.coalesce(F.sum("value"), F.lit(0.0)) + 1e-9, 2).alias("money"),
         )
-        .crossJoin(F.broadcast(gmax))
-        .select(
-            "user_id",
-            (F.unix_timestamp("gts") - F.unix_timestamp("last_ts"))
-            .cast("long")
-            .alias("recency_s"),
-            "freq",
-            "money",
-        )
     )
-    scored = global_ntile(per_user, ["recency_s", "user_id"], 4, out_col="r_score")
-    scored = global_ntile(scored, ["freq", "user_id"], 4, out_col="f_score")
+    # bounded driver collect: one row, the global max purchase ts
+    gts = pu.agg(F.max("last_ts").alias("gts")).collect()[0]["gts"]
+    per_user = pu.select(
+        "user_id",
+        (
+            F.unix_timestamp(F.lit(gts).cast(pu.schema["last_ts"].dataType))
+            - F.unix_timestamp("last_ts")
+        )
+        .cast("long")
+        .alias("recency_s"),
+        "freq",
+        "money",
+    )
+    scored = materialize_bounded(
+        global_ntile(per_user, ["recency_s", "user_id"], 4, out_col="r_score")
+    )
+    scored = materialize_bounded(
+        global_ntile(scored, ["freq", "user_id"], 4, out_col="f_score")
+    )
     scored = global_ntile(scored, ["money", "user_id"], 4, out_col="m_score")
     return (
         scored.groupBy(
