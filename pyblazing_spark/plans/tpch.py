@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyblazing_spark.plans.registry import register
+from pyblazing_spark.session import materialize_bounded
 from pyblazing_spark.sources.tables import load_table as T
 
 
@@ -1030,18 +1031,26 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Potential part promotion (Q20 shape): nested IN chains — suppliers
     who shipped above-average quantities of matching parts in a year
     (partsupp availability becomes shipped quantity).
-    """
+
+    Plan notes (r14): ``shipped`` feeds both the global-average cutoff
+    and the heavy-supplier probe; column pruning gives each branch its
+    own exchange, so the lineitem scan + (suppkey, partkey) aggregation
+    used to execute twice per run. The aggregate is materialized once
+    (RDD-keyed per invocation) and the 1-row cutoff folds into a
+    literal via a bounded collect (guide §7.2 / §5)."""
     li = T(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1997-01-01"))
     )
     pa = F.broadcast(T(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")))
     su = T(spark, sf_dir, "supplier")
-    shipped = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
-    cutoff = shipped.agg((F.avg("qty") * 0.5).alias("cut"))
+    shipped = materialize_bounded(
+        li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    )
+    # bounded driver collect: one row, the global average cutoff
+    cut = shipped.agg((F.avg("qty") * 0.5).alias("cut")).collect()[0]["cut"]
     heavy = (
         shipped.join(pa, F.col("l_partkey") == pa.p_partkey)
-        .crossJoin(F.broadcast(cutoff))
-        .where(F.col("qty") > F.col("cut"))
+        .where(F.col("qty") > F.lit(cut).cast("double"))
         .select("l_suppkey")
         .distinct()
     )

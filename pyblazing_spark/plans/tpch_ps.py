@@ -174,7 +174,18 @@ def tpch_q2_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     — Catalyst's own decorrelation shape, written explicitly.
 
     Scale: supplier/nation/region broadcast; the per-part min and the
-    final probe co-shuffle on ps_partkey only."""
+    final probe co-shuffle on ps_partkey only.
+
+    Plan notes (r14): the outer query keeps only parts passing the
+    size/type filter, and the correlated min is PER PART — so the
+    filter is pushed below the min aggregation (survivors' best_cost
+    is untouched; non-matching parts can never reach the output), and
+    the filtered EUROPE partsupp frame, referenced by both the min
+    branch and the probe branch, is materialized once instead of
+    re-deriving partsupp per branch (22 scans -> bounded; guide §2.3 /
+    §7.2)."""
+    from pyblazing_spark.session import materialize_bounded
+
     nat = F.broadcast(T(spark, sf_dir, "nation"))
     reg = F.broadcast(
         T(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
@@ -186,15 +197,19 @@ def tpch_q2_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name", "s_address",
                 "s_phone", "s_comment")
     )
-    ps = load_partsupp(spark, sf_dir)
-    eu_ps = ps.join(eu_sup, ps.ps_suppkey == eu_sup.s_suppkey)
-    best = eu_ps.groupBy(F.col("ps_partkey").alias("bp_key")).agg(
-        F.min("ps_supplycost").alias("best_cost")
-    )
     pa = F.broadcast(
         part_aug(spark, sf_dir).where(
             (F.col("p_size") == 12) & F.col("p_type").like("%A%")
         )
+    )
+    ps = load_partsupp(spark, sf_dir)
+    eu_ps = materialize_bounded(
+        ps.join(pa.select("p_partkey", "p_mfgr"),
+                ps.ps_partkey == F.col("p_partkey"))
+        .join(eu_sup, ps.ps_suppkey == eu_sup.s_suppkey)
+    )
+    best = eu_ps.groupBy(F.col("ps_partkey").alias("bp_key")).agg(
+        F.min("ps_supplycost").alias("best_cost")
     )
     return (
         eu_ps.join(
@@ -202,7 +217,6 @@ def tpch_q2_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bp_key") == F.col("ps_partkey"))
             & (F.col("ps_supplycost") == F.col("best_cost")),
         )
-        .join(pa, F.col("p_partkey") == F.col("ps_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_mfgr",
                 "s_address", "s_phone", "s_comment")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
