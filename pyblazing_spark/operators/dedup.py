@@ -531,6 +531,7 @@ def ngram_jaccard_pairs(
     n: int = 8,
     threshold: float = 0.5,
     prefilter_singletons: bool = False,
+    materialize=None,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard pairs via an inverted-index join.
 
@@ -559,7 +560,12 @@ def ngram_jaccard_pairs(
     raw = pos.select(
         id_col, F.col("__t").substr(F.col("__i"), F.lit(n)).alias("__s")
     )
+    # the per-doc distinct shingle frame feeds BOTH self-join sides and
+    # the size denominators: materialize it once or the scan -> explode
+    # -> substring -> distinct subtree plans and runs 3x (r14; same
+    # doctrine as the minhash/simhash signature frames, guide §7.2).
     sh = raw.distinct()
+    sh = sh.localCheckpoint(eager=True) if materialize is None else materialize(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     join_side = sh
     if prefilter_singletons:
@@ -569,7 +575,9 @@ def ngram_jaccard_pairs(
             return df.sparkSession.createDataFrame(
                 [], f"id_a {idt}, id_b {idt}, jaccard double"
             )
-        join_side = raw.where(cond).distinct()
+        # distinct-then-filter == filter-then-distinct for a row-wise
+        # predicate on __s: reuse the materialized frame.
+        join_side = sh.where(cond)
     a, b = join_side.alias("a"), join_side.alias("b")
     inter = (
         a.join(
@@ -787,6 +795,7 @@ def containment_pairs(
     n: int = 8,
     threshold: float = 0.8,
     prefilter_singletons: bool = False,
+    materialize=None,
 ) -> DataFrame:
     """Directed n-gram CONTAINMENT pairs: C(A→B) = |sh(A) ∩ sh(B)| /
     |sh(A)|. Flags documents mostly contained in another — the
@@ -806,7 +815,10 @@ def containment_pairs(
     raw = pos.select(
         id_col, F.col("__t").substr(F.col("__i"), F.lit(n)).alias("__s")
     )
+    # see ngram_jaccard_pairs: 3 consumers of the distinct shingle
+    # frame -> materialize once (r14).
     sh = raw.distinct()
+    sh = sh.localCheckpoint(eager=True) if materialize is None else materialize(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     join_side = sh
     if prefilter_singletons:
@@ -817,7 +829,7 @@ def containment_pairs(
                 [],
                 f"contained_id {idt}, container_id {idt}, containment double",
             )
-        join_side = raw.where(cond).distinct()
+        join_side = sh.where(cond)
     a, b = join_side.alias("a"), join_side.alias("b")
     inter = (
         a.join(
@@ -833,18 +845,15 @@ def containment_pairs(
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__n", "__na")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__n", "__nb")
     both = inter.join(sa, "id_a").join(sb, "id_b")
-    fwd = both.select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        (F.col("__inter") / F.col("__na")).alias("containment"),
-    )
-    rev = both.select(
-        F.col("id_b").alias("contained_id"),
-        F.col("id_a").alias("container_id"),
-        (F.col("__inter") / F.col("__nb")).alias("containment"),
-    )
+    # both directions come from ONE pass over the intersection rows: a
+    # union of two projections would plan (and run) the whole self-join
+    # aggregation tower once per branch — unpivot with stack instead
+    # (r14; the CLAUDE.md one-scan-plus-stack discipline).
     return (
-        fwd.union(rev)
+        both.selectExpr(
+            "stack(2, id_a, id_b, __inter / __na, id_b, id_a, __inter / __nb) "
+            "AS (contained_id, container_id, containment)"
+        )
         .where(F.col("containment") >= threshold)
         .select(
             "contained_id",
