@@ -1357,9 +1357,19 @@ def text_lm_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    tot = freq.agg(F.sum("n").alias("tot"))
-    scored = tok.join(F.broadcast(freq), "token").crossJoin(F.broadcast(tot))
+    # freq feeds the corpus total AND the scoring probe: materialize the
+    # vocabulary-sized frame once or the corpus explode plans and runs
+    # 3x per invocation (r14).
+    from pyblazing_spark.session import materialize_bounded
+
+    freq = materialize_bounded(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    )
+    # bounded driver collect: one row, the corpus token total
+    tot = freq.agg(F.sum("n").alias("tot")).collect()[0]["tot"]
+    scored = tok.join(F.broadcast(freq), "token").withColumn(
+        "tot", F.lit(tot).cast("long")
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -3326,14 +3336,20 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (doc, term) tf aggregation map-side combines before its
     exchange, the df table is vocabulary-sized (Zipf-bounded) and joins
     back broadcast, and N rides a one-row broadcast; full text never
-    shuffles, only tokens and counts."""
+    shuffles, only tokens and counts. The tf frame feeds both the df
+    aggregation and the scoring probe, so it is materialized once (r14
+    — the corpus explode used to plan and run twice per invocation)."""
     from pyspark.sql import Window
+
+    from pyblazing_spark.session import materialize_bounded
 
     docs = T(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = materialize_bounded(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

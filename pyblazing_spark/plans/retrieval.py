@@ -82,42 +82,62 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 scoring (k1=1.2, b=0.75) of every document against the
     query ``{spark, hash, window}``; top-15 by score.
 
-    Scale plan: the explode is map-side; ``dl`` (doc length) and ``tf``
-    (term frequency, query terms only) are partial-aggregated before
-    their shuffles, so only (doc_id, count) pairs cross the wire — never
-    text. ``stats`` (1 row) and ``idf`` (|query| rows) are broadcast;
-    the only non-broadcast join is tf⋈dl on doc_id. At 100 TB the
-    corpus-global constants (N, avgdl, df) are one cheap pre-pass, the
-    scoring itself is embarrassingly parallel, and the final top-k is a
-    TakeOrdered over per-partition top-k — no global sort."""
+    Scale plan (r14 one-pass form): doc length AND the per-term
+    frequencies for the fixed query set come from ONE conditional
+    aggregation over the exploded tokens (``sum(CASE)`` per query term
+    — the CLAUDE.md one-scan-plus-stack discipline), materialized once;
+    the naive branch-per-statistic form planned the corpus explode 6x
+    (10 parquet scans/plan). Only (doc_id, counts) rows cross the one
+    exchange — never text. The corpus-global constants (N, avgdl) fold
+    into literals via a 1-row bounded collect; ``idf`` (|query| rows)
+    stays a broadcast; tf rows unpivot from the per-doc frame with
+    ``stack`` carrying dl alongside, so the old tf⋈dl doc_id join
+    disappears entirely. Scoring is embarrassingly parallel and the
+    final top-k is a TakeOrdered over per-partition top-k — no global
+    sort."""
+    from pyblazing_spark.session import materialize_bounded
+
     docs = T(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     ).where(F.col("token") != "")
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    per_doc = materialize_bounded(
+        tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__tf_{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+    )
+    # bounded driver collect: one row of corpus-global constants
+    st = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs = F.lit(st["n_docs"]).cast("long")
+    avgdl = F.lit(st["avgdl"]).cast("double")
+    stack_args = ", ".join(
+        f"'{t}', __tf_{i}" for i, t in enumerate(_BM25_TERMS)
     )
-    tf = (
-        tok.where(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = per_doc.selectExpr(
+        "doc_id",
+        "dl",
+        f"stack({len(_BM25_TERMS)}, {stack_args}) AS (token, tf)",
+    ).where(F.col("tf") > 0)
     idf = (
         tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats))
         .select(
             "token",
-            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias(
+            F.log(1 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias(
                 "idf"
             ),
         )
     )
     scored = (
         tf.join(F.broadcast(idf), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
@@ -128,7 +148,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (
                     F.col("tf")
                     + _BM25_K1
-                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
                 )
             ).alias("raw"),
         )
