@@ -146,6 +146,29 @@ def test_singleton_prefilter_all_singletons_short_circuits(spark):
     assert cont.columns == ["contained_id", "container_id", "containment"]
 
 
+def test_containment_direction_survives_unpivot(spark):
+    """containment_pairs emits BOTH directions from one stack pass
+    (r14): a short doc fully embedded in a long one must surface as
+    exactly (contained=short, container=long) at containment 1.0, with
+    the reverse direction carrying the smaller long-in-short fraction —
+    a swapped stack column order or a dropped direction flips this."""
+    short = "the quick brown fox jumps over the lazy dog"
+    long_ = short + " and then wanders far away through unrelated text " * 3
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    rows = {
+        (r.contained_id, r.container_id): r.containment
+        for r in DD.containment_pairs(docs, threshold=0.0).collect()
+    }
+    assert rows[(1, 2)] == 1.0, rows
+    assert 0.0 < rows[(2, 1)] < 1.0, rows
+    # a threshold between the two fractions keeps ONLY the short-in-long
+    # direction
+    kept = DD.containment_pairs(docs, threshold=0.9).collect()
+    assert [(r.contained_id, r.container_id) for r in kept] == [(1, 2)], kept
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     once = DD.exact_dedup(docs)
