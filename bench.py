@@ -91,8 +91,13 @@ def _respike(timings: dict, control: dict, reps: int) -> dict:
         if cq.get(n) and v > 1.5 * cq[n] and v - cq[n] > 0.3
     ]
     out: dict[str, dict] = {}
-    # bound the adjudication pass: the roving pattern is ONE query/run
-    for name in sorted(flagged, key=lambda n: -timings[n] / cq[n])[:3]:
+    # Adjudicate EVERY flagged query (r15, VERDICT r14 #1): the old cap
+    # of 3 left five in-run regressions formally unadjudicated in r14 —
+    # the whole point of the respike pass is that no >1.5x flag ships
+    # without an isolated verdict. Worst-first order kept so the most
+    # suspicious flags are adjudicated before any wall-clock budget runs
+    # out; each respike is ~6 bounded single-query subprocesses.
+    for name in sorted(flagged, key=lambda n: -timings[n] / cq[n]):
         errs: list[str] = []
         a = _isolated_query_run(_REPO, name, errs=errs)
         c = (
@@ -345,23 +350,35 @@ def main() -> None:
     control.pop("_worktree", None)
     extra = {"respike": respike} if respike else {}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "runs": spreads,
-                "reps": reps,
-                "stat": "trimmed-median (drop min/max, median of rest)",
-                "sf": sf,
-                "warm_dir": warm_dir or "none (no sibling sf0.001; per-query warm pass skipped)",
-                **control,
-                **extra,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "runs": spreads,
+            "reps": reps,
+            "stat": "trimmed-median (drop min/max, median of rest)",
+            "sf": sf,
+            "warm_dir": warm_dir or "none (no sibling sf0.001; per-query warm pass skipped)",
+            **control,
+            **extra,
+        }
     )
+    # Contract hardening (r15, VERDICT r14 #2): BENCH_r13.json shipped
+    # with `parsed: null` — its final line never parsed back — which
+    # silently erased the whole r13->r14 round-over-round comparison.
+    # Round-trip the line before printing and fail LOUDLY (non-zero exit,
+    # diagnostic on stderr) if it is not one clean JSON line, instead of
+    # emitting an artifact the driver cannot read.
+    try:
+        reparsed = json.loads(line)
+        assert isinstance(reparsed, dict) and "value" in reparsed
+        assert "\n" not in line
+    except (ValueError, AssertionError) as exc:
+        print(f"bench.py: final JSON line failed self-parse: {exc!r}", file=sys.stderr)
+        sys.exit(2)
+    print(line)
 
 
 if __name__ == "__main__":

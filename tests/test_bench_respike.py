@@ -67,10 +67,14 @@ def test_respike_check_verdict_with_isolated_control(monkeypatch):
     assert out["q"]["control_isolated"] == 1.0
 
 
-def test_respike_bounds_to_three(monkeypatch):
+def test_respike_adjudicates_every_flag(monkeypatch):
+    """r15 (VERDICT r14 #1): the old cap of 3 left five in-run
+    regressions formally unadjudicated in r14 — every >1.5x flag must
+    now carry an isolated verdict."""
     monkeypatch.setattr(bench, "_isolated_query_run", lambda *a, **k: 1.0)
     monkeypatch.setattr(bench, "_worktree_supports_only", lambda wt: False)
     timings = {f"q{i}": 5.0 + i for i in range(6)}
     control = {"control_queries": {f"q{i}": 1.0 for i in range(6)}}
     out = bench._respike(timings, control, 5)
-    assert len(out) == 3  # worst ratios only
+    assert len(out) == 6  # no cap: all six flags adjudicated
+    assert all(out[q]["verdict"] for q in timings)
