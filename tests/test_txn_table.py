@@ -261,6 +261,54 @@ def test_bucketed_layout_prunes_uniform_key_merges(spark, tmp_path):
     assert _sorted(t.read(version=1))[:2] == [(0, "v0"), (1, "v1")]
 
 
+def test_small_bucketed_merge_writes_few_files_and_still_prunes(spark, tmp_path):
+    """rows_hint-adaptive write fan-out (r15): a tiny merge into a
+    bucketed table must write ~1 grouped file (not one near-empty file
+    per bucket), record the file's possible-bucket set, and keep every
+    prune exact — point lookups on uninvolved keys skip the grouped
+    file, lookups on merged keys find it, and a later merge still
+    bucket-prunes correctly (the r13 lost-update trap)."""
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"),
+        _mk(spark, [(i, f"v{i}") for i in range(200)]),
+        key="k", n_buckets=8,
+    )
+    v1_files = {f["path"] for f in t._live_files()}
+    t.merge(_mk(spark, [(7, "SEVEN"), (201, "NEW")]))
+    new = [f for f in t._live_files() if f["path"] not in v1_files]
+    # 2-key merge, default 1M-row target -> exactly one grouped file
+    assert len(new) == 1, new
+    assert "buckets" in new[0] and "bucket" not in new[0]
+    # the recorded set is candidate-tightened: <= |src ∪ hit buckets|
+    assert 1 <= len(new[0]["buckets"]) <= 4, new[0]
+    # contents exact
+    got = dict(_sorted(t.read()))
+    assert got[7] == "SEVEN" and got[201] == "NEW" and got[9] == "v9"
+    assert len(got) == 201
+    # point lookup on a MERGED key finds the grouped file's row
+    assert _sorted(t.read(key_between=(201, 201))) == [(201, "NEW")]
+    # point lookup on an uninvolved key: the grouped file is skipped
+    # whenever its bucket set excludes the key's bucket
+    from pyblazing_spark.sources.txn_table import _bucket_of_literal
+    from pyspark.sql.types import LongType
+
+    probe = next(
+        k for k in range(200)
+        if _bucket_of_literal(k, LongType(), 8) not in new[0]["buckets"]
+    )
+    lookup = t.read(key_between=(probe, probe))
+    assert len(lookup.inputFiles()) == 1
+    assert _sorted(lookup) == [(probe, f"v{probe}")]
+    # a second merge touching a grouped-file key must rewrite it
+    t.merge(_mk(spark, [(7, "SEVEN2")]))
+    assert dict(_sorted(t.read()))[7] == "SEVEN2"
+    # and compact with a known row count collapses to few files
+    t.compact(target_files=1)
+    assert len(t._live_files()) == 1
+    assert dict(_sorted(t.read()))[7] == "SEVEN2"
+    assert len(dict(_sorted(t.read()))) == 201
+
+
 def test_app_txn_id_makes_replays_idempotent(spark, tmp_path):
     """Exactly-once handshake: a foreachBatch retry re-running the same
     (query, epoch) must be a no-op — same version, same state."""
@@ -917,3 +965,34 @@ def test_literal_bucket_hash_matches_spark(spark):
     assert [row[f"b{i}"] for i in range(len(cases))] == expected
     # unsupported types must route to the Spark fallback, never a wrong int
     assert _bucket_of_literal("abc", StringType(), 257) is None
+    # TimestampType (tz-adjusted) and tz-aware datetimes must ALSO fall
+    # back (ADVICE r14 medium): a naive datetime literal is converted
+    # to TimestampType micros through the PYTHON PROCESS's local
+    # timezone (pyspark's converter uses mktime), so a driver-side
+    # wall-clock hash diverges on any non-UTC box. Proven by scoping
+    # TZ/tzset: Spark's own hash of the same naive literal differs
+    # from the NTZ wall-clock hash the old fast path would have used.
+    import time as _time
+
+    from pyspark.sql.types import TimestampType
+
+    naive = datetime.datetime(2021, 6, 1, 12, 34, 56, 789000)
+    aware = naive.replace(tzinfo=datetime.timezone(datetime.timedelta(hours=3)))
+    assert _bucket_of_literal(naive, TimestampType(), 257) is None
+    assert _bucket_of_literal(aware, TimestampType(), 257) is None
+    assert _bucket_of_literal(aware, TimestampNTZType(), 257) is None
+    prev_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "Asia/Kolkata"  # UTC+5:30 — not DST-affected
+        _time.tzset()
+        tz_hash = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(naive).cast(TimestampType())), F.lit(257))
+        ).collect()[0][0]
+    finally:
+        if prev_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev_tz
+        _time.tzset()
+    ntz_hash = _bucket_of_literal(naive, TimestampNTZType(), 257)
+    assert tz_hash != ntz_hash  # the divergence the fallback guards against
