@@ -1228,16 +1228,17 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     users-sized (three-long) rows. The oracle uses plain ntile, proving
     the two-phase form exact.
 
-    Plan notes (r14): each ``global_ntile`` call runs a boundary-sample
-    job and a counts job over its INPUT plan, so the naive 3-deep chain
-    (plus a separate gmax branch) re-executed the fact scan+aggregation
-    ~8x per run. The per-user frame is eagerly materialized once (fact
-    scanned exactly once; RDD-keyed per invocation, no cross-run
-    caching), the global max timestamp folds into a literal from a
-    1-row bounded collect, and each ntile stage is materialized before
-    feeding the next so every stage executes once (guide §7.2 — the
-    minhash/simhash doctrine)."""
-    from pyblazing_spark.operators.global_window import global_ntile
+    Plan notes (r14/r15): the per-user frame is eagerly materialized
+    once (fact scanned exactly once; RDD-keyed per invocation, no
+    cross-run caching) and the global max timestamp folds into a
+    literal from a 1-row bounded collect. r15: the three quartiles run
+    through ONE fused :func:`global_ntile_multi` call — one
+    percentile-sketch job boundary-scoring all three metrics, one
+    counts collect marginalized driver-side, three Window stages in one
+    linear plan — instead of the r14 chain of three single ntiles with
+    a materialization between each (2 driver jobs + a checkpoint per
+    stage; 23 jobs/run → ~7)."""
+    from pyblazing_spark.operators.global_window import global_ntile_multi
 
     ev = T(spark, sf_dir, "events")
     purch = ev.where(F.col("event_type") == "purchase")
@@ -1261,13 +1262,14 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "money",
     )
-    scored = materialize_bounded(
-        global_ntile(per_user, ["recency_s", "user_id"], 4, out_col="r_score")
+    scored = global_ntile_multi(
+        per_user,
+        [
+            (["recency_s", "user_id"], 4, "r_score"),
+            (["freq", "user_id"], 4, "f_score"),
+            (["money", "user_id"], 4, "m_score"),
+        ],
     )
-    scored = materialize_bounded(
-        global_ntile(scored, ["freq", "user_id"], 4, out_col="f_score")
-    )
-    scored = global_ntile(scored, ["money", "user_id"], 4, out_col="m_score")
     return (
         scored.groupBy(
             (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
