@@ -710,7 +710,16 @@ def txn_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyblazing_spark.session import materialize_bounded
     from pyblazing_spark.sources.txn_table import TxnTable
 
-    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # One parquet scan per invocation (r15, guide §6): the projected
+    # frame feeds the min/max agg, the range-clustered create (whose
+    # repartitionByRange additionally SAMPLES its input) and the
+    # bucketed create — 3+ scans without the materialization. RDD-keyed
+    # localCheckpoint inside the timed region; no cross-run caching.
+    orders = (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .localCheckpoint()
+    )
     row = orders.agg(
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
     ).collect()[0]

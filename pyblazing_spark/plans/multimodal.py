@@ -32,8 +32,18 @@ def _spread(df: DataFrame) -> DataFrame:
     payload collapses to a couple of partitions and most cores idle
     through the CPU-bound encode/decode. Only worth it when the kernel
     dominates the ~0.2 s shuffle — cheap numpy/stdlib kernels measured
-    SLOWER with it (see "Measured and REJECTED", OPTIMIZATION_r14.md)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    SLOWER with it (see "Measured and REJECTED", OPTIMIZATION_r14.md).
+
+    r15 (VERDICT r14 #8): CONDITIONAL on the observed scan partition
+    count — when the input layout already covers the cores (many-files
+    layouts, where the r14 gif/png/transcode probes showed the shuffle
+    is pure cost), the frame passes through untouched; the RoundRobin
+    exchange appears only when partitions < cores. ``getNumPartitions``
+    plans the scan (file listing) but runs no job."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
 
 
 @register(
