@@ -674,7 +674,9 @@ def scc_pivot_fwbw(
         e_all = ckpt(
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
         )
-        e0 = ckpt(e_all.where(F.col("u") != F.col("v")))
+        # plain filter over e_all's checkpointed blocks — a second
+        # edge-scale checkpoint materialization bought nothing (r15)
+        e0 = e_all.where(F.col("u") != F.col("v"))
         active = ckpt(
             e_all.select(F.col("u").alias("node"))
             .unionAll(e_all.select(F.col("v").alias("node")))
@@ -685,20 +687,45 @@ def scc_pivot_fwbw(
         # the final plan a flat union of shallow subtrees
         done_parts: list[DataFrame] = []
         remaining = active.count()
+        # Round 0's active set is BY CONSTRUCTION every endpoint of
+        # e_all ⊇ every endpoint of e0, so the restrict-to-active
+        # double semi-join is the identity there — skipping it saves
+        # two full-edge-scale shuffles + a job on the heaviest round
+        # (r15, guide §2.4).
+        ea = e0
         for _outer in range(max_outer):
             if remaining == 0:
                 break
             _t0 = _time.time()
-            ea = ckpt(
-                e0.join(active.select(F.col("node").alias("u")), "u")
-                .join(active.select(F.col("node").alias("v")), "v")
-                .select("u", "v")
-            )
+            if _outer > 0:
+                ea = ckpt(
+                    e0.join(active.select(F.col("node").alias("u")), "u")
+                    .join(active.select(F.col("node").alias("v")), "v")
+                    .select("u", "v")
+                )
             for _ in range(trim_rounds):
+                # one edge pass with map-side partial aggregation:
+                # keep = nodes with BOTH an out- and an in-edge (the
+                # old u-distinct ⋈ v-distinct form shuffled the edge
+                # list twice and joined the node sets — 3 exchanges
+                # per sweep where this is 1; r15, guide §2.3/§2.4)
                 keep = (
-                    ea.select(F.col("u").alias("node"))
-                    .distinct()
-                    .join(ea.select(F.col("v").alias("node")).distinct(), "node")
+                    ea.select(
+                        F.col("u").alias("node"),
+                        F.lit(1).alias("__o"),
+                        F.lit(0).alias("__i"),
+                    )
+                    .unionAll(
+                        ea.select(
+                            F.col("v").alias("node"),
+                            F.lit(0).alias("__o"),
+                            F.lit(1).alias("__i"),
+                        )
+                    )
+                    .groupBy("node")
+                    .agg(F.max("__o").alias("__o"), F.max("__i").alias("__i"))
+                    .where((F.col("__o") == 1) & (F.col("__i") == 1))
+                    .select("node")
                 )
                 trimmed = ckpt(
                     active.join(keep, "node", "left_anti"), eager=False
@@ -727,25 +754,22 @@ def scc_pivot_fwbw(
             col = ckpt(active.select("node", F.col("node").alias("color")))
             changed = col
             for _i in range(max_rounds):
-                upd = ckpt(
+                # ONE materializing job per round (r15, guide §1.2/§2.4):
+                # the round's join+aggregate+update is checkpointed
+                # eagerly with an __imp flag, and the convergence check
+                # is a filter-count over the checkpointed blocks (no
+                # shuffle, no recompute). The old frontier form ran the
+                # edge join twice per round — once to count the
+                # improvements, once to apply them to col.
+                cand = (
                     ea.join(
                         changed.select(F.col("node").alias("u"), "color"), "u"
                     )
                     .groupBy(F.col("v").alias("node"))
                     .agg(F.max("color").alias("__nc"))
-                    .join(col, "node")
-                    .where(F.col("__nc") > F.col("color"))
-                    .select("node", F.col("__nc").alias("color")),
-                    eager=False,
                 )
-                if upd.count() == 0:
-                    break
-                col = ckpt(
-                    col.join(
-                        upd.select("node", F.col("color").alias("__nc")),
-                        "node",
-                        "left",
-                    ).select(
+                flagged = ckpt(
+                    col.join(cand, "node", "left").select(
                         "node",
                         # coalesce to the node's OWN color, never a
                         # constant: ids may be negative, and a 0 filler
@@ -753,16 +777,23 @@ def scc_pivot_fwbw(
                         F.greatest(
                             "color", F.coalesce("__nc", F.col("color"))
                         ).alias("color"),
+                        # NULL __nc (no incoming changed label) compares
+                        # false -> not improved, matching the old
+                        # inner-join frontier semantics
+                        (F.col("__nc") > F.col("color")).alias("__imp"),
                     )
                 )
-                changed = upd
+                col = flagged.select("node", "color")
+                changed = flagged.where(F.col("__imp")).select("node", "color")
+                if changed.count() == 0:
+                    break
             else:
                 raise RuntimeError(
                     f"scc_pivot_fwbw: coloring exceeded {max_rounds} rounds "
                     "(graph depth too large — raise max_rounds)"
                 )
             if _dbg:
-                print(f"[scc] color {_time.time()-_t0:.1f}s")
+                print(f"[scc] color {_time.time()-_t0:.1f}s rounds={_i+1}")
             # ---- backward BFS from every color root within its class
             _t0 = _time.time()
             ec = ckpt(
@@ -781,7 +812,8 @@ def scc_pivot_fwbw(
                 col.where(F.col("node") == F.col("color")).select("color", "node")
             )
             frontier = reach
-            for _ in range(max_rounds):
+            _bi = 0
+            for _bi in range(max_rounds):
                 nxt = ckpt(
                     ec.join(
                         frontier.select("color", F.col("node").alias("v")),
@@ -812,7 +844,7 @@ def scc_pivot_fwbw(
             )
             remaining = active.count()
             if _dbg:
-                print(f"[scc] bwd+emit {_time.time()-_t0:.1f}s rem={remaining}")
+                print(f"[scc] bwd+emit {_time.time()-_t0:.1f}s rounds={_bi+1} rem={remaining}")
         if remaining > 0:
             raise RuntimeError(
                 f"scc_pivot_fwbw did not decompose the graph in {max_outer} "
