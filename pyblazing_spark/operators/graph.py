@@ -589,10 +589,15 @@ def bfs_distance_histogram(
                 .distinct()
                 .join(d, "node", "left_anti")
             )
-            d = ckpt(
-                d.unionAll(
-                    newly.select("node", F.lit(r).cast("long").alias("dist"))
-                )
+            # ONE materializing job per round (r15, the SCC-loop
+            # doctrine): d stays a LAZY flat union of the per-round
+            # checkpointed frontier blocks — plan depth is bounded by
+            # `rounds`, nothing recomputes (every leg is an RDD scan),
+            # and the old per-round re-materialization of the whole
+            # distance table (a second eager checkpoint job + a full
+            # rewrite of blocks that never change) disappears.
+            d = d.unionAll(
+                newly.select("node", F.lit(r).cast("long").alias("dist"))
             )
             frontier = newly
         fin = nodes.join(d, "node", "left").select(
