@@ -446,6 +446,65 @@ def _scc_rollup(e: DataFrame, assign: DataFrame, top: int) -> DataFrame:
     )
 
 
+def _tarjan_min_label(pairs: list[tuple]) -> dict:
+    """Exact SCC of a directed edge list via iterative Tarjan
+    (public-literature algorithm); returns {node: min node of its SCC}.
+    Linear in V+E; node ids must be non-null and mutually orderable."""
+    adj: dict = {}
+    nodes: set = set()
+    for a, b in pairs:
+        nodes.update((a, b))
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index: dict = {}
+    low: dict = {}
+    on: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = 0
+
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on.add(v)
+            descended = False
+            succ = adj.get(v, ())
+            for i in range(pi, len(succ)):
+                w = succ[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if descended:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return comp
+
+
 def scc_summary(
     edges: DataFrame,
     src: str = "u",
@@ -455,80 +514,80 @@ def scc_summary(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED edge list over a
-    BOUNDED node domain: transitive closure by reach-doubling (each
-    round joins the closure with itself, so path length covered
-    doubles — fixpoint in ceil(log2(diameter)) rounds), then
-    ``scc_id(u) = min({u} ∪ {v : u→*v and v→*u})`` — nodes with no
-    cycle through them become singletons.
+    BOUNDED node domain. The distributed work is the projection +
+    ``distinct`` that quotients the (possibly fact-scale) input down to
+    the bounded edge set; the SCC itself runs driver-side as exact
+    iterative Tarjan over the collected distinct edges, and the
+    (node → min-node-of-SCC) assignment is shipped back as a small
+    DataFrame feeding the same distributed rollup
+    (``scc_id(u) = min({u} ∪ {v : u→*v and v→*u})`` — nodes with no
+    cycle through them become singletons, identical to the former
+    reach-doubling fixpoint, without its ``max_rounds`` convergence
+    cap).
 
     Returns the ``top`` components by ``(n_nodes DESC, scc_id)``:
     ``(scc_id, n_nodes, node_sum, n_internal_edges)``.
 
-    Scale contract — read before reusing: the closure is O(N²) pairs
-    for N nodes, so this operator is for node domains that are bounded
-    by construction (modular bucket projections, enum-valued states,
-    dimension keys), where N² is a few million pairs at most and the
-    doubling loop is a handful of self-joins. Corpus-scale SCC over
-    unbounded node sets needs pivot-based forward-backward
-    decomposition or multi-round coloring — a different algorithm, not
-    a bigger version of this one; the honest split mirrors
-    embedding_pairs (bounded brute) vs embedding_pairs_lsh (scale).
-    Loop hygiene matches the other iterative operators: every round's
-    closure is eagerly localCheckpoint'd (O(1) plan tree), constraint
-    propagation is disabled for the loop (LogicalRDD self-union trap,
-    see :func:`connected_components_star`), shuffles sized to cluster
-    parallelism."""
-    from pyblazing_spark.session import loop_shuffle_confs, make_ckpt, scoped_conf
+    Scale contract — read before reusing: the collected distinct edge
+    set is O(N²) pairs for N domain values, so this operator is for
+    node domains that are bounded by construction (modular bucket
+    projections, enum-valued states, dimension keys) — a few million
+    pairs at most, bounded in practice by
+    ``spark.driver.maxResultSize``. Node ids must be non-null.
+    Corpus-scale SCC over unbounded node sets is
+    :func:`scc_pivot_fwbw` — a different algorithm, not a bigger
+    version of this one; the honest split mirrors embedding_pairs
+    (bounded brute) vs embedding_pairs_lsh (scale).
 
+    r15 note (guide §1.2 — fix the distributed algorithm first): the
+    former implementation materialized the O(N²) transitive closure IN
+    SPARK (reach-doubling self-joins, ~2 jobs x rounds plus an O(N²)
+    mutual self-join) to avoid collecting a bounded edge list ~N² times
+    SMALLER than that closure. Collecting the distinct edges once and
+    running linear-time Tarjan costs less than a single closure round
+    and is exact for any diameter. ``max_rounds`` and ``checkpoint_dir``
+    are retained for API compatibility; they are no-ops (there is no
+    loop left to cap or checkpoint)."""
+    del max_rounds, checkpoint_dir  # no loop left to cap or checkpoint
     spark = edges.sparkSession
-    ckpt = make_ckpt(spark, checkpoint_dir)
-    confs = dict(loop_shuffle_confs(spark))
-    confs["spark.sql.constraintPropagation.enabled"] = "false"
-    with scoped_conf(spark, confs):
-        e = ckpt(
-            edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    if e.schema[0].dataType != e.schema[1].dataType:
+        # mirror the union coercion the former nodes-frame applied
+        # (analysis-time only, no job)
+        common = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .schema[0]
+            .dataType
         )
-        reach = e
-        n = reach.count()
-        for _ in range(max_rounds):
-            hop = (
-                reach.alias("a")
-                .join(reach.alias("b"), F.col("a.v") == F.col("b.u"))
-                .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
-            )
-            reach = ckpt(reach.unionAll(hop).distinct())
-            n2 = reach.count()
-            if n2 == n:  # closure fixpoint
-                break
-            n = n2
-        mutual = (
-            reach.alias("f")
-            .join(
-                reach.alias("r"),
-                (F.col("f.u") == F.col("r.v")) & (F.col("f.v") == F.col("r.u")),
-            )
-            .select(F.col("f.u").alias("node"), F.col("f.v").alias("peer"))
+        e = e.select(
+            F.col("u").cast(common).alias("u"),
+            F.col("v").cast(common).alias("v"),
         )
-        nodes = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
-            .distinct()
-        )
-        scc = (
-            nodes.join(mutual, "node", "left")
-            .groupBy("node")
-            .agg(F.min("peer").alias("__mp"))
-            .select(
-                "node",
-                F.least(
-                    F.col("node"), F.coalesce("__mp", F.col("node"))
-                ).alias("scc_id"),
-            )
-        )
-        out = _scc_rollup(e, scc.select("node", "scc_id"), top)
-        # materialize inside the scope (disabled-constraint plans must
-        # not escape into callers running under default confs)
-        return out.localCheckpoint(eager=True)
+    # one job: the distinct's map-side partial aggregation makes the
+    # collect the bounded quotient edge set, never the raw input
+    pairs = [(r[0], r[1]) for r in e.collect()]
+    comp = _tarjan_min_label(pairs)
+    from pyspark.sql.types import StructField, StructType
+
+    u_t, v_t = e.schema[0].dataType, e.schema[1].dataType
+    node_t = u_t  # scc ids inherit the source-endpoint type
+    assign = spark.createDataFrame(
+        list(comp.items()),
+        StructType(
+            [StructField("node", node_t), StructField("scc_id", node_t)]
+        ),
+    )
+    # rollup over the ALREADY-COLLECTED pairs re-created as a local
+    # DataFrame: the rollup must not re-execute the fact-scale distinct
+    local_e = spark.createDataFrame(
+        pairs,
+        StructType([StructField("u", u_t), StructField("v", v_t)]),
+    )
+    # local relations carry no size stats, so without the hint the
+    # rollup's two assign-probes plan as 200-partition SortMergeJoins;
+    # assign is node-domain-sized (bounded by this operator's contract)
+    return _scc_rollup(local_e, F.broadcast(assign), top)
 
 
 def bfs_distance_histogram(

@@ -413,3 +413,48 @@ def test_scc_pivot_fwbw_matches_tarjan(spark, edges):
     )
     assert got == exp
 
+
+@settings(max_examples=6, deadline=None)
+@given(_digraph())
+def test_scc_summary_matches_closure_reference(spark, edges):
+    """scc_summary (r15: driver-side Tarjan over the collected distinct
+    edges) on arbitrary small digraphs must reproduce the ORIGINAL
+    reach-closure semantics — scc_id = min({u} ∪ {v: u→+v ∧ v→+u}) —
+    computed here by brute-force boolean transitive closure, an
+    algorithm independent of Tarjan (guards against a shared Tarjan
+    bug between operator and test reference)."""
+    from pyblazing_spark.operators.graph import scc_summary
+
+    e = spark.createDataFrame(edges, "u long, v long")
+    got = sorted(tuple(r) for r in scc_summary(e, top=1000).collect())
+
+    nodes = sorted({n for ab in edges for n in ab})
+    reach = {n: set() for n in nodes}
+    for a, b in edges:
+        reach[a].add(b)
+    changed = True
+    while changed:  # naive fixpoint: paths of length >= 1
+        changed = False
+        for a in nodes:
+            ext = set().union(*(reach[m] for m in reach[a])) if reach[a] else set()
+            if not ext <= reach[a]:
+                reach[a] |= ext
+                changed = True
+    comp = {
+        u: min([u] + [v for v in reach[u] if u in reach[v]]) for u in nodes
+    }
+    per: dict[int, list[int]] = {}
+    for node, c in comp.items():
+        per.setdefault(c, []).append(node)
+    es = set(edges)
+    exp = sorted(
+        (
+            c,
+            len(ns),
+            sum(ns),
+            sum(1 for (a, b) in es if comp[a] == c and comp[b] == c),
+        )
+        for c, ns in per.items()
+    )
+    assert got == exp
+
