@@ -726,3 +726,30 @@ def test_wav_pcm_widths_8_24_32():
         assert abs(rms - ref_rms) < 1e-2, (width, rms, ref_rms)
         peak = int(np.argmax(np.abs(np.fft.rfft(got))[1:])) + 1
         assert peak == 4, (width, peak)  # the sine's bin survives
+
+
+def test_spread_is_conditional_on_observed_partitions(spark, tmp_path):
+    """r15 (VERDICT r14 #8): _spread repartitions a narrow payload to
+    full parallelism ONLY when the scan under-covers the cores; a
+    many-files layout that already covers them must pass through with
+    no RoundRobin exchange (the r14 gif/png probes measured that
+    shuffle as pure cost)."""
+    from pyblazing_spark.plans.multimodal import _spread
+
+    cores = spark.sparkContext.defaultParallelism
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("payload")
+    )
+    few = str(tmp_path / "few")
+    many = str(tmp_path / "many")
+    base.coalesce(1).write.parquet(few)
+    base.repartition(cores * 2).write.parquet(many)
+
+    under = spark.read.parquet(few)
+    assert under.rdd.getNumPartitions() < cores
+    assert "RoundRobinPartitioning" in _spread(under)._jdf.queryExecution().toString()
+
+    covered = spark.read.parquet(many)
+    assert covered.rdd.getNumPartitions() >= cores
+    plan = _spread(covered)._jdf.queryExecution().toString()
+    assert "RoundRobinPartitioning" not in plan
