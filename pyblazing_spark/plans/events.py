@@ -1237,7 +1237,9 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts collect marginalized driver-side, three Window stages in one
     linear plan — instead of the r14 chain of three single ntiles with
     a materialization between each (2 driver jobs + a checkpoint per
-    stage; 23 jobs/run → ~7)."""
+    stage; 23 jobs/run → 16 measured — the remaining jobs are the
+    per-user materialization, the fused sketch + counts pair, and the
+    consumer aggregation's AQE stages)."""
     from pyblazing_spark.operators.global_window import global_ntile_multi
 
     ev = T(spark, sf_dir, "events")
