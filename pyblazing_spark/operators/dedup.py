@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyblazing_spark.functions import long_array_lit
 from pyblazing_spark.functions import text as TXT
 from pyblazing_spark.functions import vectors as VEC
 
@@ -491,7 +492,10 @@ def _hot_shingle_filter(raw: DataFrame, shingle_col: str):
     if not word_rows:
         return None
     masks = {int(r["__w"]): int(r["__mask"]) for r in word_rows}
-    bitmap = F.lit([masks.get(i, 0) for i in range(n_words)]).cast("array<bigint>")
+    # one py4j round-trip for the whole bitmap — F.lit(list) costs one
+    # py4j call PER WORD (~18 s at the 32768 cap; see
+    # functions.long_array_lit, late r15)
+    bitmap = long_array_lit(masks.get(i, 0) for i in range(n_words))
     probes = (
         f"pmod(xxhash64({shingle_col}), {m})",
         f"pmod(xxhash64(xxhash64({shingle_col}), 1), {m})",

@@ -39,11 +39,13 @@ def _spread(df: DataFrame) -> DataFrame:
     layouts, where the r14 gif/png/transcode probes showed the shuffle
     is pure cost), the frame passes through untouched; the RoundRobin
     exchange appears only when partitions < cores. ``getNumPartitions``
-    plans the scan (file listing) but runs no job."""
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
-        return df
-    return df.repartition(cores)
+    plans the scan (file listing) but runs no job. Shared as
+    :func:`pyblazing_spark.session.spread_to_cores` since late r15 (the
+    same gate pays off before compute-bound JVM stages, e.g. the bloom
+    md5 probe)."""
+    from pyblazing_spark.session import spread_to_cores
+
+    return spread_to_cores(df)
 
 
 @register(

@@ -25,6 +25,7 @@ import logging
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from pyblazing_spark.functions import long_array_lit
 from pyblazing_spark.operators.global_window import global_ntile
 from pyblazing_spark.plans.registry import register
 from pyblazing_spark.session import materialize_bounded
@@ -645,14 +646,32 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     masks = {int(r["word"]): int(r["mask"]) for r in word_rows}
     bitmap = [masks.get(i, 0) for i in range(n_words)]
-    # ONE ArrayType literal (F.lit on the list), not array(lit, lit, ...):
-    # at the 1 Mbit cap that's 32768 elements — a 32768-expression array
-    # constructor would bloat the Catalyst tree, a single literal doesn't.
-    arr = F.lit(bitmap).cast("array<bigint>")
+    # ONE py4j round-trip for the whole bitmap (late r15, guide §5):
+    # F.lit(list) expands to array(lit(w0), lit(w1), ...) — one py4j
+    # call per WORD, ~0.5 s of pure driver time at sf0.1's 920 words
+    # and ~18 s at the 32768-word cap. long_array_lit ships the same
+    # values as one parsed SQL expression; Catalyst constant-folds it
+    # to a single array Literal before execution.
+    arr = long_array_lit(bitmap)
+    # A conditional repartition before the probe was measured and
+    # REJECTED (late r15): Catalyst pushes the bloom condition below a
+    # round-robin exchange, so the md5 probe stays in the scan stage
+    # either way and the exchange is pure cost; a localCheckpoint
+    # barrier variant timed the same as no spread (interleaved mins
+    # 1.26/1.27/1.28 s) — the probe is not the dominant term here.
     orders = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
-    fact = orders.withColumn("__bloom", arr)
-    for i, s in enumerate(_BLOOM_SLICES, start=1):
-        fact = fact.withColumn(f"__h{i}", F.expr(_bloom_hash_sql("o_custkey", s, m)))
+    # single select (one analyzer pass) instead of 4 chained
+    # withColumns: each withColumn re-analyzes the whole tree, which at
+    # the bitmap cap walks a 32768-child array node every time.
+    fact = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        arr.alias("__bloom"),
+        *[
+            F.expr(_bloom_hash_sql("o_custkey", s, m)).alias(f"__h{i}")
+            for i, s in enumerate(_BLOOM_SLICES, start=1)
+        ],
+    )
     passed = fact.where(
         F.lit(True)
         & (

@@ -337,3 +337,23 @@ def materialize_bounded(df: DataFrame) -> "DataFrame":
     }
     with scoped_conf(spark, confs):
         return df.localCheckpoint()
+
+
+def spread_to_cores(df: DataFrame) -> "DataFrame":
+    """Repartition a NARROW frame to full parallelism before a
+    compute-bound stage, CONDITIONAL on the observed partition count
+    (the r8 multimodal pattern + the r15 VERDICT #8 gate, shared):
+    file-split parallelism follows input BYTES, so a small/narrow scan
+    collapses to 1-3 partitions and a CPU-heavy downstream stage (md5
+    probes, per-row codecs) idles most cores. When the layout already
+    covers the cores — every real at-scale scan — the frame passes
+    through untouched and no exchange is added; the RoundRobin appears
+    only when partitions < cores. ``getNumPartitions`` plans the scan
+    (file listing) but runs no job. Only worth calling when the
+    downstream stage dominates the ~0.2 s shuffle — cheap kernels
+    measured SLOWER with it (OPTIMIZATION_r14.md, "Measured and
+    REJECTED")."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
